@@ -1,0 +1,315 @@
+"""Sequence sampling: Sequence -> per-channel amp/det/phase arrays.
+
+Native replacement for pulser.sampler (consumed by the reference at
+/root/reference/pulser_diff/backend.py:700-705 and hamiltonian.py:170-219).
+Arrays are JAX arrays built by concatenating per-slot waveform samples, so
+the whole sampling step is differentiable w.r.t. pulse parameters.
+
+Units: 1 sample per ns; amplitude/detuning in rad/us; phase in rad.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pulser_diff_tpu.config import default_dtype
+from pulser_diff_tpu.core.channels import Channel
+from pulser_diff_tpu.core.register import QubitId
+from pulser_diff_tpu.core.sequence import Sequence, _TimeSlot
+
+
+@dataclass
+class _PulseTargetSlot:
+    ti: int
+    tf: int
+    targets: frozenset
+
+
+@dataclass
+class _SlmMask:
+    targets: frozenset = frozenset()
+    end: int = 0
+
+
+@dataclass
+class ChannelSamples:
+    """Sampled arrays for one channel."""
+
+    amp: jax.Array
+    det: jax.Array
+    phase: jax.Array
+    slots: list[_PulseTargetSlot]
+    addressing: str
+    basis: str
+
+    @property
+    def duration(self) -> int:
+        return int(self.amp.shape[0])
+
+    def extend_duration(self, new_duration: int) -> "ChannelSamples":
+        T = self.duration
+        if new_duration < T:
+            raise ValueError("Cannot shrink samples.")
+        if new_duration == T:
+            return self
+        pad = new_duration - T
+        zeros = jnp.zeros((pad,), self.amp.dtype)
+        last_phase = self.phase[-1] if T > 0 else jnp.asarray(0.0, default_dtype())
+        return replace(
+            self,
+            amp=jnp.concatenate([self.amp, zeros]),
+            det=jnp.concatenate([self.det, zeros]),
+            phase=jnp.concatenate(
+                [self.phase, jnp.broadcast_to(last_phase, (pad,))]
+            ),
+        )
+
+
+@dataclass
+class SequenceSamples:
+    """All channels of a sampled sequence + sequence-level metadata."""
+
+    channel_samples: dict[str, ChannelSamples]
+    _measurement: Optional[str]
+    _slm_mask: _SlmMask
+    _magnetic_field: np.ndarray
+    _in_xy: bool
+    qubit_ids: tuple[QubitId, ...]
+
+    @property
+    def max_duration(self) -> int:
+        return max(
+            (cs.duration for cs in self.channel_samples.values()), default=0
+        )
+
+    @property
+    def used_bases(self) -> set[str]:
+        return {
+            cs.basis
+            for cs in self.channel_samples.values()
+            if cs.slots
+        }
+
+    def extend_duration(self, new_duration: int) -> "SequenceSamples":
+        return replace(
+            self,
+            channel_samples={
+                k: v.extend_duration(new_duration)
+                for k, v in self.channel_samples.items()
+            },
+        )
+
+    def globalize(self, qubit_ids: tuple[QubitId, ...]) -> "SequenceSamples":
+        """Replace Global channels' slot targets with the full register
+        (reference backend.py:103-112)."""
+        new = {}
+        for name, cs in self.channel_samples.items():
+            if cs.addressing == "Global":
+                new[name] = replace(
+                    cs,
+                    slots=[
+                        _PulseTargetSlot(s.ti, s.tf, frozenset(qubit_ids))
+                        for s in cs.slots
+                    ],
+                )
+            else:
+                new[name] = cs
+        return replace(self, channel_samples=new, qubit_ids=tuple(qubit_ids))
+
+    def to_nested_dict(self, all_local: bool = False) -> dict:
+        """{"Global": {basis: {amp,det,phase}}, "Local": {basis: {qid: ...}}}.
+
+        Mirrors pulser's SequenceSamples.to_nested_dict with
+        samples_type="tensor" (used at reference hamiltonian.py:177).
+        SLM-masked qubits in ising mode get their amplitude zeroed during
+        the mask window (which forces the local representation).
+        """
+        T = self.max_duration
+        dt = default_dtype()
+        zeros = jnp.zeros((T,), dt)
+
+        slm_on = self._slm_mask.end > 0 and not self._in_xy
+        out: dict[str, Any] = {"Global": {}, "Local": {}}
+
+        def _add(d: dict, basis: str, key_chain: list, amp, det, phase):
+            node = d.setdefault(basis, {})
+            for k in key_chain[:-1]:
+                node = node.setdefault(k, {})
+            leaf = key_chain[-1] if key_chain else None
+            if leaf is None:
+                tgt = node
+            else:
+                tgt = node.setdefault(leaf, {})
+            if not tgt:
+                tgt["amp"] = zeros
+                tgt["det"] = zeros
+                tgt["phase"] = zeros
+            tgt["amp"] = tgt["amp"] + amp
+            tgt["det"] = tgt["det"] + det
+            # phase cannot be summed meaningfully; keep where amp active
+            tgt["phase"] = jnp.where(amp != 0, phase, tgt["phase"])
+
+        for name, cs in self.channel_samples.items():
+            if not cs.slots:
+                continue
+            force_local = (
+                cs.addressing == "Local"
+                or all_local
+                or (slm_on and cs.addressing == "Global")
+            )
+            if not force_local:
+                _add(out["Global"], cs.basis, [], cs.amp, cs.det, cs.phase)
+            else:
+                # scatter per-qubit; slots carry targets
+                all_targets = (
+                    set().union(*(s.targets for s in cs.slots))
+                    if cs.addressing == "Local"
+                    else set(self.qubit_ids)
+                )
+                for qid in sorted(all_targets, key=str):
+                    if cs.addressing == "Global":
+                        amp_q, det_q, phase_q = cs.amp, cs.det, cs.phase
+                    else:
+                        mask = np.zeros(T, dtype=bool)
+                        for s in cs.slots:
+                            if qid in s.targets:
+                                mask[s.ti : s.tf] = True
+                        m = jnp.asarray(mask)
+                        amp_q = jnp.where(m, cs.amp, 0.0)
+                        det_q = jnp.where(m, cs.det, 0.0)
+                        phase_q = jnp.where(m, cs.phase, 0.0)
+                    if slm_on and qid in self._slm_mask.targets:
+                        mask_win = np.zeros(T, dtype=bool)
+                        mask_win[: self._slm_mask.end] = True
+                        amp_q = jnp.where(jnp.asarray(mask_win), 0.0, amp_q)
+                    _add(out["Local"], cs.basis, [qid], amp_q, det_q, phase_q)
+
+        return out
+
+
+def _sample_channel(
+    seq: Sequence, name: str, ch: Channel, total: int
+) -> ChannelSamples:
+    dt = default_dtype()
+    segments_amp: list[jax.Array] = []
+    segments_det: list[jax.Array] = []
+    segments_phase: list[jax.Array] = []
+    slots: list[_PulseTargetSlot] = []
+    cursor = 0
+    phase_offset = jnp.asarray(0.0, dt)
+    last_phase = jnp.asarray(0.0, dt)
+
+    for slot in seq._schedule[name]:
+        gap = slot.ti - cursor
+        if gap > 0:
+            segments_amp.append(jnp.zeros((gap,), dt))
+            segments_det.append(jnp.zeros((gap,), dt))
+            segments_phase.append(jnp.broadcast_to(last_phase, (gap,)))
+            cursor = slot.ti
+        n = slot.tf - slot.ti
+        if slot.kind == "pulse" and slot.pulse is not None:
+            p = slot.pulse
+            amp = p.amplitude.samples.astype(dt)
+            det = p.detuning.samples.astype(dt)
+            ph = jnp.asarray(p.phase, dt) + phase_offset
+            segments_amp.append(amp)
+            segments_det.append(det)
+            segments_phase.append(jnp.broadcast_to(ph, (n,)))
+            last_phase = ph
+            pps = jnp.asarray(p.post_phase_shift, dt)
+            phase_offset = phase_offset + pps
+            slots.append(_PulseTargetSlot(slot.ti, slot.tf, slot.targets))
+        else:
+            if n > 0:
+                segments_amp.append(jnp.zeros((n,), dt))
+                segments_det.append(jnp.zeros((n,), dt))
+                segments_phase.append(jnp.broadcast_to(last_phase, (n,)))
+        cursor = slot.tf
+
+    if cursor < total:
+        gap = total - cursor
+        segments_amp.append(jnp.zeros((gap,), dt))
+        segments_det.append(jnp.zeros((gap,), dt))
+        segments_phase.append(jnp.broadcast_to(last_phase, (gap,)))
+
+    if segments_amp:
+        amp = jnp.concatenate(segments_amp)
+        det = jnp.concatenate(segments_det)
+        phase = jnp.concatenate(segments_phase)
+    else:
+        amp = det = phase = jnp.zeros((total,), dt)
+
+    return ChannelSamples(
+        amp=amp,
+        det=det,
+        phase=phase,
+        slots=slots,
+        addressing=ch.addressing,
+        basis=ch.basis,
+    )
+
+
+def _modulate(cs: ChannelSamples, ch: Channel) -> ChannelSamples:
+    """Output modulation: low-pass filter the samples with the channel's
+    modulation bandwidth (Gaussian impulse response, pulser-compatible
+    sigma = MODBW_TO_TR / mod_bandwidth)."""
+    if ch.mod_bandwidth is None:
+        return cs
+    # pulser: rise time tr = MODBW_TO_TR / mod_bandwidth * 1e3 ns,
+    # MODBW_TO_TR = 0.48; gaussian std = tr / sqrt(2 ln 2) / 2
+    tr = int(round(0.48 / ch.mod_bandwidth * 1e3))
+    if tr <= 0:
+        return cs
+    sigma = tr / (2 * np.sqrt(2 * np.log(2)))
+    half = 2 * tr
+    t = np.arange(-half, half + 1)
+    kernel = np.exp(-(t**2) / (2 * sigma**2))
+    kernel /= kernel.sum()
+    k = jnp.asarray(kernel, cs.amp.dtype)
+
+    def conv(x: jax.Array) -> jax.Array:
+        return jnp.convolve(x, k, mode="same")
+
+    return replace(cs, amp=conv(cs.amp), det=conv(cs.det))
+
+
+def sample(
+    seq: Sequence,
+    modulation: bool = False,
+    extended_duration: Optional[int] = None,
+) -> SequenceSamples:
+    """Sample a (concrete) Sequence into per-channel arrays."""
+    if seq.is_parametrized():
+        raise ValueError("Cannot sample a parametrized sequence; build() it.")
+    total = seq.get_duration()
+    chs: dict[str, ChannelSamples] = {}
+    for name, ch in seq.declared_channels.items():
+        cs = _sample_channel(seq, name, ch, total)
+        if modulation:
+            cs = _modulate(cs, ch)
+        chs[name] = cs
+
+    # SLM mask window = duration of the first pulse in the sequence
+    mask_end = 0
+    if seq._slm_mask_targets:
+        first_tf = [
+            cs.slots[0].tf for cs in chs.values() if cs.slots
+        ]
+        mask_end = min(first_tf) if first_tf else 0
+
+    ss = SequenceSamples(
+        channel_samples=chs,
+        _measurement=seq._measurement,
+        _slm_mask=_SlmMask(seq._slm_mask_targets, mask_end),
+        _magnetic_field=seq.magnetic_field,
+        _in_xy=seq._in_xy,
+        qubit_ids=seq.register.qubit_ids,
+    )
+    if extended_duration is not None:
+        ss = ss.extend_duration(extended_duration)
+    return ss

@@ -1,0 +1,343 @@
+"""Pulse sequence builder (native replacement for pulser.Sequence).
+
+Supports the subset of pulser.Sequence the reference exercises
+(/root/reference/pulser_diff/backend.py:651-711, model.py:139-166):
+channels, pulses, delays, local retargeting, measurement, SLM masks,
+declared variables and deferred (parametrized) building.
+
+A parametrized sequence is a template: ``seq.build(**values)`` evaluates
+every deferred expression with JAX arrays, so gradients flow from the
+values through sampling and the Hamiltonian into the solver.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Mapping, Optional, Union
+
+import numpy as np
+
+from pulser_diff_tpu.core.channels import Channel
+from pulser_diff_tpu.core.devices import Device
+from pulser_diff_tpu.core.pulse import Pulse
+from pulser_diff_tpu.core.register import QubitId, Register
+from pulser_diff_tpu.core.variables import Expr, Variable
+
+
+@dataclass
+class _TimeSlot:
+    """One scheduled item on a channel."""
+
+    kind: str  # "pulse" | "delay" | "target"
+    ti: int
+    tf: int
+    targets: frozenset
+    pulse: Optional[Pulse] = None
+
+
+@dataclass
+class _Call:
+    name: str
+    args: tuple
+    kwargs: dict
+
+
+class Sequence:
+    def __init__(self, register: Register, device: Device) -> None:
+        device.validate_register(register)
+        self._register = register
+        self._device = device
+        self._channels: dict[str, Channel] = {}
+        self._schedule: dict[str, list[_TimeSlot]] = {}
+        self._last_target: dict[str, frozenset] = {}
+        self._basis_per_channel: dict[str, str] = {}
+        self._variables: dict[str, Variable] = {}
+        self._calls: list[_Call] = []  # concrete calls
+        self._to_build_calls: list[_Call] = []  # parametrized calls
+        self._measurement: Optional[str] = None
+        self._slm_mask_targets: frozenset = frozenset()
+        self._magnetic_field = np.array([0.0, 0.0, 30.0])
+        self._in_xy: bool = False
+
+    # ------------------------------------------------------------------
+    # properties
+    # ------------------------------------------------------------------
+    @property
+    def register(self) -> Register:
+        return self._register
+
+    @property
+    def device(self) -> Device:
+        return self._device
+
+    @property
+    def declared_channels(self) -> dict[str, Channel]:
+        return dict(self._channels)
+
+    @property
+    def declared_variables(self) -> dict[str, Variable]:
+        return dict(self._variables)
+
+    @property
+    def magnetic_field(self) -> np.ndarray:
+        return self._magnetic_field
+
+    def is_parametrized(self) -> bool:
+        return bool(self._to_build_calls)
+
+    def is_register_mappable(self) -> bool:
+        return False
+
+    def get_duration(
+        self, channel: str | None = None, include_fall_time: bool = False
+    ) -> int:
+        if channel is not None:
+            slots = self._schedule.get(channel, [])
+            return slots[-1].tf if slots else 0
+        return max(
+            (s[-1].tf for s in self._schedule.values() if s), default=0
+        )
+
+    # ------------------------------------------------------------------
+    # declarations
+    # ------------------------------------------------------------------
+    def declare_channel(
+        self,
+        name: str,
+        channel_id: str,
+        initial_target: QubitId | Iterable[QubitId] | None = None,
+    ) -> None:
+        if name in self._channels:
+            raise ValueError(f"Channel '{name}' already declared.")
+        ch_objs = self._device.channel_objects
+        if channel_id not in ch_objs:
+            raise ValueError(
+                f"Device '{self._device.name}' has no channel '{channel_id}'. "
+                f"Available: {sorted(ch_objs)}"
+            )
+        ch = ch_objs[channel_id]
+        if ch.basis == "XY":
+            if self._channels and not self._in_xy:
+                raise ValueError(
+                    "Microwave channels can't be combined with other bases."
+                )
+            self._in_xy = True
+        elif self._in_xy:
+            raise ValueError(
+                "Can't declare a non-microwave channel in XY mode."
+            )
+        self._channels[name] = ch
+        self._schedule[name] = []
+        if ch.is_global:
+            tgt = frozenset(self._register.qubit_ids)
+        else:
+            if initial_target is None:
+                tgt = frozenset()
+            else:
+                tgt = self._as_targets(initial_target)
+        self._last_target[name] = tgt
+        self._calls.append(
+            _Call("declare_channel", (name, channel_id, initial_target), {})
+        )
+
+    def declare_variable(
+        self, name: str, size: int = 1, dtype: type = float
+    ) -> Variable:
+        if name in self._variables:
+            raise ValueError(f"Variable '{name}' already declared.")
+        var = Variable(name, size=size, dtype=dtype)
+        self._variables[name] = var
+        return var
+
+    def set_magnetic_field(
+        self, bx: float = 0.0, by: float = 0.0, bz: float = 30.0
+    ) -> None:
+        if not self._in_xy and self._channels:
+            raise ValueError("Magnetic field can only be set in XY mode.")
+        self._in_xy = True
+        self._magnetic_field = np.array([bx, by, bz], dtype=float)
+
+    # ------------------------------------------------------------------
+    # schedule construction
+    # ------------------------------------------------------------------
+    def _as_targets(self, qubits: QubitId | Iterable[QubitId]) -> frozenset:
+        if isinstance(qubits, (str, int)):
+            qubits = [qubits]
+        tgt = frozenset(qubits)
+        unknown = tgt - set(self._register.qubit_ids)
+        if unknown:
+            raise ValueError(f"Unknown qubit ids: {unknown}")
+        return tgt
+
+    def _check_channel(self, channel: str) -> Channel:
+        if channel not in self._channels:
+            raise ValueError(f"Channel '{channel}' not declared.")
+        return self._channels[channel]
+
+    def add(
+        self, pulse: Pulse, channel: str, protocol: str = "min-delay"
+    ) -> None:
+        ch = self._check_channel(channel)
+        if protocol not in ("min-delay", "no-delay", "wait-for-all"):
+            raise ValueError(f"Invalid protocol '{protocol}'.")
+        if not isinstance(pulse, Pulse):
+            raise TypeError("add() requires a Pulse.")
+        if pulse.is_parametrized or self.is_parametrized():
+            self._to_build_calls.append(
+                _Call("add", (pulse, channel), {"protocol": protocol})
+            )
+            return
+        self._add_concrete(pulse, channel, protocol)
+        self._calls.append(_Call("add", (pulse, channel), {"protocol": protocol}))
+
+    def _add_concrete(self, pulse: Pulse, channel: str, protocol: str) -> None:
+        import jax
+
+        ch = self._channels[channel]
+        duration = pulse.duration
+        if ch.max_amp is not None or ch.max_abs_detuning is not None:
+            amp_s = pulse.amplitude.samples
+            det_s = pulse.detuning.samples
+            if not (
+                isinstance(amp_s, jax.core.Tracer)
+                or isinstance(det_s, jax.core.Tracer)
+            ):
+                ch.validate_pulse(
+                    float(np.max(np.abs(np.asarray(amp_s)))),
+                    float(np.max(np.abs(np.asarray(det_s)))),
+                    duration,
+                )
+        t0 = self.get_duration(channel)
+        if protocol == "wait-for-all":
+            t0 = max(t0, self.get_duration())
+        elif protocol == "min-delay":
+            tgt = self._last_target[channel]
+            for other, slots in self._schedule.items():
+                if other == channel or not slots:
+                    continue
+                if self._last_target_at_end(other) & tgt:
+                    t0 = max(t0, slots[-1].tf)
+        ti, tf = t0, t0 + duration
+        if ti > self.get_duration(channel):
+            # implicit delay on this channel
+            self._schedule[channel].append(
+                _TimeSlot("delay", self.get_duration(channel), ti,
+                          self._last_target[channel])
+            )
+        self._schedule[channel].append(
+            _TimeSlot("pulse", ti, tf, self._last_target[channel], pulse)
+        )
+
+    def _last_target_at_end(self, channel: str) -> frozenset:
+        return self._last_target[channel]
+
+    def delay(self, duration: Any, channel: str) -> None:
+        self._check_channel(channel)
+        if isinstance(duration, Expr) or self.is_parametrized():
+            self._to_build_calls.append(_Call("delay", (duration, channel), {}))
+            return
+        d = int(duration)
+        t0 = self.get_duration(channel)
+        self._schedule[channel].append(
+            _TimeSlot("delay", t0, t0 + d, self._last_target[channel])
+        )
+        self._calls.append(_Call("delay", (duration, channel), {}))
+
+    def target(self, qubits: QubitId | Iterable[QubitId], channel: str) -> None:
+        ch = self._check_channel(channel)
+        if ch.is_global:
+            raise ValueError("Can't retarget a global channel.")
+        if self.is_parametrized():
+            self._to_build_calls.append(_Call("target", (qubits, channel), {}))
+            return
+        tgt = self._as_targets(qubits)
+        if ch.max_targets is not None and len(tgt) > ch.max_targets:
+            raise ValueError(
+                f"Channel supports at most {ch.max_targets} targets."
+            )
+        t0 = self.get_duration(channel)
+        retarget = max(ch.fixed_retarget_t, ch.min_retarget_interval if t0 > 0 else 0)
+        self._schedule[channel].append(
+            _TimeSlot("target", t0, t0 + retarget, tgt)
+        )
+        self._last_target[channel] = tgt
+        self._calls.append(_Call("target", (qubits, channel), {}))
+
+    def measure(self, basis: str = "ground-rydberg") -> None:
+        if self._measurement is not None:
+            raise RuntimeError("Sequence already measured.")
+        valid = {"ground-rydberg", "digital", "XY"}
+        if basis not in valid:
+            raise ValueError(f"Measurement basis must be one of {valid}.")
+        if self.is_parametrized():
+            self._to_build_calls.append(_Call("measure", (basis,), {}))
+            return
+        self._measurement = basis
+        self._calls.append(_Call("measure", (basis,), {}))
+
+    def config_slm_mask(self, qubits: Iterable[QubitId]) -> None:
+        if not self._device.supports_slm_mask:
+            raise ValueError(f"Device '{self._device.name}' has no SLM mask.")
+        if self._slm_mask_targets:
+            raise ValueError("SLM mask already configured.")
+        self._slm_mask_targets = self._as_targets(qubits)
+        self._calls.append(_Call("config_slm_mask", (qubits,), {}))
+
+    # ------------------------------------------------------------------
+    # building parametrized sequences
+    # ------------------------------------------------------------------
+    def _set_register(self, register: Register) -> None:
+        """Swap in a new register with identical qubit ids (pulser's
+        Sequence._set_register equivalent, used by QuantumModel)."""
+        if set(register.qubit_ids) != set(self._register.qubit_ids):
+            raise ValueError("New register must have the same qubit ids.")
+        self._register = register
+
+    def build(self, **values: Any) -> "Sequence":
+        """Return a concrete Sequence with all variables substituted."""
+        missing = set(self._variables) - set(values)
+        used: set[str] = set()
+        for call in self._to_build_calls:
+            for a in list(call.args) + list(call.kwargs.values()):
+                if isinstance(a, Expr):
+                    used |= a.variables()
+                elif isinstance(a, Pulse) and a.is_parametrized:
+                    for w in (a.amplitude, a.detuning):
+                        if w.is_parametrized:
+                            for pn in ("_duration",) + w._param_names:
+                                v = getattr(w, pn, None)
+                                if isinstance(v, Expr):
+                                    used |= v.variables()
+                    if isinstance(a.phase, Expr):
+                        used |= a.phase.variables()
+        missing_used = missing & used
+        if missing_used:
+            raise TypeError(f"Missing values for variables: {sorted(missing_used)}")
+
+        new = Sequence(self._register, self._device)
+        new._magnetic_field = self._magnetic_field.copy()
+        new._in_xy = self._in_xy
+        # replay concrete calls
+        for call in self._calls:
+            getattr(new, call.name)(*call.args, **call.kwargs)
+        # replay parametrized calls with substituted values
+        for call in self._to_build_calls:
+            if call.name == "add":
+                pulse, channel = call.args
+                new.add(pulse.build(values), channel, **call.kwargs)
+            elif call.name == "delay":
+                dur, channel = call.args
+                if isinstance(dur, Expr):
+                    import jax
+
+                    dur = int(np.round(np.asarray(jax.device_get(dur.evaluate(values)))))
+                new.delay(dur, channel)
+            else:
+                getattr(new, call.name)(*call.args, **call.kwargs)
+        return new
+
+    def __repr__(self) -> str:
+        lines = [f"Sequence({len(self._register)} qubits, device={self._device.name})"]
+        for name, slots in self._schedule.items():
+            lines.append(f"  {name}: {len(slots)} slots, T={self.get_duration(name)} ns")
+        return "\n".join(lines)

@@ -1,0 +1,202 @@
+"""Tensor utilities (TPU-native equivalents of reference utils.py).
+
+Reference parity map (cited as /root/reference/pulser_diff/utils.py:line):
+  - kron            utils.py:12   (sparse-COO recursive kron -> dense Cplx kron;
+                                   on TPU the 2^N x 2^N operators for N<=13 are
+                                   small enough to keep dense in HBM, and the
+                                   hot paths never materialise them at all --
+                                   see ops/apply.py)
+  - total_magnetization  utils.py:47
+  - expect          utils.py:68   (batched ket / density-matrix einsum paths)
+  - trace           utils.py:89
+  - vn_entropy      utils.py:97   (via real-symmetric embedding: TPU backends
+                                   have no complex eigensolver)
+  - basis_state     utils.py:108
+  - s               utils.py:136
+  - interpolate_sine utils.py:151
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, reduce
+from math import pi, prod, sin
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pulser_diff_tpu.cplx import Cplx, as_cplx, ckron
+from pulser_diff_tpu.config import default_dtype
+
+# Pauli / identity matrices as split-complex constants
+# (reference imports these from pyqtorch.matrices, hamiltonian.py:17)
+def _const(mat: np.ndarray) -> Cplx:
+    m = np.asarray(mat, dtype=np.complex128)
+    return Cplx(jnp.asarray(m.real, default_dtype()), jnp.asarray(m.imag, default_dtype()))
+
+
+IMAT = _const(np.eye(2))
+XMAT = _const(np.array([[0, 1], [1, 0]]))
+YMAT = _const(np.array([[0, -1j], [1j, 0]]))
+ZMAT = _const(np.array([[1, 0], [0, -1]]))
+
+
+def kron(*args: Cplx | jax.Array | np.ndarray) -> Cplx:
+    """Kronecker product of any number of (split-)complex matrices.
+
+    Mirrors reference utils.py:12 but always dense: XLA fuses the small
+    kron chains, and the product-state operators used by the solvers are
+    never materialised (ops/apply.py applies factors directly).
+    """
+    mats = [as_cplx(a, dtype=default_dtype()) for a in args]
+    return reduce(ckron, mats)
+
+
+@lru_cache
+def _total_magnetization_diag_np(n_qubits: int) -> np.ndarray:
+    # diag(sum_i Z_i) over computational basis: n_zero_bits - n_one_bits
+    idx = np.arange(2**n_qubits, dtype=np.int64)
+    ones = np.zeros(2**n_qubits, dtype=np.int64)
+    for b in range(n_qubits):
+        ones += (idx >> b) & 1
+    return (n_qubits - 2 * ones).astype(np.float64)
+
+
+def total_magnetization_diag(n_qubits: int) -> jax.Array:
+    """Diagonal of sum_i Z_i -- the fast-path representation."""
+    return jnp.asarray(_total_magnetization_diag_np(n_qubits), default_dtype())
+
+
+def total_magnetization(n_qubits: int) -> Cplx:
+    """Total magnetization observable sum_i Z_i as a dense matrix.
+
+    Reference: utils.py:47-65 (there built by sparse kron accumulation).
+    Z_i is diagonal, so the dense matrix is just diag of the bit-count
+    formula -- no kron chain needed.
+    """
+    d = total_magnetization_diag(n_qubits)
+    return Cplx(jnp.diag(d), jnp.zeros((d.shape[0], d.shape[0]), d.dtype))
+
+
+def expect(obs: Cplx | jax.Array, states: Cplx) -> Cplx:
+    """Expectation values of ``obs`` over a time-batch of states.
+
+    Shape conventions (matching reference utils.py:68-86):
+      - kets:            (n_t, dim, n_batch)
+      - density matrices:(n_t, dim, dim, n_batch)
+      - single square density matrix batch: (n_t, dim, dim)
+    A bare (n_t, dim) ket array is promoted to (n_t, dim, 1).
+    """
+    obs = as_cplx(obs, dtype=default_dtype())
+    if states.ndim == 2 and states.shape[-1] != states.shape[-2]:
+        states = states.reshape(states.shape + (1,))
+
+    if states.ndim == 3 and states.shape[-1] == states.shape[-2]:
+        # (n_t, dim, dim) density matrices: tr(O rho)
+        def _tr(o: Cplx, r: Cplx) -> Cplx:
+            re = jnp.einsum("ij,tji->t", o.re, r.re) - jnp.einsum(
+                "ij,tji->t", o.im, r.im
+            )
+            im = jnp.einsum("ij,tji->t", o.re, r.im) + jnp.einsum(
+                "ij,tji->t", o.im, r.re
+            )
+            return Cplx(re, im)
+
+        return _tr(obs, states)
+
+    if states.ndim == 3:
+        # ket batch (n_t, dim, n_batch): sum over batch pairs, as in the
+        # reference's einsum "...ij,jk,...kl->..." (utils.py:81)
+        sh = states.sum(axis=-1)  # (n_t, dim)
+        ov = Cplx(
+            jnp.einsum("tj,jk,tk->t", sh.re, obs.re, sh.re)
+            + jnp.einsum("tj,jk,tk->t", sh.im, obs.re, sh.im)
+            + jnp.einsum("tj,jk,tk->t", sh.re, obs.im, sh.im)
+            - jnp.einsum("tj,jk,tk->t", sh.im, obs.im, sh.re),
+            jnp.einsum("tj,jk,tk->t", sh.re, obs.re, sh.im)
+            - jnp.einsum("tj,jk,tk->t", sh.im, obs.re, sh.re)
+            - jnp.einsum("tj,jk,tk->t", sh.re, obs.im, sh.re)
+            - jnp.einsum("tj,jk,tk->t", sh.im, obs.im, sh.im),
+        )
+        return ov
+
+    if states.ndim == 4:
+        # density-matrix batch (n_t, dim, dim, n_batch): sum_k tr(O rho_k)
+        rs = states.sum(axis=-1)
+        return expect(obs, rs)
+
+    raise ValueError(f"Unsupported states shape {states.shape}")
+
+
+def trace(mat: Cplx) -> Cplx:
+    """Trace over the last two axes (reference utils.py:89)."""
+    return Cplx(
+        jnp.trace(mat.re, axis1=-2, axis2=-1),
+        jnp.trace(mat.im, axis1=-2, axis2=-1),
+    )
+
+
+def vn_entropy(rho: Cplx) -> jax.Array:
+    """Von Neumann entropy of a density matrix (reference utils.py:97).
+
+    TPU has no complex eigensolver; use the real-symmetric embedding
+    E = [[re, -im], [im, re]] whose spectrum is that of rho, doubled.
+    """
+    n = rho.shape[-1]
+    emb = jnp.block([[rho.re, -rho.im], [rho.im, rho.re]])
+    ev = jnp.linalg.eigvalsh(emb)[..., ::2]  # each eigenvalue appears twice
+    safe = jnp.where(ev > 1e-30, ev, 1.0)
+    return jnp.sum(jnp.where(ev > 1e-30, -ev * jnp.log2(safe), 0.0), axis=-1)
+
+
+def basis_state(dim: int | tuple[int, ...], number: int | tuple[int, ...]) -> Cplx:
+    """Ket of a Fock state / tensor product of Fock states, shape (n, 1).
+
+    Reference: utils.py:108-133.
+    """
+    dim = (dim,) if isinstance(dim, int) else dim
+    number = (number,) if isinstance(number, int) else number
+    if len(dim) != len(number):
+        raise ValueError(
+            f"Arguments `number` must have the same length as `dim` of "
+            f"length {len(dim)}, but has length {len(number)}."
+        )
+    n = 0
+    for d, s_ in zip(dim, number):
+        n = d * n + s_
+    ket = np.zeros((prod(dim), 1))
+    ket[n] = 1.0
+    return Cplx(
+        jnp.asarray(ket, default_dtype()),
+        jnp.zeros_like(jnp.asarray(ket, default_dtype())),
+    )
+
+
+def s(t: float) -> float:
+    """Sine easing in [0, 1] (reference utils.py:136)."""
+    return (1 + sin((pi * t - (pi / 2)))) / 2
+
+
+@lru_cache
+def _interpolate_sine_np(num_values: int, duration: int) -> np.ndarray:
+    step_size = duration / (num_values + 1)
+    mat = np.zeros((duration, num_values))
+    for k in range(duration):
+        idx, r = divmod(k, step_size)
+        idx = int(idx)
+        h = r / step_size
+        if idx > 0:
+            mat[k, idx - 1] = 1 - s(h)
+        if idx < num_values:
+            mat[k, idx] = s(h)
+    return mat
+
+
+def interpolate_sine(num_values: int, duration: int) -> jax.Array:
+    """(duration x num_values) sine-interpolation weight matrix.
+
+    Reference: utils.py:151-180.  The matrix is static given the shapes, so
+    it is built host-side and cached; the differentiable path is the matmul
+    ``interpolate_sine(n, T) @ values`` done by the caller.
+    """
+    return jnp.asarray(_interpolate_sine_np(num_values, duration), default_dtype())

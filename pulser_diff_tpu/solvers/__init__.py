@@ -1,0 +1,8 @@
+from pulser_diff_tpu.solvers.solver import (
+    SolverType,
+    TimeGrid,
+    mesolve,
+    sesolve,
+)
+
+__all__ = ["SolverType", "TimeGrid", "sesolve", "mesolve"]
