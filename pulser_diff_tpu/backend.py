@@ -1,0 +1,687 @@
+"""Emulator orchestration (native replacement for reference backend.py).
+
+`TpuEmulator` mirrors the reference's `TorchEmulator` API
+(/root/reference/pulser_diff/backend.py:35-711): construction from a
+sampled sequence or a Sequence, config management, initial state,
+evaluation times, solver routing, SPAM handling and the stochastic
+noise path.
+
+TPU-native differences:
+  - the solve is one jitted program over a static-structure time grid;
+  - the reference's serial Monte-Carlo loop over noisy runs
+    (backend.py:573-595) becomes a `jax.vmap` over PRNG keys — all runs
+    integrate in parallel on the chip (shardable over a device mesh via
+    pulser_diff_tpu.parallel);
+  - gradients are taken functionally (see derivative.py / model.py)
+    instead of mutating requires_grad flags.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any, Mapping, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pulser_diff_tpu.config import default_dtype
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.core.devices import Device
+from pulser_diff_tpu.core.register import Register
+from pulser_diff_tpu.core.sampler import SequenceSamples, sample
+from pulser_diff_tpu.core.sequence import Sequence
+from pulser_diff_tpu.hamiltonian import (
+    CollapseOps,
+    Hamiltonian,
+    NoiseDraws,
+    draw_noise,
+    zero_noise_draws,
+)
+from pulser_diff_tpu.result import QuantumResult
+from pulser_diff_tpu.simconfig import NoiseModel, SimConfig
+from pulser_diff_tpu.simresults import (
+    CoherentResults,
+    NoisyResults,
+    SampledResult,
+    SimulationResults,
+)
+from pulser_diff_tpu.solvers import SolverType, TimeGrid, mesolve, sesolve
+
+_LINDBLAD_NOISES = {"dephasing", "relaxation", "depolarizing", "eff_noise"}
+_DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude"}
+
+
+class TpuEmulator:
+    """Differentiable emulator of a sampled pulse sequence on TPU."""
+
+    def __init__(
+        self,
+        sampled_seq: SequenceSamples,
+        register: Register,
+        device: Device,
+        sampling_rate: float = 1.0,
+        config: SimConfig | None = None,
+        evaluation_times: Union[float, str, Any] = "Full",
+    ) -> None:
+        if not isinstance(sampled_seq, SequenceSamples):
+            raise TypeError(
+                "The provided sequence has to be a valid SequenceSamples "
+                "instance."
+            )
+        if sampled_seq.max_duration == 0:
+            raise ValueError("SequenceSamples is empty.")
+        device.validate_register(register)
+        self._register = register
+        if sampled_seq._slm_mask.end > 0 and not device.supports_slm_mask:
+            raise ValueError(
+                "Samples use SLM mask but device does not have one."
+            )
+        if not sampled_seq.used_bases <= device.supported_bases:
+            raise ValueError(
+                "Bases used in samples should be supported by device."
+            )
+        if not sampled_seq._slm_mask.targets <= set(register.qubit_ids):
+            raise ValueError(
+                "The ids of qubits targeted in SLM mask should be defined "
+                "in register."
+            )
+        for name, cs in sampled_seq.channel_samples.items():
+            if cs.addressing == "Local":
+                tg = set().union(*(s.targets for s in cs.slots)) if cs.slots else set()
+                if not tg <= set(register.qubit_ids):
+                    raise ValueError(
+                        "The ids of qubits targeted in Local channels "
+                        "should be defined in register."
+                    )
+        # globalize Global channels to the register & extend duration by 1
+        sampled_seq = sampled_seq.globalize(register.qubit_ids)
+        self._tot_duration = sampled_seq.max_duration
+        self.samples_obj = sampled_seq.extend_duration(
+            self._tot_duration + 1, hold_edge=True
+        )
+
+        if not (0 < sampling_rate <= 1.0):
+            raise ValueError(
+                f"The sampling rate (`sampling_rate` = {sampling_rate}) must"
+                " be greater than 0 and less than or equal to 1."
+            )
+        if int(self._tot_duration * sampling_rate) < 4:
+            raise ValueError(
+                "`sampling_rate` is too small, less than 4 data points."
+            )
+
+        noise_model = (
+            config.to_noise_model() if config else SimConfig().to_noise_model()
+        )
+        self._hamiltonian = Hamiltonian(
+            self.samples_obj,
+            self._register.qubits,
+            device,
+            sampling_rate,
+            noise_model,
+        )
+        self._eval_times_array: jax.Array
+        self.set_evaluation_times(evaluation_times)
+
+        if self.samples_obj._measurement:
+            self._meas_basis = self.samples_obj._measurement
+        else:
+            if self._hamiltonian.basis_name in {"digital", "all"}:
+                self._meas_basis = "digital"
+            else:
+                self._meas_basis = self._hamiltonian.basis_name
+        self.set_initial_state("all-ground")
+        self.dist_dict: dict[str, jax.Array] = {}
+        self._rng = np.random.default_rng()
+
+    # ------------------------------------------------------------------
+    # properties (reference backend.py:153-181)
+    # ------------------------------------------------------------------
+    @property
+    def sampling_times(self) -> jax.Array:
+        return self._hamiltonian.sampling_times
+
+    @property
+    def _sampling_rate(self) -> float:
+        return self._hamiltonian._sampling_rate
+
+    @property
+    def dim(self) -> int:
+        return self._hamiltonian.dim
+
+    @property
+    def basis_name(self) -> str:
+        return self._hamiltonian.basis_name
+
+    @property
+    def basis(self) -> dict[str, Any]:
+        return self._hamiltonian.basis
+
+    @property
+    def config(self) -> SimConfig:
+        return SimConfig.from_noise_model(self._hamiltonian.config)
+
+    def set_config(self, cfg: SimConfig) -> None:
+        if not isinstance(cfg, SimConfig):
+            raise ValueError(f"Object {cfg} is not a valid `SimConfig`.")
+        not_supported = (
+            set(cfg.noise)
+            - cfg.supported_noises[self._hamiltonian._interaction]
+        )
+        if not_supported:
+            raise NotImplementedError(
+                f"Interaction mode '{self._hamiltonian._interaction}' does "
+                "not support simulation of noise types: "
+                f"{', '.join(not_supported)}."
+            )
+        self._hamiltonian.set_config(cfg.to_noise_model())
+
+    def add_config(self, config: SimConfig) -> None:
+        """Merge-in noise params of another config (reference :200-238)."""
+        if not isinstance(config, SimConfig):
+            raise ValueError(f"Object {config} is not a valid `SimConfig`")
+        not_supported = (
+            set(config.noise)
+            - config.supported_noises[self._hamiltonian._interaction]
+        )
+        if not_supported:
+            raise NotImplementedError(
+                f"Interaction mode '{self._hamiltonian._interaction}' does "
+                "not support simulation of noise types: "
+                f"{', '.join(not_supported)}."
+            )
+        old = self._hamiltonian.config
+        new_nm = config.to_noise_model()
+        old_noises = set(old.noise_types)
+        diff = set(new_nm.noise_types) - old_noises
+        from dataclasses import asdict, replace as dc_replace
+
+        params = asdict(old)
+        params["noise_types"] = tuple(old_noises | set(new_nm.noise_types))
+        relevant = NoiseModel._find_relevant_params(
+            diff,
+            new_nm.state_prep_error,
+            new_nm.amp_sigma,
+            new_nm.laser_waist,
+        )
+        for p in relevant:
+            params[p] = getattr(new_nm, p)
+        self._hamiltonian.set_config(NoiseModel(**params))
+
+    def show_config(self, solver_options: bool = False) -> None:
+        print(self.config.__str__(solver_options))
+
+    def reset_config(self) -> None:
+        self._hamiltonian.set_config(SimConfig().to_noise_model())
+
+    # ------------------------------------------------------------------
+    # initial state (reference backend.py:248-280)
+    # ------------------------------------------------------------------
+    @property
+    def initial_state(self) -> Cplx:
+        return self._initial_state
+
+    def set_initial_state(self, state: Union[str, Cplx, Any]) -> None:
+        h = self._hamiltonian
+        if isinstance(state, str) and state == "all-ground":
+            g_label = "u" if h._interaction == "XY" else "g"
+            idx = h._basis_labels.index(g_label)
+            # |g...g> has index sum_k idx * d^k
+            pos = 0
+            for _ in range(h._size):
+                pos = pos * h.dim + idx
+            dt = default_dtype()
+            ket = jnp.zeros((h.dim**h._size, 1), dt).at[pos, 0].set(1.0)
+            self._initial_state = Cplx(ket, jnp.zeros_like(ket))
+            self._initial_is_ground = True
+            return
+        from pulser_diff_tpu.cplx import as_cplx
+
+        st = state if isinstance(state, Cplx) else as_cplx(state, dtype=default_dtype())
+        legal = h.dim**h._size
+        if st.shape[0] != legal:
+            raise ValueError(
+                "Incompatible shape of initial state. "
+                f"Expected {legal}, got {st.shape[0]}."
+            )
+        if st.ndim == 1:
+            st = st.reshape(legal, 1)
+        self._initial_state = st
+        self._initial_is_ground = False
+
+    # ------------------------------------------------------------------
+    # evaluation times (reference backend.py:282-375)
+    # ------------------------------------------------------------------
+    @property
+    def evaluation_times(self) -> jax.Array:
+        return self._eval_times_array
+
+    @property
+    def qq_distances(self) -> dict[str, jax.Array]:
+        return self.dist_dict
+
+    @property
+    def endtimes(self) -> list:
+        """Pulse-boundary indices in the subsampled grid (reference
+        backend.py:291-310), used to clean time-derivative artifacts."""
+        end_ts = [0]
+        remaining = np.linspace(
+            0,
+            self._tot_duration,
+            int(self._sampling_rate * (self._tot_duration + 1)),
+        ).astype(int)
+        for cs in self.samples_obj.channel_samples.values():
+            for sl in cs.slots:
+                pos = int(np.searchsorted(remaining, sl.tf, side="left"))
+                end_ts += [pos - 1, pos]
+        return sorted(end_ts)
+
+    def set_evaluation_times(self, value: Union[str, float, Any]) -> None:
+        h = self._hamiltonian
+        if isinstance(value, str):
+            if value == "Full":
+                eval_times = np.asarray(jax.device_get(h.sampling_times))
+            elif value == "Minimal":
+                eval_times = np.array([])
+            else:
+                raise ValueError(
+                    "Wrong evaluation time label. It should be `Full`, "
+                    "`Minimal`, an array of times or a float between 0 and 1."
+                )
+        elif isinstance(value, float):
+            if value > 1 or value <= 0:
+                raise ValueError(
+                    "evaluation_times float must be between 0 and 1."
+                )
+            st = np.asarray(jax.device_get(h.sampling_times))
+            indices = np.linspace(
+                0, len(st) - 1, int(value * len(st))
+            ).astype(int)
+            eval_times = st[indices]
+        elif isinstance(value, (list, tuple, np.ndarray, jax.Array)):
+            arr = np.asarray(jax.device_get(jnp.asarray(value)))
+            if arr.size and arr.max() > self._tot_duration / 1000:
+                raise ValueError(
+                    "Provided evaluation-time list extends further than "
+                    "sequence duration."
+                )
+            if arr.size and arr.min() < 0:
+                raise ValueError(
+                    "Provided evaluation-time list contains negative values."
+                )
+            eval_times = arr
+        else:
+            raise ValueError(
+                "Wrong evaluation time label. It should be `Full`, "
+                "`Minimal`, an array of times or a float between 0 and 1."
+            )
+        full = np.unique(
+            np.concatenate(
+                [eval_times, np.array([0.0, self._tot_duration / 1000])]
+            )
+        )
+        self._eval_times_array = jnp.asarray(full, default_dtype())
+        self._eval_times_instruction = value
+
+    # ------------------------------------------------------------------
+    # operators / hamiltonian introspection
+    # ------------------------------------------------------------------
+    def build_operator(self, operations: Union[list, tuple]) -> Cplx:
+        return self._hamiltonian.build_operator(operations)
+
+    def get_hamiltonian(self, time: float) -> Cplx:
+        """Dense H at `time` (ns) — reference backend.py:401-427."""
+        if time > self._tot_duration:
+            raise ValueError(
+                f"Provided time (`time` = {time}) must be less than or "
+                f"equal to the sequence duration ({self._tot_duration})."
+            )
+        if time < 0:
+            raise ValueError(
+                f"Provided time (`time` = {time}) must be greater than or "
+                "equal to 0."
+            )
+        return self._hamiltonian._hamiltonian(time / 1000)
+
+    # ------------------------------------------------------------------
+    # the solve
+    # ------------------------------------------------------------------
+    def _auto_substeps(self, options: Mapping[str, Any]) -> int:
+        if "substeps" in options:
+            return int(options["substeps"])
+        if "max_step" in options:
+            # reference-style max_step (us): enforce h_sub <= max_step
+            dt_grid = 0.001 / self._sampling_rate
+            return max(1, int(np.ceil(dt_grid / float(options["max_step"]))))
+        # stability/accuracy heuristic: ||H|| * h_sub <= ~0.5
+        try:
+            hd = self._hamiltonian._ham_data
+            zmax = 0.0
+            for streams, parts in (
+                (hd.row_streams, hd.row_parts),
+                (hd.col_streams, hd.col_parts),
+            ):
+                s = np.asarray(jax.device_get(streams.re)) + 1j * np.asarray(
+                    jax.device_get(streams.im)
+                )
+                p = np.asarray(jax.device_get(parts))
+                pn = np.linalg.norm(p, ord=2, axis=(1, 2))
+                zmax += 2 * float(np.max(np.abs(s), axis=1) @ pn) if s.size else 0.0
+            dmax = float(
+                np.max(np.abs(np.asarray(jax.device_get(hd.int_diag))))
+            )
+            if hd.dense_mats is not None:
+                dm = np.asarray(jax.device_get(hd.dense_mats.re))
+                zmax += 2 * float(
+                    sum(np.linalg.norm(m, 2) for m in dm)
+                )
+            hnorm = zmax + dmax
+            dt_grid = 0.001 / self._sampling_rate
+            return max(1, int(np.ceil(hnorm * dt_grid / 0.5)))
+        except Exception:
+            return 1
+
+    def _solve_states(
+        self,
+        ham_data,
+        draws: Optional[NoiseDraws],
+        solver: str,
+        substeps: int,
+        krylov_dim: int,
+        grid: TimeGrid,
+    ) -> Cplx:
+        """Run the appropriate solver, returning (n_eval, dim, nb) kets or
+        (n_eval, dim, dim) density matrices."""
+        h = self._hamiltonian
+        da, db = h.dim**h._a, h.dim**h._b
+        if solver in (SolverType.DP5_SE, SolverType.RK4_SE, SolverType.KRYLOV_SE):
+            psi0 = self._initial_state  # (dim, nb)
+            nb = psi0.shape[1]
+            p = Cplx(
+                psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
+            )
+            states = sesolve(
+                ham_data, p, grid, solver=solver, substeps=substeps,
+                krylov_dim=krylov_dim,
+            )  # (n_eval, nb, da, db)
+            n_eval = states.re.shape[0]
+            dim = da * db
+            return Cplx(
+                jnp.transpose(states.re.reshape(n_eval, nb, dim), (0, 2, 1)),
+                jnp.transpose(states.im.reshape(n_eval, nb, dim), (0, 2, 1)),
+            )
+        elif solver in (SolverType.DP5_ME, SolverType.RK4_ME):
+            psi0 = self._initial_state
+            rho0 = Cplx(
+                psi0.re @ psi0.re.T + psi0.im @ psi0.im.T,
+                psi0.im @ psi0.re.T - psi0.re @ psi0.im.T,
+            )
+            collapse = h._collapse_ops
+            return mesolve(
+                ham_data, rho0, collapse, h._size, h.dim, grid,
+                solver=SolverType.DP5_ME, substeps=substeps,
+            )
+        raise ValueError(f"Solver {solver} not available.")
+
+    def _wrap_coherent(
+        self, states: Cplx, meas_errors: Optional[Mapping[str, float]]
+    ) -> CoherentResults:
+        h = self._hamiltonian
+        results = []
+        n_eval = states.re.shape[0]
+        for i in range(n_eval):
+            st = states[i]
+            if st.ndim == 3 and st.shape[-1] == 1:
+                st = st.reshape(st.shape[0], 1)
+            results.append(
+                QuantumResult(
+                    tuple(h._qdict),
+                    self._meas_basis,
+                    st,
+                    self._meas_basis == h.basis_name,
+                )
+            )
+        return CoherentResults(
+            results,
+            h._size,
+            h.basis_name,
+            self._eval_times_array,
+            self._meas_basis,
+            meas_errors,
+        )
+
+    def run(
+        self,
+        time_grad: bool = False,
+        dist_grad: bool = False,
+        solver: str = SolverType.DP5_SE,
+        nsteps: Any = None,
+        **options: Any,
+    ) -> SimulationResults:
+        """Simulate the sequence (reference backend.py:430-611).
+
+        time_grad/dist_grad are accepted for API parity; in the functional
+        JAX design gradients are obtained through derivative.deriv_time /
+        deriv_param or jax.grad over QuantumModel losses — running with
+        these flags exposes `qq_distances` for inspection.
+        """
+        cfg_nm = self._hamiltonian.config
+        noise = set(cfg_nm.noise_types)
+        h = self._hamiltonian
+
+        if dist_grad:
+            for k, v in h._dist_dict.items():
+                self.dist_dict[k] = v
+
+        meas_errors: Optional[Mapping[str, float]] = None
+        if "SPAM" in noise:
+            meas_errors = {
+                "epsilon": cfg_nm.p_false_pos,
+                "epsilon_prime": cfg_nm.p_false_neg,
+            }
+            if _f(cfg_nm.state_prep_error) > 0 and not self._initial_is_ground:
+                raise NotImplementedError(
+                    "Can't combine state preparation errors with an initial "
+                    "state different from the ground."
+                )
+
+        if noise & _LINDBLAD_NOISES:
+            solver = SolverType.DP5_ME
+
+        substeps = self._auto_substeps(options)
+        krylov_dim = int(options.get("krylov_dim", 12))
+        grid = TimeGrid.make(h.sampling_times, self._eval_times_array)
+
+        def _run_solver(ham_data) -> CoherentResults:
+            states = self._solve_states(
+                ham_data, None, solver, substeps, krylov_dim, grid
+            )
+            return self._wrap_coherent(states, meas_errors)
+
+        deterministic = noise <= _DETERMINISTIC_NOISES and (
+            "amplitude" not in noise or _f(cfg_nm.amp_sigma) == 0.0
+        )
+        if deterministic:
+            if "SPAM" not in noise or _f(cfg_nm.state_prep_error) == 0:
+                return _run_solver(h._ham_data)
+            # SPAM eta > 0: enumerate random bad-atom configurations
+            eta = _f(cfg_nm.state_prep_error)
+            configs = Counter(
+                "".join(
+                    str(int(x))
+                    for x in (self._rng.random(h._size) < eta)
+                )
+                for _ in range(cfg_nm.runs)
+            ).most_common()
+            bad_stack = jnp.asarray(
+                np.array(
+                    [[float(c) for c in cfg] for cfg, _ in configs]
+                ),
+                default_dtype(),
+            )
+            reps = [r for _, r in configs]
+            n_slots = h._count_noise_slots()
+
+            def solve_one(bad):
+                draws = zero_noise_draws(h._size, n_slots)._replace(
+                    bad_atoms=bad
+                )
+                return self._solve_states(
+                    h.build_data(draws), None, solver, substeps, krylov_dim,
+                    grid,
+                )
+
+            states_all = jax.vmap(solve_one)(bad_stack)
+            return self._sample_noisy(
+                states_all, reps, cfg_nm.samples_per_run, cfg_nm.runs
+            )
+
+        # stochastic path: vmapped Monte-Carlo over runs
+        loop_runs = cfg_nm.runs
+        n_slots = h._count_noise_slots()
+        keys = jax.random.split(
+            jax.random.PRNGKey(self._rng.integers(0, 2**31 - 1)), loop_runs
+        )
+
+        def solve_one(key):
+            draws = draw_noise(key, cfg_nm, h._size, n_slots)
+            return self._solve_states(
+                h.build_data(draws), None, solver, substeps, krylov_dim, grid
+            )
+
+        states_all = jax.vmap(solve_one)(keys)
+        return self._sample_noisy(
+            states_all, [1] * loop_runs, cfg_nm.samples_per_run, cfg_nm.runs
+        )
+
+    # -- noisy sampling: device-batched weights -> host Counters ---------
+    def _sample_noisy(
+        self, states_all: Cplx, reps: list, samples_per_run: int, runs: int
+    ) -> NoisyResults:
+        h = self._hamiltonian
+        n_runs = states_all.re.shape[0]
+        n_eval = states_all.re.shape[1]
+        time_indices = range(n_eval)
+        total_count = np.array([Counter() for _ in time_indices], dtype=object)
+        for r in range(n_runs):
+            res = self._wrap_coherent(states_all[r], None)
+            for ti, t in enumerate(
+                np.asarray(jax.device_get(self._eval_times_array))
+            ):
+                total_count[ti] += res.sample_state(
+                    float(t), n_samples=samples_per_run * reps[r]
+                )
+        n_measures = runs * samples_per_run
+        results = [
+            SampledResult(
+                tuple(h._qdict), self._meas_basis, total_count[t]
+            )
+            for t in time_indices
+        ]
+        return NoisyResults(
+            results,
+            h._size,
+            h.basis_name,
+            self._eval_times_array,
+            n_measures,
+        )
+
+    # ------------------------------------------------------------------
+    def draw(
+        self,
+        draw_phase_area: bool = False,
+        draw_phase_shifts: bool = False,
+        draw_phase_curve: bool = False,
+        fig_name: str | None = None,
+        kwargs_savefig: dict = {},
+    ) -> None:
+        """Plot the sampled amp/det(/phase) per channel (reference
+        backend.py:613-649 delegates to pulser's draw_samples; here a
+        native matplotlib rendering)."""
+        import matplotlib.pyplot as plt
+
+        chs = self.samples_obj.channel_samples
+        n = len(chs)
+        fig, axes = plt.subplots(2 * n, 1, sharex=True, figsize=(10, 3 * n))
+        if n == 1:
+            axes = np.atleast_1d(axes)
+        axes = np.ravel(axes)
+        for i, (name, cs) in enumerate(chs.items()):
+            t = np.arange(cs.duration)
+            amp = np.asarray(jax.device_get(cs.amp))
+            det = np.asarray(jax.device_get(cs.det))
+            ax_a, ax_d = axes[2 * i], axes[2 * i + 1]
+            ax_a.fill_between(t, 0, amp, color="darkgreen", alpha=0.4)
+            ax_a.plot(t, amp, color="darkgreen")
+            ax_a.set_ylabel(f"{name}\nΩ (rad/µs)")
+            ax_d.fill_between(t, 0, det, color="indigo", alpha=0.3)
+            ax_d.plot(t, det, color="indigo")
+            ax_d.set_ylabel("δ (rad/µs)")
+            if draw_phase_curve:
+                ph = np.asarray(jax.device_get(cs.phase))
+                ax2 = ax_a.twinx()
+                ax2.plot(t, ph, color="crimson", linestyle="--")
+                ax2.set_ylabel("phase (rad)")
+        axes[-1].set_xlabel("t (ns)")
+        if fig_name is not None:
+            plt.savefig(fig_name, **kwargs_savefig)
+        plt.show()
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_sequence(
+        cls,
+        sequence: Sequence,
+        sampling_rate: float = 1.0,
+        config: Optional[SimConfig] = None,
+        evaluation_times: Union[float, str, Any] = "Full",
+        with_modulation: bool = False,
+    ) -> "TpuEmulator":
+        """Build an emulator straight from a Sequence (reference
+        backend.py:651-711)."""
+        if not isinstance(sequence, Sequence):
+            raise TypeError(
+                "The provided sequence has to be a valid Sequence instance."
+            )
+        if sequence.is_parametrized() or sequence.is_register_mappable():
+            raise ValueError(
+                "The provided sequence needs to be built to be simulated. "
+                "Call `Sequence.build()` with the necessary parameters."
+            )
+        if not sequence._schedule:
+            raise ValueError("The provided sequence has no declared channels.")
+        if all(
+            not slots or slots[-1].tf == 0
+            for slots in sequence._schedule.values()
+        ):
+            raise ValueError(
+                "No instructions given for the channels in the sequence."
+            )
+        if with_modulation and sequence._slm_mask_targets:
+            raise NotImplementedError(
+                "Simulation of sequences combining an SLM mask and output "
+                "modulation is not supported."
+            )
+        return cls(
+            sample(
+                sequence,
+                modulation=with_modulation,
+                extended_duration=sequence.get_duration(
+                    include_fall_time=with_modulation
+                ),
+            ),
+            sequence.register,
+            sequence.device,
+            sampling_rate,
+            config,
+            evaluation_times,
+        )
+
+
+def _f(x: Any) -> float:
+    return float(np.asarray(jax.device_get(x)))
+
+
+# Reference-name alias: a drop-in for users migrating from pulser-diff.
+TorchEmulator = TpuEmulator

@@ -51,19 +51,34 @@ class ChannelSamples:
     def duration(self) -> int:
         return int(self.amp.shape[0])
 
-    def extend_duration(self, new_duration: int) -> "ChannelSamples":
+    def extend_duration(
+        self, new_duration: int, hold_edge: bool = False
+    ) -> "ChannelSamples":
+        """Pad samples to ``new_duration``.
+
+        ``hold_edge=True`` repeats the final sample instead of zero-padding
+        amp/det.  The emulator uses this for its +1 closing sample so the
+        drive stays on through the nominal pulse end — the clean equivalent
+        of the reference's interpolation rule that holds H constant over
+        the final interval (hamiltonian.py:533 never indexes the padded
+        sample).
+        """
         T = self.duration
         if new_duration < T:
             raise ValueError("Cannot shrink samples.")
         if new_duration == T:
             return self
         pad = new_duration - T
-        zeros = jnp.zeros((pad,), self.amp.dtype)
+        if T > 0 and hold_edge:
+            pad_amp = jnp.broadcast_to(self.amp[-1], (pad,))
+            pad_det = jnp.broadcast_to(self.det[-1], (pad,))
+        else:
+            pad_amp = pad_det = jnp.zeros((pad,), self.amp.dtype)
         last_phase = self.phase[-1] if T > 0 else jnp.asarray(0.0, default_dtype())
         return replace(
             self,
-            amp=jnp.concatenate([self.amp, zeros]),
-            det=jnp.concatenate([self.det, zeros]),
+            amp=jnp.concatenate([self.amp, pad_amp]),
+            det=jnp.concatenate([self.det, pad_det]),
             phase=jnp.concatenate(
                 [self.phase, jnp.broadcast_to(last_phase, (pad,))]
             ),
@@ -95,11 +110,13 @@ class SequenceSamples:
             if cs.slots
         }
 
-    def extend_duration(self, new_duration: int) -> "SequenceSamples":
+    def extend_duration(
+        self, new_duration: int, hold_edge: bool = False
+    ) -> "SequenceSamples":
         return replace(
             self,
             channel_samples={
-                k: v.extend_duration(new_duration)
+                k: v.extend_duration(new_duration, hold_edge)
                 for k, v in self.channel_samples.items()
             },
         )

@@ -88,9 +88,8 @@ class CollapseOps(NamedTuple):
     ops: Optional[Cplx]  # (M, d, d); already sqrt(rate)-scaled
 
 
-@dataclass
-class NoiseDraws:
-    """Random draws for one stochastic run (traceable)."""
+class NoiseDraws(NamedTuple):
+    """Random draws for one stochastic run (traceable pytree)."""
 
     bad_atoms: jax.Array  # (n,) float 0/1
     doppler: jax.Array  # (n,) rad/us
@@ -120,19 +119,22 @@ def draw_noise(
             jax.random.uniform(k1, (n_qubits,), dt)
             < jnp.asarray(config.state_prep_error, dt)
         ).astype(dt)
-        draws.bad_atoms = bad
+        draws = draws._replace(bad_atoms=bad)
     if "doppler" in config.noise_types:
         temp_k = jnp.asarray(config.temperature, dt) * 1e-6  # uK -> K
-        draws.doppler = doppler_sigma(temp_k) * jax.random.normal(
-            k2, (n_qubits,), dt
+        draws = draws._replace(
+            doppler=doppler_sigma(temp_k)
+            * jax.random.normal(k2, (n_qubits,), dt)
         )
     if "amplitude" in config.noise_types:
-        draws.amp_factors = jnp.clip(
-            1.0
-            + jnp.asarray(config.amp_sigma, dt)
-            * jax.random.normal(k3, (max(n_slots, 1),), dt),
-            0.0,
-            None,
+        draws = draws._replace(
+            amp_factors=jnp.clip(
+                1.0
+                + jnp.asarray(config.amp_sigma, dt)
+                * jax.random.normal(k3, (max(n_slots, 1),), dt),
+                0.0,
+                None,
+            )
         )
     return draws
 
@@ -395,7 +397,7 @@ class Hamiltonian:
             "SPAM" in self._config.noise_types
             and _host_float(self._config.state_prep_error) > 0
         ):
-            draws.bad_atoms = jnp.zeros_like(draws.bad_atoms)
+            draws = draws._replace(bad_atoms=jnp.zeros_like(draws.bad_atoms))
         self._bad_atoms = {
             qid: bool(b)
             for qid, b in zip(self._qid_index, np.asarray(jax.device_get(draws.bad_atoms)) > 0.5)
@@ -477,13 +479,21 @@ class Hamiltonian:
                 draws = self._update_noise()
             else:
                 draws = zero_noise_draws(self._size, self._count_noise_slots())
-                draws.bad_atoms = jnp.asarray(
-                    [float(self._bad_atoms.get(q, False)) for q in self._qid_index],
-                    default_dtype(),
-                )
-                draws.doppler = jnp.asarray(
-                    [self._doppler_detune.get(q, 0.0) for q in self._qid_index],
-                    default_dtype(),
+                draws = draws._replace(
+                    bad_atoms=jnp.asarray(
+                        [
+                            float(self._bad_atoms.get(q, False))
+                            for q in self._qid_index
+                        ],
+                        default_dtype(),
+                    ),
+                    doppler=jnp.asarray(
+                        [
+                            self._doppler_detune.get(q, 0.0)
+                            for q in self._qid_index
+                        ],
+                        default_dtype(),
+                    ),
                 )
         self._ham_data = self.build_data(draws)
 
@@ -674,9 +684,12 @@ class Hamiltonian:
         }
         full_re = jnp.zeros((dim, dim), dt)
         masked_re = jnp.zeros((dim, dim), dt)
+        # dense terms are applied as M + M^H (ops/apply.py), so the full
+        # pair weight goes on the single sigma_ud sigma_du matrix: the
+        # hermitization supplies the conjugate flip-flop direction.
         for i, j in itertools.combinations(range(n), 2):
             pm = jnp.asarray(pair_mat(i, j), dt)
-            w = 0.5 * W[i, j]
+            w = W[i, j]
             full_re = full_re + w * pm
             if i not in masked_q and j not in masked_q:
                 masked_re = masked_re + w * pm

@@ -67,14 +67,18 @@ def interp_streams(h: FactoredHamiltonian, t: jax.Array):
     """Linearly interpolate all coefficient streams at (possibly batched)
     times ``t`` (us).
 
-    Mirrors the reference's index rule (hamiltonian.py:532-533):
-      idx1 = clamp(floor(t/dt), 0, Ts-2); idx2 = min(idx1+1, Ts-2).
+    Equivalent to the reference's linear interpolation in the H(t) closure
+    (hamiltonian.py:532-542), except the reference's index rule
+    ``idx2 = min(idx1+1, n-2)`` never reads the *last* sample, silently
+    holding H constant over the final interval (an O(dt)*|dH| error, below
+    the reference's 1e-2 test tolerance but fatal at this framework's 1e-6
+    bar).  Here the full grid is interpolated: idx2 = idx1 + 1 <= Ts-1.
     Returns (zr, zc, zd) with leading axes = t.shape.
     """
     Ts = h.n_samples
     dt = h.sample_dt
     idx1 = jnp.clip(jnp.floor(t / dt).astype(jnp.int32), 0, Ts - 2)
-    idx2 = jnp.minimum(idx1 + 1, Ts - 2)
+    idx2 = idx1 + 1
     w = (t - idx1.astype(t.dtype) * dt) / dt
 
     def _take(streams: Cplx) -> Cplx:

@@ -156,13 +156,36 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
         return step
 
     if solver == SolverType.KRYLOV_SE:
+        # 4th-order commutator-free Magnus (CF4, Blanes-Moan): two Lanczos
+        # exponentials per step built from the two Gauss-point Hamiltonians.
+        sq3 = np.sqrt(3.0)
+        c1, c2 = 0.5 - sq3 / 6, 0.5 + sq3 / 6
+        a1, a2 = (3 - 2 * sq3) / 12, (3 + 2 * sq3) / 12
+
+        def _mix(za: Cplx, zb: Cplx, wa: float, wb: float) -> Cplx:
+            return Cplx(wa * za.re + wb * zb.re, wa * za.im + wb * zb.im)
+
+        def _mix_opt(za, zb, wa, wb):
+            if za is None or zb is None:
+                return None
+            return _mix(za, zb, wa, wb)
+
         def step(psi: Cplx, t0, t1):
             h = (t1 - t0) / substeps
-            tm = lambda i: t0 + (i + 0.5) * h  # midpoint H (2nd-order Magnus)
+
             def sub(i, p):
-                zr, zc, zd = interp_streams(ham, tm(i))
-                apply = lambda v: h_apply_batched(ham, zr, zc, zd, v)
-                return _krylov_expm(apply, p, h, krylov_dim)
+                ts = t0 + i * h
+                zr1, zc1, zd1 = interp_streams(ham, ts + c1 * h)
+                zr2, zc2, zd2 = interp_streams(ham, ts + c2 * h)
+                # right factor first (earlier times act first)
+                for wa, wb in ((2 * a2, 2 * a1), (2 * a1, 2 * a2)):
+                    zr = _mix(zr1, zr2, wa, wb)
+                    zc = _mix(zc1, zc2, wa, wb)
+                    zd = _mix_opt(zd1, zd2, wa, wb)
+                    apply = lambda v: h_apply_batched(ham, zr, zc, zd, v)
+                    p = _krylov_expm(apply, p, h / 2, krylov_dim)
+                return p
+
             if substeps == 1:
                 return sub(0, psi)
             return jax.lax.fori_loop(0, substeps, sub, psi)

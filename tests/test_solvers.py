@@ -1,0 +1,189 @@
+"""Physics parity tests: framework vs analytic forms and the scipy golden
+model (the reference's analogue is QutipEmulator parity,
+test_derivatives.py:55-127)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pulser_diff_tpu import SolverType, TpuEmulator
+from pulser_diff_tpu.core import (
+    BlackmanWaveform,
+    InterpolatedWaveform,
+    Microwave,
+    MockDevice,
+    Pulse,
+    RampWaveform,
+    Register,
+    Sequence,
+)
+
+from .conftest import make_rich_sequence, make_simple_sequence
+from .golden import golden_sesolve
+from .metrics import ATOL_EXPV_DP, ATOL_EXPV_KRYLOV, ATOL_WF
+
+
+def states_matrix(results):
+    s = results.states  # Cplx (n_t, dim, 1)
+    return np.asarray(jax.device_get(s.re)) + 1j * np.asarray(
+        jax.device_get(s.im)
+    )
+
+
+def test_single_qubit_rabi_analytic():
+    reg = Register({"q0": jnp.array([0.0, 0.0])})
+    om = 2.0
+    seq = make_simple_sequence(reg, duration=1000, omega=om, delta=0.0, phase=0.0)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.2)
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    # |r> is index 0 in the ground-rydberg ordering
+    pr = np.abs(psi[:, 0]) ** 2
+    assert np.abs(pr - np.sin(om * t / 2) ** 2).max() < 1e-10
+
+
+def test_detuned_rabi_analytic():
+    reg = Register({"q0": jnp.array([0.0, 0.0])})
+    om, det = 1.5, 2.0
+    seq = make_simple_sequence(reg, duration=800, omega=om, delta=det, phase=0.0)
+    sim = TpuEmulator.from_sequence(seq)
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    oeff = np.sqrt(om**2 + det**2)
+    pr = (om / oeff) ** 2 * np.sin(oeff * t / 2) ** 2
+    assert np.abs(np.abs(psi[:, 0]) ** 2 - pr).max() < 1e-9
+
+
+@pytest.mark.parametrize("solver", [SolverType.DP5_SE, SolverType.KRYLOV_SE])
+def test_two_atom_blockade_vs_golden(two_atom_register, solver):
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.1)
+    res = sim.run(solver=solver)
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)
+    atol = ATOL_WF if solver == SolverType.DP5_SE else 1e-5
+    assert np.abs(psi - ref).max() < atol
+
+
+def test_phase_matters(two_atom_register):
+    seq = make_simple_sequence(two_atom_register, phase=1.0)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    res = sim.run()
+    psi = states_matrix(res)[-1, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)[-1]
+    assert np.abs(psi - ref).max() < ATOL_WF
+
+
+def test_local_channel_vs_golden(two_atom_register):
+    seq = Sequence(two_atom_register, MockDevice)
+    seq.declare_channel("loc", "rydberg_local", initial_target="q0")
+    seq.add(Pulse.ConstantPulse(200, 2.0, -0.5, 0.2), "loc")
+    seq.target("q1", "loc")
+    seq.add(Pulse(BlackmanWaveform(220, np.pi), RampWaveform(220, 0.5, -0.5), 0.7), "loc")
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.2)
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)
+    assert np.abs(psi - ref).max() < ATOL_WF
+
+
+def test_three_level_all_basis_vs_golden(two_atom_register):
+    seq = Sequence(two_atom_register, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.declare_channel("ram", "raman_global")
+    seq.add(Pulse.ConstantPulse(150, 1.2, 0.3, 0.0), "ryd")
+    seq.add(Pulse.ConstantPulse(150, 0.8, -0.4, 0.6), "ram")
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.3)
+    assert sim.basis_name == "all"
+    assert sim.dim == 3
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)
+    assert np.abs(psi - ref).max() < ATOL_WF
+
+
+def test_xy_mode_vs_golden():
+    reg = Register(
+        {"q0": jnp.array([0.0, 0.0]), "q1": jnp.array([8.0, 0.0]),
+         "q2": jnp.array([0.0, 8.0])}
+    )
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("mw", "microwave_global")
+    seq.add(Pulse.ConstantPulse(300, 1.0, 0.5, 0.3), "mw")
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.2)
+    assert sim.basis_name == "XY"
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)
+    assert np.abs(psi - ref).max() < ATOL_WF
+
+
+def test_expectation_vs_golden(two_atom_register):
+    from pulser_diff_tpu.ops import total_magnetization
+
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.1)
+    res = sim.run()
+    obs = total_magnetization(2)
+    exp_val = res.expect([obs])[0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref_states = golden_sesolve(seq, MockDevice, t)
+    obs_np = np.asarray(jax.device_get(obs.re))
+    ref_exp = np.einsum("ti,ij,tj->t", ref_states.conj(), obs_np, ref_states)
+    assert np.abs(np.asarray(jax.device_get(exp_val.re)) - ref_exp.real).max() < ATOL_EXPV_DP
+
+
+def test_batched_initial_states(two_atom_register):
+    """Batched kets (e.g. identity for gate evolution) evolve correctly."""
+    from pulser_diff_tpu.cplx import Cplx
+
+    seq = make_simple_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    eye = jnp.eye(4)
+    sim.set_initial_state(Cplx(eye, jnp.zeros_like(eye)))
+    res = sim.run()
+    states = res.states  # (n_t, 4, 4) batch of kets
+    U = np.asarray(jax.device_get(states.re))[-1] + 1j * np.asarray(
+        jax.device_get(states.im)
+    )[-1]
+    # unitarity
+    assert np.abs(U.conj().T @ U - np.eye(4)).max() < 1e-8
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    for b in range(4):
+        e = np.zeros(4, dtype=complex)
+        e[b] = 1.0
+        ref = golden_sesolve(seq, MockDevice, t, psi0=e)[-1]
+        assert np.abs(U[:, b] - ref).max() < ATOL_WF
+
+
+def test_sampling_rate_subsample(two_atom_register):
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, sampling_rate=0.5, evaluation_times=0.2)
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)
+    # subsampled Hamiltonian differs from the full one: loose tolerance
+    assert np.abs(psi - ref).max() < 5e-2
+
+
+def test_get_hamiltonian(two_atom_register):
+    seq = make_simple_sequence(two_atom_register, omega=2.0, delta=-1.0, phase=0.5)
+    sim = TpuEmulator.from_sequence(seq)
+    H = sim.get_hamiltonian(100)
+    Hnp = H.to_numpy()
+    # hermitian
+    assert np.abs(Hnp - Hnp.conj().T).max() < 1e-12
+    from .golden import golden_h_of_t
+
+    Href, _, _, _ = golden_h_of_t(seq, MockDevice)
+    assert np.abs(Hnp - Href(0.1)).max() < 1e-9
