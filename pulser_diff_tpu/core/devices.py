@@ -68,6 +68,10 @@ class Device:
             raise ValueError(
                 f"Register has {n} atoms; device allows {self.max_atom_num}."
             )
+        if isinstance(register.coords_array, jax.core.Tracer):
+            # geometric checks need concrete values; skipped under tracing
+            # (trainable-coordinate optimization)
+            return
         coords = np.asarray(jax.device_get(register.coords_array))
         if self.max_radial_distance is not None:
             r = np.linalg.norm(coords, axis=-1).max()

@@ -398,14 +398,23 @@ class Hamiltonian:
             and _host_float(self._config.state_prep_error) > 0
         ):
             draws = draws._replace(bad_atoms=jnp.zeros_like(draws.bad_atoms))
-        self._bad_atoms = {
-            qid: bool(b)
-            for qid, b in zip(self._qid_index, np.asarray(jax.device_get(draws.bad_atoms)) > 0.5)
-        }
-        self._doppler_detune = {
-            qid: float(v)
-            for qid, v in zip(self._qid_index, np.asarray(jax.device_get(draws.doppler)))
-        }
+        try:  # host-side bookkeeping; skipped for traced draws
+            self._bad_atoms = {
+                qid: bool(b)
+                for qid, b in zip(
+                    self._qid_index,
+                    np.asarray(jax.device_get(draws.bad_atoms)) > 0.5,
+                )
+            }
+            self._doppler_detune = {
+                qid: float(v)
+                for qid, v in zip(
+                    self._qid_index,
+                    np.asarray(jax.device_get(draws.doppler)),
+                )
+            }
+        except Exception:
+            pass
         return draws
 
     # ------------------------------------------------------------------
@@ -434,6 +443,9 @@ class Hamiltonian:
                 for slot in cs.slots:
                     win = np.zeros(T, dtype=bool)
                     win[slot.ti : slot.tf] = True
+                    if slot.tf == T - 1:
+                        # the +1 hold sample extends the final slot
+                        win[slot.tf] = True
                     winj = jnp.asarray(win)
                     amp_base = draws.amp_factors[slot_idx]
                     for qid in slot.targets:
@@ -732,6 +744,8 @@ class Hamiltonian:
 
 
 def _host_float(x: Any) -> float:
+    if isinstance(x, jax.core.Tracer):
+        return 1.0  # conservatively nonzero under tracing
     return float(np.asarray(jax.device_get(x)))
 
 

@@ -1,0 +1,513 @@
+"""QuantumModel: trainable pulse sequences (reference model.py:30-431).
+
+TPU-native re-design: instead of a torch ``nn.Module`` whose autograd graph
+is rebuilt every iteration, the model owns a *params pytree* and exposes
+pure functions ``params -> states / expectation`` that JAX jits and
+differentiates.  One compiled program is reused across the whole training
+loop (the reference re-traces sequence building, sampling, Hamiltonian
+assembly and every solver step per epoch, SURVEY.md §3.4).
+
+Feature parity:
+  - trainable sequence variables (pulse amplitudes/detunings/phases/areas,
+    custom sample arrays)                      [model.py:109-119]
+  - trainable register coordinates             [model.py:121-128, 168-182]
+  - custom-waveform callables: (params, fn)    [model.py:79-89, 157-163]
+  - pulse-duration optimization via smooth tanh boxcar envelopes on a
+    padded static grid                         [model.py:139-143, 184-206,
+                                                301-368; waveform_funcs]
+  - constraint clamping                        [model.py:370-374]
+  - update_sequence / forward / expectation    [model.py:376-431]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Mapping, Optional, Union
+from uuid import uuid4
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pulser_diff_tpu.backend import TpuEmulator
+from pulser_diff_tpu.config import default_dtype
+from pulser_diff_tpu.cplx import Cplx, as_cplx
+from pulser_diff_tpu.core.register import Register
+from pulser_diff_tpu.core.sampler import (
+    ChannelSamples,
+    SequenceSamples,
+    _PulseTargetSlot,
+    _SlmMask,
+)
+from pulser_diff_tpu.core.sequence import Sequence
+from pulser_diff_tpu.core.variables import Expr, Variable, VariableItem
+from pulser_diff_tpu.core.waveforms import ConstantWaveform
+from pulser_diff_tpu.ops.linalg import expect as _expect
+from pulser_diff_tpu.ops.linalg import total_magnetization
+from pulser_diff_tpu.simconfig import SimConfig
+from pulser_diff_tpu.solvers import SolverType, TimeGrid, mesolve, sesolve
+from pulser_diff_tpu.waveform_funcs import constant_waveform
+
+
+@dataclass
+class Parameter:
+    """Bookkeeping record for one model parameter (reference model.py:22)."""
+
+    name: str
+    value: Union[int, float, jax.Array, None] = None
+    trainable: bool = False
+    type: str = ""
+
+
+def _pad_duration(total_ns: int, chunk: int = 64) -> int:
+    """Round the optimization grid up to a chunk multiple so that small
+    duration updates do not change array shapes (no per-epoch recompiles —
+    the reference rebuilds everything each step instead)."""
+    return int(np.ceil(total_ns / chunk) * chunk)
+
+
+class QuantumModel:
+    def __init__(
+        self,
+        seq: Sequence,
+        trainable_param_values: Optional[Mapping[str, Any]] = None,
+        constraints: Optional[Mapping[str, Any]] = None,
+        sampling_rate: float = 1.0,
+        solver: str = SolverType.DP5_SE,
+        initial_state: Optional[Cplx] = None,
+        noise_config: Optional[SimConfig] = None,
+        time_grad: bool = False,
+        dist_grad: bool = False,
+        **options: Any,
+    ) -> None:
+        trainable_param_values = dict(trainable_param_values or {})
+        self.constraints = dict(constraints or {})
+        self.device = seq.device
+        self.sampling_rate = sampling_rate
+        self.solver = solver
+        self.initial_state = initial_state
+        self.noise_config = noise_config
+        self.time_grad = time_grad
+        self.dist_grad = dist_grad
+        self.options = options
+        self._seq = seq
+        self.register = seq.register
+
+        # -- split out custom-waveform callables (reference :79-89) -----
+        self.callable_params: dict[str, tuple] = {
+            n: v[0]
+            for n, v in trainable_param_values.items()
+            if isinstance(v, tuple) and len(v) == 2 and callable(v[1])
+        }
+        self.callables: dict[str, Callable] = {
+            n: v[1]
+            for n, v in trainable_param_values.items()
+            if isinstance(v, tuple) and len(v) == 2 and callable(v[1])
+        }
+        for n in self.callables:
+            trainable_param_values.pop(n)
+
+        # -- abstract repr & duration-opt detection (reference :208-299) -
+        (
+            self.seq_abs_repr,
+            self.optimize_duration,
+            self.seq_params,
+        ) = self._get_abstract_repr(seq)
+
+        # -- register params (reference :168-175) ------------------------
+        self.register_params: dict[str, Parameter] = {}
+        for qid, coord in seq.register.qubits.items():
+            self.register_params[str(qid)] = Parameter(
+                str(qid),
+                coord,
+                str(qid) in trainable_param_values,
+                type="coord",
+            )
+        self.reconstruct_register = any(
+            p.trainable for p in self.register_params.values()
+        )
+
+        # -- trainable leaves --------------------------------------------
+        self.params: dict[str, jax.Array] = {}
+        self._fixed_values: dict[str, Any] = {}
+
+        declared = set(seq.declared_variables)
+        for name, val in trainable_param_values.items():
+            if name in self.register_params and self.register_params[name].trainable:
+                self.params[name] = jnp.asarray(val, default_dtype())
+            elif name in declared:
+                self.params[name] = jnp.asarray(val, default_dtype())
+            else:
+                raise ValueError(
+                    f"'{name}' is neither a declared sequence variable nor "
+                    "a register qubit id."
+                )
+        # trainable params without provided values -> error (reference :117)
+        for name, rec in self.seq_params.items():
+            if rec.trainable and name not in self.params and name not in self.callables:
+                raise ValueError(
+                    f"No value for trainable sequence parameter {name} is given."
+                )
+        for name, ptuple in self.callable_params.items():
+            for i, v in enumerate(ptuple):
+                self.params[f"{name}_{i}"] = jnp.asarray(v, default_dtype())
+
+        # -- static grid for duration optimization ----------------------
+        if self.optimize_duration:
+            self._t_max = _pad_duration(
+                self._get_total_duration(self.params)
+            )
+        self.update_sequence()
+
+    # ------------------------------------------------------------------
+    # abstract representation (reference model.py:208-299)
+    # ------------------------------------------------------------------
+    def _get_abstract_repr(
+        self, seq: Sequence
+    ) -> tuple[list[dict], bool, dict[str, Parameter]]:
+        pulses: list[dict] = []
+        for call in list(seq._calls) + list(seq._to_build_calls):
+            if call.name != "add":
+                continue
+            pulse = call.args[0]
+            pulses.append(
+                {
+                    "amplitude": pulse.amplitude,
+                    "detuning": pulse.detuning,
+                    "phase": pulse.phase,
+                }
+            )
+
+        def _dur_expr(wf) -> Any:
+            return wf._duration
+
+        optimize_duration = any(
+            isinstance(_dur_expr(p["amplitude"]), (Variable, VariableItem))
+            for p in pulses
+        )
+
+        params: dict[str, Parameter] = {}
+
+        def _record(value: Any, kind: str) -> Parameter:
+            if isinstance(value, (Variable, VariableItem)):
+                rec = Parameter(value.var.name, trainable=True, type=kind)
+            else:
+                rec = Parameter(
+                    f"{kind[:4]}_var_{uuid4()}",
+                    value=value,
+                    trainable=False,
+                    type=kind,
+                )
+            params[rec.name] = rec
+            return rec
+
+        abs_repr = []
+        for p in pulses:
+            rec: dict[str, Any] = {}
+            dur = _dur_expr(p["amplitude"])
+            if optimize_duration:
+                if isinstance(dur, (Variable, VariableItem)):
+                    d_rec = Parameter(dur.var.name, trainable=True, type="duration")
+                else:
+                    d_rec = Parameter(
+                        f"dur_var_{uuid4()}",
+                        value=float(dur) / 1000,  # ns -> us (reference :254)
+                        trainable=False,
+                        type="duration",
+                    )
+                params[d_rec.name] = d_rec
+                rec["duration"] = d_rec
+            amp_wf, det_wf = p["amplitude"], p["detuning"]
+            if isinstance(amp_wf, ConstantWaveform):
+                rec["amplitude"] = _record(amp_wf.value, "amplitude")
+            elif optimize_duration:
+                raise NotImplementedError(
+                    f"amplitude waveform type {type(amp_wf).__name__} is not "
+                    "supported with duration optimization."
+                )
+            if isinstance(det_wf, ConstantWaveform):
+                rec["detuning"] = _record(det_wf.value, "detuning")
+            elif optimize_duration:
+                raise NotImplementedError(
+                    f"detuning waveform type {type(det_wf).__name__} is not "
+                    "supported with duration optimization."
+                )
+            rec["phase"] = _record(p["phase"], "phase")
+            abs_repr.append(rec)
+
+        return abs_repr, optimize_duration, params
+
+    # ------------------------------------------------------------------
+    # values / register assembly
+    # ------------------------------------------------------------------
+    def _param_value(self, rec: Parameter, params: Mapping[str, Any]) -> Any:
+        if rec.trainable:
+            return params[rec.name]
+        return rec.value
+
+    def _build_values(self, params: Mapping[str, Any]) -> dict[str, Any]:
+        """Values for Sequence.build: trainable leaves + callables."""
+        values = {
+            n: v
+            for n, v in params.items()
+            if n in self._seq.declared_variables
+        }
+        for name, fn in self.callables.items():
+            args = []
+            i = 0
+            while f"{name}_{i}" in params:
+                args.append(params[f"{name}_{i}"])
+                i += 1
+            values[name] = fn(*args)
+        return values
+
+    def _construct_register(self, params: Mapping[str, Any]) -> Register:
+        coords = {}
+        for qid, rec in self.register_params.items():
+            coords[qid] = params[qid] if rec.trainable else rec.value
+        return Register(coords)
+
+    def _get_total_duration(self, params: Mapping[str, Any]) -> int:
+        total = 0
+        for rec in self.seq_abs_repr:
+            d = rec["duration"]
+            val = params[d.name] if d.trainable else d.value
+            total += int(float(np.asarray(jax.device_get(val))) * 1000)
+        return total + 5  # +5 ns convergence margin (reference :320)
+
+    # ------------------------------------------------------------------
+    # duration-optimization sampling (reference :184-206 rebuilt 1-ns
+    # pulses; here: direct envelope synthesis on a static padded grid)
+    # ------------------------------------------------------------------
+    def _opt_duration_samples(self, params: Mapping[str, Any]):
+        dt = default_dtype()
+        t = jnp.arange(self._t_max, dtype=dt)
+        amp = jnp.zeros((self._t_max,), dt)
+        det = jnp.zeros((self._t_max,), dt)
+        phase = jnp.zeros((self._t_max,), dt)
+        ti: Any = 0
+        for rec in self.seq_abs_repr:
+            dur = self._param_value(rec["duration"], params)
+            tf = ti + dur
+            amp = amp + constant_waveform(
+                ti, tf, self._param_value(rec["amplitude"], params)
+            )(t)
+            det = det + constant_waveform(
+                ti, tf, self._param_value(rec["detuning"], params)
+            )(t)
+            phase = phase + constant_waveform(
+                ti, tf, self._param_value(rec["phase"], params)
+            )(t)
+            ti = tf
+        return amp, det, phase
+
+    def _opt_duration_samples_obj(
+        self, params: Mapping[str, Any], register: Register
+    ) -> SequenceSamples:
+        amp, det, phase = self._opt_duration_samples(params)
+        ch = self._seq.declared_channels
+        name, chan = next(iter(ch.items())) if ch else (
+            "rydberg_global",
+            None,
+        )
+        from pulser_diff_tpu.core.channels import Rydberg
+
+        chan = chan or Rydberg.Global()
+        cs = ChannelSamples(
+            amp=amp,
+            det=det,
+            phase=phase,
+            slots=[
+                _PulseTargetSlot(0, self._t_max, frozenset(register.qubit_ids))
+            ],
+            addressing="Global",
+            basis=chan.basis,
+        )
+        return SequenceSamples(
+            channel_samples={name: cs},
+            _measurement=None,
+            _slm_mask=_SlmMask(),
+            _magnetic_field=np.array([0.0, 0.0, 30.0]),
+            _in_xy=chan.basis == "XY",
+            qubit_ids=register.qubit_ids,
+        )
+
+    # ------------------------------------------------------------------
+    # emulator construction (pure in params)
+    # ------------------------------------------------------------------
+    def _make_emulator(self, params: Mapping[str, Any]) -> TpuEmulator:
+        register = self._construct_register(params)
+        if self.optimize_duration:
+            ss = self._opt_duration_samples_obj(params, register)
+            sim = TpuEmulator(
+                ss, register, self.device, sampling_rate=self.sampling_rate
+            )
+        else:
+            seq = self._seq
+            if self.reconstruct_register:
+                seq = self._clone_with_register(register)
+            built = (
+                seq.build(**self._build_values(params))
+                if seq.is_parametrized()
+                else seq
+            )
+            sim = TpuEmulator.from_sequence(
+                built, sampling_rate=self.sampling_rate
+            )
+        if self.initial_state is not None:
+            sim.set_initial_state(self.initial_state)
+        if self.noise_config is not None:
+            sim.set_config(self.noise_config)
+        return sim
+
+    def _clone_with_register(self, register: Register) -> Sequence:
+        new = Sequence(register, self.device)
+        new._magnetic_field = self._seq._magnetic_field.copy()
+        new._in_xy = self._seq._in_xy
+        new._variables = dict(self._seq._variables)
+        for call in self._seq._calls:
+            getattr(new, call.name)(*call.args, **call.kwargs)
+        new._to_build_calls = list(self._seq._to_build_calls)
+        return new
+
+    # ------------------------------------------------------------------
+    # pure functional solves
+    # ------------------------------------------------------------------
+    def _states_fn(self, params: Mapping[str, Any]):
+        """(eval_times, states) as a pure function of params (jittable)."""
+        sim = self._make_emulator(params)
+        h = sim._hamiltonian
+        noise = set(h.config.noise_types)
+        solver = self.solver
+        from pulser_diff_tpu.backend import _LINDBLAD_NOISES
+
+        if noise & _LINDBLAD_NOISES:
+            solver = SolverType.DP5_ME
+        substeps = int(self.options.get("substeps", 1))
+        krylov_dim = int(self.options.get("krylov_dim", 12))
+        grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+        states = sim._solve_states(
+            h._ham_data, None, solver, substeps, krylov_dim, grid
+        )
+        return sim._eval_times_array, states
+
+    def expectation_fn(
+        self, obs: Optional[Cplx] = None
+    ) -> Callable[[Mapping[str, Any]], tuple]:
+        """Pure fn: params -> (eval_times, real expectation values)."""
+        if obs is None:
+            obs = total_magnetization(len(self.register.qubit_ids))
+        obs = as_cplx(obs, dtype=default_dtype())
+
+        def fn(params):
+            times, states = self._states_fn(params)
+            vals = _expect(obs, states)
+            return times, vals.re
+
+        return fn
+
+    # ------------------------------------------------------------------
+    # public API (reference model.py:370-431)
+    # ------------------------------------------------------------------
+    def check_constraints(self) -> None:
+        """Clamp trainable parameters to their constraint intervals."""
+        for name, p in self.params.items():
+            base = name
+            if base in self.constraints:
+                c = self.constraints[base]
+                self.params[name] = jnp.clip(p, c["min"], c["max"])
+
+    def update_sequence(self) -> None:
+        """Re-materialize register/sequence from the current params."""
+        if self.reconstruct_register:
+            self.register = self._construct_register(self.params)
+        if self.optimize_duration:
+            # refresh the padded grid only when the total outgrows it
+            total = self._get_total_duration(self.params)
+            if total > self._t_max:
+                self._t_max = _pad_duration(total)
+            self.built_seq = None  # samples are synthesised directly
+            return
+        seq = self._seq
+        if self.reconstruct_register:
+            seq = self._clone_with_register(self.register)
+        self.built_seq = (
+            seq.build(**self._build_values(self.params))
+            if seq.is_parametrized()
+            else seq
+        )
+
+    def _run(self):
+        self._sim = self._make_emulator(self.params)
+        results = self._sim.run(
+            time_grad=self.time_grad,
+            dist_grad=self.dist_grad,
+            solver=self.solver,
+            **self.options,
+        )
+        return self._sim.evaluation_times, results
+
+    def forward(self) -> tuple[jax.Array, Cplx]:
+        evaluation_times, results = self._run()
+        return evaluation_times, results.states
+
+    __call__ = forward
+
+    def expectation(self, obs: Optional[Cplx] = None) -> tuple[jax.Array, Cplx]:
+        evaluation_times, results = self._run()
+        if obs is None:
+            obs = total_magnetization(len(self.register.qubit_ids))
+        exp_val = results.expect([as_cplx(obs, dtype=default_dtype())])[0]
+        return evaluation_times, exp_val
+
+    # ------------------------------------------------------------------
+    # training loop
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+        epochs: int = 50,
+        optimizer: Any = None,
+        obs: Optional[Cplx] = None,
+        verbose: bool = False,
+        callback: Optional[Callable] = None,
+    ) -> list[float]:
+        """Optimize the trainable parameters.
+
+        Args:
+            loss_fn: (eval_times, expectation_values) -> scalar loss.
+            optimizer: an optax GradientTransformation (default adam(1e-2)).
+
+        One jitted value_and_grad program is reused for all epochs (the
+        TPU-native answer to the reference's per-epoch graph rebuild).
+        """
+        import optax
+
+        optimizer = optimizer or optax.adam(1e-2)
+        exp_fn = self.expectation_fn(obs)
+
+        def loss_of(params):
+            times, vals = exp_fn(params)
+            return loss_fn(times, vals)
+
+        vag = jax.jit(jax.value_and_grad(loss_of))
+        opt_state = optimizer.init(self.params)
+        losses: list[float] = []
+        params = dict(self.params)
+        for ep in range(epochs):
+            loss, grads = vag(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            # constraint clamping (reference check_constraints, :370-374)
+            for name in list(params):
+                if name in self.constraints:
+                    c = self.constraints[name]
+                    params[name] = jnp.clip(params[name], c["min"], c["max"])
+            losses.append(float(loss))
+            if verbose:
+                print(f"epoch {ep}: loss={float(loss):.6f}")
+            if callback is not None:
+                callback(ep, float(loss), params)
+        self.params = dict(params)
+        self.update_sequence()
+        return losses

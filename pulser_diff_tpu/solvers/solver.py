@@ -65,14 +65,16 @@ class TimeGrid:
     times: jax.Array  # (n_grid,) sorted, traced values allowed
     write_slots: np.ndarray  # (n_grid,) int: eval slot per grid point, or n_eval
     n_eval: int
+    sampling_times: Optional[jax.Array] = None  # kept for with_values()
+    perm: Optional[np.ndarray] = None  # static sort permutation
 
     @staticmethod
     def make(sampling_times: jax.Array, eval_times: jax.Array) -> "TimeGrid":
         """Build the grid host-side.  `eval_times` must be sorted & unique
         (the emulator guarantees this, reference backend.py:363-373).
         The sort permutation is computed from *concrete* values, so this
-        must be called outside jit; the returned traced `times` keep full
-        differentiability w.r.t. eval_times.
+        must be called outside jit; re-bind traced evaluation times with
+        :meth:`with_values` (the `time_grad` path).
         """
         s_np = np.asarray(jax.device_get(sampling_times), dtype=np.float64)
         e_np = np.asarray(jax.device_get(eval_times), dtype=np.float64)
@@ -80,7 +82,6 @@ class TimeGrid:
         perm = np.argsort(merged, kind="stable")  # eval entries after equal sampling entries
         n_s = len(s_np)
         n_eval = len(e_np)
-        write_slots = np.full(len(merged), n_eval, dtype=np.int32)
         src_slot = np.concatenate(
             [np.full(n_s, n_eval, dtype=np.int32), np.arange(n_eval, dtype=np.int32)]
         )
@@ -91,7 +92,31 @@ class TimeGrid:
                 jnp.asarray(eval_times, default_dtype()),
             ]
         )[perm]
-        return TimeGrid(times=times, write_slots=write_slots, n_eval=n_eval)
+        return TimeGrid(
+            times=times,
+            write_slots=write_slots,
+            n_eval=n_eval,
+            sampling_times=jnp.asarray(sampling_times, default_dtype()),
+            perm=perm,
+        )
+
+    def with_values(self, eval_times: jax.Array) -> "TimeGrid":
+        """Same static structure, traced evaluation-time *values* — the
+        differentiable-time path (reference time_grad, backend.py:453).
+        ``eval_times`` must stay infinitesimally close to the values the
+        grid was built with (the sort permutation is fixed)."""
+        if self.sampling_times is None or self.perm is None:
+            raise ValueError("TimeGrid was not built by TimeGrid.make().")
+        times = jnp.concatenate(
+            [self.sampling_times, jnp.asarray(eval_times, default_dtype())]
+        )[self.perm]
+        return TimeGrid(
+            times=times,
+            write_slots=self.write_slots,
+            n_eval=self.n_eval,
+            sampling_times=self.sampling_times,
+            perm=self.perm,
+        )
 
 
 # ----------------------------------------------------------------------
