@@ -121,7 +121,7 @@ class TpuEmulator:
             sampling_rate,
             noise_model,
         )
-        self._eval_times_array: jax.Array
+        self._eval_times_array: np.ndarray  # host-side (static under jit)
         self.set_evaluation_times(evaluation_times)
 
         if self.samples_obj._measurement:
@@ -255,7 +255,7 @@ class TpuEmulator:
     # ------------------------------------------------------------------
     @property
     def evaluation_times(self) -> jax.Array:
-        return self._eval_times_array
+        return jnp.asarray(self._eval_times_array, default_dtype())
 
     @property
     def qq_distances(self) -> dict[str, jax.Array]:
@@ -321,7 +321,7 @@ class TpuEmulator:
                 [eval_times, np.array([0.0, self._tot_duration / 1000])]
             )
         )
-        self._eval_times_array = jnp.asarray(full, default_dtype())
+        self._eval_times_array = full  # numpy: grid structure stays static
         self._eval_times_instruction = value
 
     # ------------------------------------------------------------------
@@ -566,9 +566,7 @@ class TpuEmulator:
         total_count = np.array([Counter() for _ in time_indices], dtype=object)
         for r in range(n_runs):
             res = self._wrap_coherent(states_all[r], None)
-            for ti, t in enumerate(
-                np.asarray(jax.device_get(self._eval_times_array))
-            ):
+            for ti, t in enumerate(self._eval_times_array):
                 total_count[ti] += res.sample_state(
                     float(t), n_samples=samples_per_run * reps[r]
                 )

@@ -171,8 +171,12 @@ class Hamiltonian:
         self._qid_index = {qid: i for i, qid in enumerate(self._qdict)}
 
         self._duration = samples_obj.max_duration
-        self.sampling_times = self._adapt_to_sampling_rate(
-            jnp.arange(self._duration, dtype=default_dtype()) / 1000
+        # host-side numpy: grid structure must stay concrete under jit
+        self.sampling_times = (
+            np.arange(self._duration, dtype=np.float64)[
+                self._subsample_indices(self._duration)
+            ]
+            / 1000
         )
 
         # row/column split of the qubit index (TPU factorization)

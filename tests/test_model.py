@@ -1,0 +1,218 @@
+"""QuantumModel tests: parameter registration, constraint clamping,
+duration bookkeeping and end-to-end training convergence (reference
+test_model.py strategy)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from pulser_diff_tpu.core import (
+    ConstantWaveform,
+    CustomWaveform,
+    MockDevice,
+    Pulse,
+    Register,
+    Sequence,
+)
+from pulser_diff_tpu.model import QuantumModel
+from pulser_diff_tpu.ops import interpolate_sine, total_magnetization
+
+from .metrics import ATOL_OPTIM
+
+
+@pytest.fixture
+def reg2():
+    return Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+
+
+def _param_seq(reg):
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    omega = seq.declare_variable("omega")
+    det = seq.declare_variable("det")
+    seq.add(Pulse.ConstantPulse(240, omega, det, 0.0), "ryd")
+    return seq
+
+
+def test_param_registration(reg2):
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq, {"omega": jnp.asarray(1.5), "det": jnp.asarray(-0.5)}
+    )
+    assert set(model.params) == {"omega", "det"}
+    assert not model.optimize_duration
+    assert model.built_seq is not None
+    assert not model.built_seq.is_parametrized()
+
+
+def test_missing_param_value(reg2):
+    seq = _param_seq(reg2)
+    with pytest.raises((ValueError, TypeError)):
+        QuantumModel(seq, {"omega": jnp.asarray(1.5)}).expectation()
+
+
+def test_unparametrized_passthrough(reg2):
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(240, 2.0, 0.0, 0.0), "ryd")
+    model = QuantumModel(seq)
+    assert model.built_seq is seq
+    times, states = model.forward()
+    assert states.re.shape[0] == len(np.asarray(jax.device_get(times)))
+
+
+def test_constraint_clamping(reg2):
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq,
+        {"omega": jnp.asarray(5.0), "det": jnp.asarray(0.0)},
+        constraints={"omega": {"min": 0.0, "max": 2.0}},
+    )
+    model.check_constraints()
+    assert float(model.params["omega"]) == 2.0
+
+
+def test_duration_bookkeeping(reg2):
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    dur = seq.declare_variable("dur", dtype=int)
+    omega = seq.declare_variable("omega")
+    seq.add(Pulse.ConstantPulse(dur[0], omega, 0.0, 0.0), "ryd")
+    model = QuantumModel(
+        seq, {"dur": jnp.asarray(0.24), "omega": jnp.asarray(1.5)}
+    )
+    assert model.optimize_duration
+    # 240 ns + 5 padding, rounded up to the 64-ns grid chunk
+    assert model._t_max >= 245
+    amp, det, phase = model._opt_duration_samples(model.params)
+    # plateau amplitude ~ omega inside the pulse, ~0 outside
+    assert abs(float(amp[120]) - 1.5) < 1e-3
+    assert abs(float(amp[-1])) < 0.2
+
+
+def test_expectation_matches_direct_run(reg2):
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq, {"omega": jnp.asarray(1.5), "det": jnp.asarray(-0.5)}
+    )
+    times, exp_model = model.expectation()
+    fn = model.expectation_fn()
+    times2, exp_fn = fn(model.params)
+    assert np.allclose(
+        np.asarray(jax.device_get(exp_model.re)),
+        np.asarray(jax.device_get(exp_fn)),
+        atol=1e-9,
+    )
+
+
+def test_training_pulse_params(reg2):
+    """Optimize omega/det to reach a target magnetization (reference
+    test_model.py:379-429).  The target is generated from a known
+    parameter setting so a solution exists."""
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq, {"omega": jnp.asarray(1.0), "det": jnp.asarray(0.0)}
+    )
+    _, v_target = model.expectation_fn()(
+        {"omega": jnp.asarray(1.6), "det": jnp.asarray(-0.4)}
+    )
+    target = float(v_target[-1])
+
+    def loss(times, vals):
+        return (vals[-1] - target) ** 2
+
+    losses = model.fit(loss, epochs=120, optimizer=optax.adam(5e-2))
+    assert losses[-1] < ATOL_OPTIM**2
+
+
+def test_training_with_constraints(reg2):
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq,
+        {"omega": jnp.asarray(1.0), "det": jnp.asarray(0.0)},
+        constraints={"omega": {"min": 0.5, "max": 3.0}},
+    )
+    target = 0.0
+
+    def loss(times, vals):
+        return (vals[-1] - target) ** 2
+
+    model.fit(loss, epochs=40, optimizer=optax.adam(5e-2))
+    assert 0.5 - 1e-9 <= float(model.params["omega"]) <= 3.0 + 1e-9
+
+
+def test_training_coordinates(reg2):
+    """Optimize a qubit coordinate (reference test_model.py:477-519)."""
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(200, 2.0, 0.0, 0.0), "ryd")
+    model = QuantumModel(seq, {"q1": jnp.array([4.0, 0.0])})
+    assert model.reconstruct_register
+    _, v_target = model.expectation_fn()({"q1": jnp.array([4.4, 0.1])})
+    target = float(v_target[-1])
+
+    def loss(times, vals):
+        return (vals[-1] - target) ** 2
+
+    losses = model.fit(loss, epochs=120, optimizer=optax.adam(2e-2))
+    assert losses[-1] < 1e-3
+
+
+def test_training_durations(reg2):
+    """Optimize pulse duration via tanh envelopes (reference
+    test_model.py:434-472)."""
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    dur = seq.declare_variable("dur", dtype=int)
+    seq.add(Pulse.ConstantPulse(dur[0], 2.0, 0.0, 0.0), "ryd")
+    model = QuantumModel(seq, {"dur": jnp.asarray(0.2)})
+    obs = total_magnetization(2)
+    _, v_target = model.expectation_fn(obs)({"dur": jnp.asarray(0.17)})
+    target = float(v_target[-1])
+
+    def loss(times, vals):
+        return (vals[-1] - target) ** 2
+
+    losses = model.fit(loss, epochs=150, optimizer=optax.adam(5e-3), obs=obs)
+    assert losses[-1] < 1e-3
+    # duration actually moved
+    assert abs(float(model.params["dur"]) - 0.2) > 1e-3
+
+
+def test_training_custom_waveform(reg2):
+    """Custom-waveform callable params (reference test_model.py:586-651):
+    sine-interpolated amplitude samples from trainable control values."""
+    duration = 256
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp_samples = seq.declare_variable("amp_samples", size=duration)
+    seq.add(
+        Pulse(
+            CustomWaveform(amp_samples, duration=duration),
+            ConstantWaveform(duration, 0.0),
+            0.0,
+        ),
+        "ryd",
+    )
+    interp = interpolate_sine(5, duration)
+
+    def wf_fn(values):
+        return interp @ values
+
+    model = QuantumModel(
+        seq, {"amp_samples": ((jnp.ones(5),), wf_fn)}
+    )
+    assert set(model.params) == {"amp_samples_0"}
+    _, v_target = model.expectation_fn()(
+        {"amp_samples_0": 1.5 * jnp.ones(5)}
+    )
+    target = float(v_target[-1])
+
+    def loss(times, vals):
+        return (vals[-1] - target) ** 2
+
+    losses = model.fit(loss, epochs=120, optimizer=optax.adam(5e-2))
+    assert losses[-1] < ATOL_OPTIM**2

@@ -1,0 +1,158 @@
+"""Sequence/Register/Device/sampler unit tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pulser_diff_tpu.core import (
+    AnalogDevice,
+    MockDevice,
+    Pulse,
+    Register,
+    Sequence,
+    sample,
+)
+from pulser_diff_tpu.core.waveforms import BlackmanWaveform, ConstantWaveform
+
+
+def test_register_constructors():
+    r = Register.rectangle(2, 3, spacing=5.0, prefix="q")
+    assert len(r) == 6
+    assert r.qubit_ids[0] == "q0"
+    # centered
+    assert np.abs(np.asarray(r.coords_array).mean(axis=0)).max() < 1e-9
+    r2 = Register.triangular_lattice(2, 2, spacing=6.0)
+    assert len(r2) == 4
+    r3 = Register.linear(4, spacing=7.0)
+    d = np.linalg.norm(
+        np.asarray(r3.coords_array)[1] - np.asarray(r3.coords_array)[0]
+    )
+    assert d == pytest.approx(7.0)
+
+
+def test_device_validation():
+    r = Register.linear(30, spacing=6.0)
+    with pytest.raises(ValueError):
+        AnalogDevice.validate_register(r)  # too many atoms
+    r2 = Register.linear(2, spacing=1.0)
+    with pytest.raises(ValueError):
+        AnalogDevice.validate_register(r2)  # too close
+    MockDevice.validate_register(r)  # no constraints
+
+
+def test_channel_amp_validation():
+    r = Register.linear(2, spacing=6.0)
+    seq = Sequence(r, AnalogDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    with pytest.raises(ValueError):
+        seq.add(Pulse.ConstantPulse(100, 100.0, 0.0, 0.0), "ryd")
+
+
+def test_schedule_protocols():
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.declare_channel("l", "rydberg_local", initial_target="q0")
+    seq.add(Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "g")
+    # min-delay: local overlaps targets with global -> waits
+    seq.add(Pulse.ConstantPulse(50, 1.0, 0.0, 0.0), "l")
+    assert seq.get_duration("l") == 150
+    # no-delay starts immediately after channel's own schedule
+    seq.add(Pulse.ConstantPulse(50, 1.0, 0.0, 0.0), "l", protocol="no-delay")
+    assert seq.get_duration("l") == 200
+    seq.delay(30, "g")
+    assert seq.get_duration("g") == 130
+    # wait-for-all
+    seq.add(Pulse.ConstantPulse(10, 1.0, 0.0, 0.0), "g", protocol="wait-for-all")
+    assert seq.get_duration("g") == 210
+
+
+def test_measure_and_slm():
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.config_slm_mask(["q0"])
+    seq.add(Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "g")
+    seq.measure("ground-rydberg")
+    with pytest.raises(RuntimeError):
+        seq.measure()
+    ss = sample(seq)
+    assert ss._measurement == "ground-rydberg"
+    assert ss._slm_mask.targets == {"q0"}
+    assert ss._slm_mask.end == 100
+    nested = ss.to_nested_dict()
+    # SLM forces local representation; masked qubit amp zeroed in window
+    amp_q0 = np.asarray(nested["Local"]["ground-rydberg"]["q0"]["amp"])
+    amp_q1 = np.asarray(nested["Local"]["ground-rydberg"]["q1"]["amp"])
+    assert (amp_q0[:100] == 0).all()
+    assert (amp_q1[:100] == 1.0).all()
+
+
+def test_slm_masked_ising_simulation():
+    """Masked qubit sees no drive during the mask window."""
+    from pulser_diff_tpu import TpuEmulator
+    from .golden import golden_sesolve
+
+    r = Register.linear(2, spacing=20.0, prefix="q")  # weak interaction
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.config_slm_mask(["q0"])
+    seq.add(Pulse.ConstantPulse(150, 2.0, 0.0, 0.0), "g")
+    seq.add(Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "g")
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    res = sim.run()
+    psi = (np.asarray(res.states.re) + 1j * np.asarray(res.states.im))[-1, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)[-1]
+    assert np.abs(psi - ref).max() < 1e-6
+
+
+def test_parametrized_sequence_build():
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    om = seq.declare_variable("om")
+    area = seq.declare_variable("area")
+    seq.add(Pulse.ConstantPulse(100, om, 0.0, 0.0), "g")
+    seq.add(
+        Pulse(BlackmanWaveform(100, area), ConstantWaveform(100, om * 0.5), 0.1),
+        "g",
+    )
+    assert seq.is_parametrized()
+    with pytest.raises(TypeError):
+        seq.build(om=1.0)  # missing area
+    built = seq.build(om=1.5, area=np.pi)
+    assert built.get_duration() == 200
+    nested = sample(built).to_nested_dict()
+    amp = np.asarray(nested["Global"]["ground-rydberg"]["amp"])
+    assert amp[0] == 1.5
+    assert abs(amp[100:].sum() * 1e-3 - np.pi) < 1e-9
+    det = np.asarray(nested["Global"]["ground-rydberg"]["det"])
+    assert det[150] == 0.75
+
+
+def test_expr_arithmetic():
+    r = Register.linear(1, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    x = seq.declare_variable("x")
+    expr = (2 * x + 1).tanh() * 3 - x / 2
+    val = expr.evaluate({"x": jnp.asarray(0.5)})
+    ref = np.tanh(2 * 0.5 + 1) * 3 - 0.25
+    assert float(val) == pytest.approx(ref)
+
+
+def test_phase_forward_fill_and_post_phase_shift():
+    r = Register.linear(1, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(50, 1.0, 0.0, 0.2, post_phase_shift=0.5), "g")
+    seq.delay(20, "g")
+    seq.add(Pulse.ConstantPulse(50, 1.0, 0.0, 0.1), "g")
+    cs = sample(seq).channel_samples["g"]
+    ph = np.asarray(cs.phase)
+    assert ph[10] == pytest.approx(0.2)
+    assert ph[60] == pytest.approx(0.2)  # forward fill over delay
+    assert ph[80] == pytest.approx(0.6)  # 0.1 + accumulated 0.5
