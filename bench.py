@@ -1,0 +1,263 @@
+"""Headline benchmark: 12-atom (4096-dim) evolution + adjoint gradient step.
+
+Compares this framework (JAX, one jitted value_and_grad over the whole
+evolution, factorized Hamiltonian) on the TPU against a PyTorch-CPU
+reference implementation built the way the upstream stack
+(pulser-diff + pyqtorch) is built: a sparse-COO term-list Hamiltonian
+closure evaluated per solver stage, a Dormand-Prince 5 stepper, and
+autograd through the unrolled evolution.  pyqtorch itself is not
+installable in this container, so the baseline reproduces its
+architecture 1:1 on the same step grid (fixed-step DP5, which if anything
+favours the baseline — no rejected steps).
+
+Workload (BASELINE.json north star): 12 atoms on a 3x4 lattice, a
+sine-interpolated 8-parameter amplitude waveform (gate-optimization
+style), 660 ns, sampling_rate 0.25; loss = final total magnetization;
+gradient w.r.t. the 8 waveform parameters.
+
+Prints ONE json line: {"metric", "value" (TPU seconds), "unit",
+"vs_baseline" (torch_time / tpu_time)}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_QUBITS = 12
+DURATION = 660
+N_PARAMS = 8
+SAMPLING_RATE = 0.25
+SPACING = 6.5
+DET0 = -2.0
+
+
+def _coords():
+    return [
+        (SPACING * (i % 4), SPACING * (i // 4)) for i in range(N_QUBITS)
+    ]
+
+
+def _interp_matrix():
+    """Static (T, P) sine-interpolation matrix (host-side numpy)."""
+    from pulser_diff_tpu.ops.linalg import _interpolate_sine_np
+
+    return _interpolate_sine_np(N_PARAMS, DURATION)
+
+
+# ----------------------------------------------------------------------
+# torch CPU reference (reference-architecture: sparse term-list closure)
+# ----------------------------------------------------------------------
+def torch_baseline(params0: np.ndarray, n_timings: int = 1):
+    import torch
+
+    torch.set_num_threads(torch.get_num_threads())  # default all cores
+    dtype = torch.complex128
+
+    n = N_QUBITS
+    dim = 2**n
+    M = torch.tensor(_interp_matrix(), dtype=torch.float64)
+
+    # sparse lifted operators, built with sparse kron as the reference does
+    def lift_sum(op: np.ndarray) -> torch.Tensor:
+        out = None
+        for i in range(n):
+            m = np.array([[1.0]])
+            for k in range(n):
+                m = np.kron(m, op if k == i else np.eye(2))
+            t = torch.tensor(m, dtype=dtype).to_sparse_coo()
+            out = t if out is None else out + t
+        return out.coalesce()
+
+    sig_gr = np.array([[0, 0], [1.0, 0]])  # |g><r| with r first
+    n_op = np.array([[1.0, 0], [0, 0]])
+    amp_mat = lift_sum(sig_gr)
+    det_mat = lift_sum(n_op)
+
+    # interaction diagonal
+    coords = np.asarray(_coords())
+    C6 = 5420158.53
+    int_diag = np.zeros(dim)
+    occ = [(np.arange(dim) >> (n - 1 - i)) & 1 == 0 for i in range(n)]
+    for i in range(n):
+        for j in range(i + 1, n):
+            r = np.linalg.norm(coords[i] - coords[j])
+            int_diag += (C6 / r**6) * (occ[i] & occ[j])
+    int_mat = torch.sparse_coo_tensor(
+        np.stack([np.arange(dim), np.arange(dim)]),
+        torch.tensor(int_diag, dtype=dtype),
+        (dim, dim),
+    ).coalesce()
+
+    # subsampled coefficient streams (reference hamiltonian.py:83-91)
+    n_keep = int(SAMPLING_RATE * (DURATION + 1))
+    idx = np.linspace(0, DURATION, n_keep).astype(int)
+    dt_c = 0.001 / SAMPLING_RATE
+
+    params = torch.tensor(params0, dtype=torch.float64, requires_grad=True)
+
+    def build_and_run():
+        amp_full = M @ params  # (DURATION,)
+        amp_ext = torch.cat([amp_full, amp_full[-1:]])  # +1 hold sample
+        amp = amp_ext[idx]
+        c_amp = 0.5 * amp * torch.exp(torch.tensor(-0.0j))  # phase 0
+        c_det = torch.full((n_keep,), -0.5 * DET0, dtype=torch.float64)
+
+        def H_t(t: float) -> torch.Tensor:
+            i1 = max(min(int(np.floor(t / dt_c)), n_keep - 2), 0)
+            i2 = i1 + 1
+            w = (t - i1 * dt_c) / dt_c
+            ca = c_amp[i1] + (c_amp[i2] - c_amp[i1]) * w
+            cd = c_det[i1] + (c_det[i2] - c_det[i1]) * w
+            ham = 2 * int_mat * 0.5
+            m = amp_mat * (ca + 0.0j)
+            ham = ham + m + m.adjoint()
+            d = det_mat * (cd + 0.0j)
+            ham = ham + d + d.adjoint()
+            return ham
+
+        # DP5 fixed-step over the subsampled grid (pyqtorch-style stages)
+        A = [
+            [],
+            [1 / 5],
+            [3 / 40, 9 / 40],
+            [44 / 45, -56 / 15, 32 / 9],
+            [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+            [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656],
+        ]
+        B = [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+        C = [0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0]
+
+        psi = torch.zeros(dim, dtype=dtype)
+        psi[dim - 1] = 1.0  # all-ground (g = index 1 per site)
+        t_pts = idx / 1000.0
+        for k in range(n_keep - 1):
+            t0, h = t_pts[k], t_pts[k + 1] - t_pts[k]
+            if h == 0:
+                continue
+            ks = []
+            for s in range(6):
+                y = psi
+                for j, a in enumerate(A[s]):
+                    if a != 0.0:
+                        y = y + (a * h) * ks[j]
+                ks.append(-1j * torch.sparse.mm(H_t(t0 + C[s] * h), y.unsqueeze(1)).squeeze(1))
+            for s in range(6):
+                if B[s] != 0.0:
+                    psi = psi + (B[s] * h) * ks[s]
+
+        # observable: total magnetization
+        zdiag = torch.tensor(
+            sum(
+                np.where(occ[i], 1.0, -1.0) for i in range(n)
+            ),
+            dtype=torch.float64,
+        )
+        exp_val = torch.sum(zdiag * (psi.conj() * psi).real)
+        return exp_val
+
+    # timing: forward + backward
+    times = []
+    for _ in range(n_timings):
+        if params.grad is not None:
+            params.grad = None
+        t0 = time.perf_counter()
+        val = build_and_run()
+        val.backward()
+        times.append(time.perf_counter() - t0)
+    return min(times), float(val.detach()), params.grad.detach().numpy()
+
+
+# ----------------------------------------------------------------------
+# JAX / TPU side
+# ----------------------------------------------------------------------
+def jax_tpu(params0: np.ndarray, n_timings: int = 3):
+    import jax
+    import jax.numpy as jnp
+
+    from pulser_diff_tpu import TpuEmulator
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        CustomWaveform,
+        MockDevice,
+        Pulse,
+        Register,
+        Sequence,
+    )
+    from pulser_diff_tpu.model import QuantumModel
+    from pulser_diff_tpu.ops import total_magnetization
+
+    reg = Register.from_coordinates(_coords(), prefix="q")
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp_var = seq.declare_variable("amp_samples", size=DURATION)
+    seq.add(
+        Pulse(
+            CustomWaveform(amp_var, duration=DURATION),
+            ConstantWaveform(DURATION, DET0),
+            0.0,
+        ),
+        "ryd",
+    )
+    M = jnp.asarray(_interp_matrix())
+
+    model = QuantumModel(
+        seq,
+        {"amp_samples": ((jnp.asarray(params0),), lambda v: M @ v)},
+        sampling_rate=SAMPLING_RATE,
+    )
+    obs = total_magnetization(N_QUBITS)
+    exp_fn = model.expectation_fn(obs)
+
+    def loss(p):
+        _, vals = exp_fn({"amp_samples_0": p})
+        return vals[-1]
+
+    vag = jax.jit(jax.value_and_grad(loss))
+    p = jnp.asarray(params0)
+    # compile
+    v, g = vag(p)
+    jax.block_until_ready((v, g))
+    times = []
+    for _ in range(n_timings):
+        t0 = time.perf_counter()
+        v, g = vag(p)
+        jax.block_until_ready((v, g))
+        times.append(time.perf_counter() - t0)
+    return min(times), float(v), np.asarray(jax.device_get(g))
+
+
+def main():
+    params0 = np.linspace(1.0, 3.0, N_PARAMS)
+
+    t_jax, v_jax, g_jax = jax_tpu(params0)
+    print(f"[bench] jax/TPU: {t_jax*1e3:.1f} ms  value={v_jax:.9f}", file=sys.stderr)
+
+    t_torch, v_torch, g_torch = torch_baseline(params0)
+    print(
+        f"[bench] torch/CPU: {t_torch*1e3:.1f} ms  value={v_torch:.9f}",
+        file=sys.stderr,
+    )
+    print(
+        f"[bench] |value diff|={abs(v_jax - v_torch):.3e}  "
+        f"|grad diff|={np.abs(g_jax - g_torch).max():.3e}",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "12-atom evolution + adjoint grad step wall-clock",
+                "value": round(t_jax, 6),
+                "unit": "s",
+                "vs_baseline": round(t_torch / t_jax, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

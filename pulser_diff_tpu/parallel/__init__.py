@@ -1,0 +1,7 @@
+from pulser_diff_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_expectation_step,
+    sharded_noise_states,
+)
+
+__all__ = ["make_mesh", "sharded_noise_states", "sharded_expectation_step"]

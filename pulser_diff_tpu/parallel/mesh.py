@@ -1,0 +1,148 @@
+"""Multi-chip scaling via jax.sharding (the TPU-native answer to the
+reference's serial Monte-Carlo loop, backend.py:573-595, and its absent
+distributed machinery — SURVEY.md §2.4).
+
+Two first-class parallel axes in this domain:
+  - "runs":  stochastic noise realizations (doppler / amplitude / SPAM
+             state-prep configurations) — embarrassingly parallel, one
+             PRNG key per run;
+  - "batch": batched initial states (e.g. the identity matrix for full
+             gate-unitary evolution, gate_optimization workload).
+
+Shardings are expressed with NamedSharding over a Mesh; XLA inserts the
+ICI collectives (the mean/psum in the training step).  No bespoke
+communication code is needed — by design.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pulser_diff_tpu.config import default_dtype
+from pulser_diff_tpu.cplx import Cplx, as_cplx
+from pulser_diff_tpu.hamiltonian import Hamiltonian, draw_noise
+from pulser_diff_tpu.ops.linalg import expect as _expect
+from pulser_diff_tpu.solvers import SolverType, TimeGrid
+
+
+def make_mesh(
+    axis_sizes: dict[str, int], devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a Mesh from {axis_name: size}; sizes must multiply to the
+    device count (pass devices explicitly for sub-meshes)."""
+    devices = list(devices if devices is not None else jax.devices())
+    shape = tuple(axis_sizes.values())
+    n = int(np.prod(shape))
+    if n != len(devices):
+        raise ValueError(
+            f"Mesh of shape {dict(axis_sizes)} needs {n} devices, got "
+            f"{len(devices)}."
+        )
+    dev_arr = np.array(devices).reshape(shape)
+    return Mesh(dev_arr, tuple(axis_sizes.keys()))
+
+
+def _solve_states_from_draws(sim, draws, solver, substeps, krylov_dim, grid):
+    h = sim._hamiltonian
+    hd = h.build_data(draws)
+    return sim._solve_states(hd, None, solver, substeps, krylov_dim, grid)
+
+
+def sharded_noise_states(
+    sim,
+    keys: jax.Array,
+    mesh: Optional[Mesh] = None,
+    axis: str = "runs",
+    solver: str = SolverType.DP5_SE,
+    substeps: int = 1,
+    krylov_dim: int = 12,
+) -> Cplx:
+    """Monte-Carlo noise realizations, one per PRNG key, vmapped and
+    sharded over ``mesh[axis]``.
+
+    Returns states of shape (n_runs, n_eval, dim, nb) — the parallel
+    replacement for the reference's `for i in range(loop_runs)` solve loop.
+    """
+    h = sim._hamiltonian
+    cfg = h.config
+    n_slots = h._count_noise_slots()
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+
+    def one(key):
+        draws = draw_noise(key, cfg, h._size, n_slots)
+        return _solve_states_from_draws(
+            sim, draws, solver, substeps, krylov_dim, grid
+        )
+
+    fn = jax.vmap(one)
+    if mesh is not None:
+        key_sh = NamedSharding(mesh, P(axis))
+        out_sh = NamedSharding(mesh, P(axis))
+        fn = jax.jit(fn, in_shardings=(key_sh,), out_shardings=out_sh)
+    else:
+        fn = jax.jit(fn)
+    return fn(keys)
+
+
+def sharded_expectation_step(
+    model,
+    obs: Any,
+    target: float,
+    optimizer: Any,
+    mesh: Mesh,
+    n_runs: int,
+    runs_axis: str = "runs",
+    solver: str = SolverType.DP5_SE,
+    substeps: int = 1,
+) -> Callable:
+    """Build a FULL jitted training step over the mesh.
+
+    loss(params) = mean over noise realizations (sharded across
+    ``runs_axis``) of (final expectation - target)^2; value_and_grad +
+    optax update in one compiled program.  The mean over the sharded runs
+    axis lowers to an ICI psum inserted by XLA.
+
+    Returns step_fn(params, opt_state, key) -> (params, opt_state, loss).
+    """
+    obs = as_cplx(obs, dtype=default_dtype())
+    sim = model._make_emulator(model.params)
+    h = sim._hamiltonian
+    cfg = h.config
+    n_slots = h._count_noise_slots()
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+
+    def run_loss(params, key):
+        sim_p = model._make_emulator(params)
+        hp = sim_p._hamiltonian
+        draws = draw_noise(key, hp.config, hp._size, hp._count_noise_slots())
+        states = _solve_states_from_draws(
+            sim_p, draws, solver, substeps, 12,
+            TimeGrid.make(hp.sampling_times, sim_p._eval_times_array),
+        )
+        vals = _expect(obs, states).re
+        return (vals[-1] - target) ** 2
+
+    def loss_fn(params, keys):
+        losses = jax.vmap(lambda k: run_loss(params, k))(keys)
+        return jnp.mean(losses)
+
+    key_sh = NamedSharding(mesh, P(runs_axis))
+    repl = NamedSharding(mesh, P())
+
+    @jax.jit
+    def step(params, opt_state, key):
+        keys = jax.random.split(key, n_runs)
+        keys = jax.lax.with_sharding_constraint(keys, key_sh)
+        loss, grads = jax.value_and_grad(loss_fn)(params, keys)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

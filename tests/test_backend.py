@@ -1,0 +1,154 @@
+"""Emulator API semantics tests (reference backend.py behaviours)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pulser_diff_tpu import SimConfig, TpuEmulator
+from pulser_diff_tpu.core import MockDevice, Pulse, Register, Sequence, sample
+from pulser_diff_tpu.cplx import Cplx
+
+from .conftest import make_simple_sequence
+
+
+def test_from_sequence_validation(two_atom_register):
+    seq = Sequence(two_atom_register, MockDevice)
+    with pytest.raises(ValueError):
+        TpuEmulator.from_sequence(seq)  # no channels
+    seq.declare_channel("ryd", "rydberg_global")
+    with pytest.raises(ValueError):
+        TpuEmulator.from_sequence(seq)  # no instructions
+    om = seq.declare_variable("om")
+    seq.add(Pulse.ConstantPulse(100, om, 0.0, 0.0), "ryd")
+    with pytest.raises(ValueError):
+        TpuEmulator.from_sequence(seq)  # parametrized
+
+
+def test_sampling_rate_validation(simple_seq):
+    with pytest.raises(ValueError):
+        TpuEmulator.from_sequence(simple_seq, sampling_rate=1.5)
+    with pytest.raises(ValueError):
+        TpuEmulator.from_sequence(simple_seq, sampling_rate=0.001)
+
+
+def test_evaluation_times_semantics(simple_seq):
+    sim = TpuEmulator.from_sequence(simple_seq)
+    T = simple_seq.get_duration() / 1000
+    # Full: all sampling times (0 and T included)
+    t_full = np.asarray(jax.device_get(sim.evaluation_times))
+    assert t_full[0] == 0.0 and abs(t_full[-1] - T) < 1e-12
+    # Minimal: only {0, T}
+    sim.set_evaluation_times("Minimal")
+    t_min = np.asarray(jax.device_get(sim.evaluation_times))
+    assert len(t_min) == 2
+    # float: subsampling
+    sim.set_evaluation_times(0.5)
+    t_half = np.asarray(jax.device_get(sim.evaluation_times))
+    assert len(t_half) < len(t_full)
+    # explicit list with union of {0, T}
+    sim.set_evaluation_times([0.1, 0.05])
+    t_list = np.asarray(jax.device_get(sim.evaluation_times))
+    assert np.allclose(t_list, sorted([0.0, 0.05, 0.1, T]))
+    with pytest.raises(ValueError):
+        sim.set_evaluation_times([2 * T])
+    with pytest.raises(ValueError):
+        sim.set_evaluation_times([-0.1])
+    with pytest.raises(ValueError):
+        sim.set_evaluation_times("garbage")
+    with pytest.raises(ValueError):
+        sim.set_evaluation_times(1.7)
+
+
+def test_initial_state_validation(simple_seq):
+    sim = TpuEmulator.from_sequence(simple_seq)
+    with pytest.raises(ValueError):
+        sim.set_initial_state(jnp.zeros(5))
+    st = jnp.zeros(4).at[0].set(1.0)
+    sim.set_initial_state(st)
+    assert sim.initial_state.shape == (4, 1)
+
+
+def test_get_hamiltonian_bounds(simple_seq):
+    sim = TpuEmulator.from_sequence(simple_seq)
+    with pytest.raises(ValueError):
+        sim.get_hamiltonian(-1)
+    with pytest.raises(ValueError):
+        sim.get_hamiltonian(10_000)
+
+
+def test_config_merge(simple_seq):
+    sim = TpuEmulator.from_sequence(
+        simple_seq, config=SimConfig(noise="dephasing", dephasing_rate=0.07)
+    )
+    sim.add_config(SimConfig(noise="relaxation", relaxation_rate=0.03))
+    cfg = sim.config
+    assert set(cfg.noise) == {"dephasing", "relaxation"}
+    # former params preserved
+    assert float(np.asarray(cfg.dephasing_rate)) == pytest.approx(0.07)
+    assert float(np.asarray(cfg.relaxation_rate)) == pytest.approx(0.03)
+    sim.reset_config()
+    assert sim.config.noise == ()
+
+
+def test_build_operator(simple_seq):
+    sim = TpuEmulator.from_sequence(simple_seq)
+    op = sim.build_operator([("sigma_rr", ["q0"])])
+    ref = np.kron(np.diag([1.0, 0.0]), np.eye(2))
+    assert np.abs(op.to_numpy() - ref).max() < 1e-12
+    glob = sim.build_operator([("sigma_rr", "global")])
+    ref_g = ref + np.kron(np.eye(2), np.diag([1.0, 0.0]))
+    assert np.abs(glob.to_numpy() - ref_g).max() < 1e-12
+    with pytest.raises(ValueError):
+        sim.build_operator([("sigma_rr", ["q0", "q0"])])
+    with pytest.raises(ValueError):
+        sim.build_operator([("sigma_rr", ["nope"])])
+    with pytest.raises(ValueError):
+        sim.build_operator([("bogus", ["q0"])])
+
+
+def test_endtimes(two_atom_register):
+    seq = Sequence(two_atom_register, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "ryd")
+    seq.add(Pulse.ConstantPulse(150, 0.5, 0.0, 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(seq)
+    ends = sim.endtimes
+    assert 0 in ends
+    assert 100 in ends and 99 in ends
+    assert 250 in ends and 249 in ends
+
+
+def test_qq_distances(simple_seq):
+    sim = TpuEmulator.from_sequence(simple_seq)
+    sim.run(dist_grad=True, solver="DP5_SE")
+    d = sim.qq_distances
+    assert set(d) == {"q0-q1"}
+    assert float(d["q0-q1"]) == pytest.approx(8.0)
+
+
+def test_measurement_basis_selection(two_atom_register):
+    seq = make_simple_sequence(two_atom_register)
+    seq.measure("ground-rydberg")
+    sim = TpuEmulator.from_sequence(seq)
+    assert sim._meas_basis == "ground-rydberg"
+    # digital-only sequence defaults to digital
+    seq2 = Sequence(two_atom_register, MockDevice)
+    seq2.declare_channel("ram", "raman_global")
+    seq2.add(Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "ram")
+    sim2 = TpuEmulator.from_sequence(seq2)
+    assert sim2.basis_name == "digital"
+    assert sim2._meas_basis == "digital"
+
+
+def test_sampling_and_weights(simple_seq):
+    sim = TpuEmulator.from_sequence(simple_seq, evaluation_times="Minimal")
+    res = sim.run()
+    c = res.sample_final_state(2000)
+    assert sum(c.values()) == 2000
+    # bitstring keys of right length
+    assert all(len(k) == 2 for k in c)
+    # weights normalised
+    w = res[len(res) - 1]._weights()
+    assert abs(float(jnp.sum(w)) - 1.0) < 1e-9

@@ -1,0 +1,69 @@
+"""Device-mesh sharding tests (8 virtual CPU devices from conftest)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pulser_diff_tpu import SimConfig, TpuEmulator
+from pulser_diff_tpu.parallel import make_mesh, sharded_noise_states
+
+from .conftest import make_simple_sequence
+
+
+@pytest.fixture
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh({"runs": 8})
+
+
+def test_make_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh({"runs": 3}, devices=jax.devices()[:2])
+
+
+def test_sharded_noise_states(two_atom_register, mesh8):
+    seq = make_simple_sequence(two_atom_register, duration=100)
+    cfg = SimConfig(noise="doppler", temperature=60.0, runs=8)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    states = sharded_noise_states(sim, keys, mesh=mesh8, axis="runs")
+    assert states.re.shape[0] == 8
+    # each run is normalized
+    norms = np.asarray(jax.device_get((states.abs2()).sum(axis=(2, 3))))
+    assert np.abs(norms - 1).max() < 1e-8
+    # runs differ (noise actually applied)
+    s0 = np.asarray(jax.device_get(states.re[0, -1]))
+    s1 = np.asarray(jax.device_get(states.re[1, -1]))
+    assert np.abs(s0 - s1).max() > 1e-6
+    # output is actually sharded over the mesh
+    shard_devs = {s.device for s in states.re.addressable_shards}
+    assert len(shard_devs) == 8
+
+
+def test_sharded_matches_unsharded(two_atom_register):
+    seq = make_simple_sequence(two_atom_register, duration=100)
+    cfg = SimConfig(noise="doppler", temperature=60.0, runs=4)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    keys = jax.random.split(jax.random.PRNGKey(7), 4)
+    st_plain = sharded_noise_states(sim, keys, mesh=None)
+    mesh = make_mesh({"runs": 4}, devices=jax.devices()[:4])
+    st_shard = sharded_noise_states(sim, keys, mesh=mesh)
+    assert np.allclose(
+        np.asarray(jax.device_get(st_plain.re)),
+        np.asarray(jax.device_get(st_shard.re)),
+        atol=1e-12,
+    )
+
+
+def test_graft_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_graft", "/root/repo/__graft_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.dryrun_multichip(8)
