@@ -31,7 +31,7 @@ N_QUBITS = 12
 DURATION = 660
 N_PARAMS = 8
 SAMPLING_RATE = 0.25
-SPACING = 6.5
+SPACING = 10.0
 DET0 = -2.0
 
 
@@ -208,6 +208,7 @@ def jax_tpu(params0: np.ndarray, n_timings: int = 3):
         seq,
         {"amp_samples": ((jnp.asarray(params0),), lambda v: M @ v)},
         sampling_rate=SAMPLING_RATE,
+        evaluation_times="Minimal",
     )
     obs = total_magnetization(N_QUBITS)
     exp_fn = model.expectation_fn(obs)

@@ -1,0 +1,82 @@
+# %% [markdown]
+# # Gate optimization
+#
+# Port of the reference's `gate_optimization.ipynb` headline workload:
+# optimize a global pulse so the evolution implements a target gate.
+# Here: a 2-qubit global "Hadamard-like" target via a sine-interpolated
+# custom waveform (the reference reaches 99.9% fidelity with the same
+# parametrization).
+#
+# TPU-native difference: the batched initial states (the full identity,
+# i.e. the gate matrix) evolve as ONE vmapped solve, and a single jitted
+# value_and_grad program drives the whole training loop.
+
+# %%
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pulser_diff_tpu import TpuEmulator
+from pulser_diff_tpu.core import (
+    ConstantWaveform,
+    CustomWaveform,
+    MockDevice,
+    Pulse,
+    Register,
+    Sequence,
+)
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.ops import interpolate_sine
+
+N_PARAMS = 10
+DURATION = 512
+SAMPLING_RATE = 0.25
+
+reg = Register({"q0": jnp.array([-10.0, 0.0]), "q1": jnp.array([10.0, 0.0])})
+
+# target: global Hadamard on both qubits (in the r-first ordering)
+H1 = np.array([[1, 1], [1, -1]]) / np.sqrt(2)
+TARGET = np.kron(H1, H1)
+
+M = interpolate_sine(N_PARAMS, DURATION)
+
+
+def gate_fidelity(params):
+    """|tr(U_target^H U)|^2 / d^2 from evolving the identity."""
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp = M @ params
+    seq.add(
+        Pulse(CustomWaveform(amp), ConstantWaveform(DURATION, 0.0), 0.0),
+        "ryd",
+    )
+    sim = TpuEmulator.from_sequence(
+        seq, sampling_rate=SAMPLING_RATE, evaluation_times="Minimal"
+    )
+    eye = jnp.eye(4)
+    sim.set_initial_state(Cplx(eye, jnp.zeros_like(eye)))
+    states = sim.run().states  # (n_t, 4, 4)
+    U = states[states.re.shape[0] - 1]
+    tgt = jnp.asarray(TARGET)
+    ov_re = jnp.sum(tgt * U.re)
+    ov_im = jnp.sum(tgt * U.im)
+    return (ov_re**2 + ov_im**2) / 16.0
+
+
+if __name__ == "__main__":
+    params = jnp.full((N_PARAMS,), 2.0)
+    loss_fn = lambda p: 1.0 - gate_fidelity(p)
+    vag = jax.jit(jax.value_and_grad(loss_fn))
+    opt = optax.adam(5e-2)
+    state = opt.init(params)
+    best = (1.0, params)
+    for ep in range(120):
+        loss, g = vag(params)
+        upd, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, upd)
+        if float(loss) < best[0]:
+            best = (float(loss), params)
+        if ep % 20 == 0:
+            print(f"epoch {ep}: infidelity {float(loss):.6f}")
+    print(f"final gate fidelity: {100 * (1 - best[0]):.3f}%")

@@ -1,0 +1,68 @@
+# %% [markdown]
+# # State preparation
+#
+# Port of the reference's `state_preparation.ipynb` workload: prepare the
+# antiferromagnetic-like |r...r> target on a Rydberg register by optimizing
+# an interpolated amplitude/detuning sweep (adiabatic passage), with
+# gradients through the full dynamics.
+
+# %%
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pulser_diff_tpu import TpuEmulator
+from pulser_diff_tpu.core import (
+    CustomWaveform,
+    MockDevice,
+    Pulse,
+    Register,
+    Sequence,
+)
+from pulser_diff_tpu.ops import interpolate_sine
+
+N_QUBITS = 6
+N_PARAMS = 8
+DURATION = 600
+SAMPLING_RATE = 0.25
+
+reg = Register.linear(N_QUBITS, spacing=11.0, prefix="q")
+M = interpolate_sine(N_PARAMS, DURATION)
+
+# target: all atoms in |r> (index 0 per site -> global index 0)
+TARGET_INDEX = 0
+
+
+def fidelity(amp_params, det_params):
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp = jax.nn.relu(M @ amp_params)  # amplitudes must be >= 0
+    det = M @ det_params
+    seq.add(Pulse(CustomWaveform(amp), CustomWaveform(det), 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(
+        seq, sampling_rate=SAMPLING_RATE, evaluation_times="Minimal"
+    )
+    states = sim.run().states
+    last = states[states.re.shape[0] - 1]
+    return last.abs2()[TARGET_INDEX, 0]
+
+
+if __name__ == "__main__":
+    # adiabatic-sweep initialisation: ramp amplitude up/down, detuning
+    # from below resonance to above
+    amp_p = jnp.asarray(3.0 * np.sin(np.linspace(0, np.pi, N_PARAMS)))
+    det_p = jnp.asarray(np.linspace(-6.0, 6.0, N_PARAMS))
+
+    loss_fn = lambda a, d: 1.0 - fidelity(a, d)
+    vag = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
+    opt = optax.adam(5e-2)
+    params = (amp_p, det_p)
+    state = opt.init(params)
+    for ep in range(150):
+        loss, grads = vag(*params)
+        upd, state = opt.update(grads, state, params)
+        params = optax.apply_updates(params, upd)
+        if ep % 25 == 0:
+            print(f"epoch {ep}: infidelity {float(loss):.6f}")
+    print(f"final state fidelity: {100 * (1 - float(loss)):.3f}%")

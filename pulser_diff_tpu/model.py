@@ -78,6 +78,7 @@ class QuantumModel:
         noise_config: Optional[SimConfig] = None,
         time_grad: bool = False,
         dist_grad: bool = False,
+        evaluation_times: Any = "Full",
         **options: Any,
     ) -> None:
         trainable_param_values = dict(trainable_param_values or {})
@@ -89,7 +90,9 @@ class QuantumModel:
         self.noise_config = noise_config
         self.time_grad = time_grad
         self.dist_grad = dist_grad
+        self.evaluation_times = evaluation_times
         self.options = options
+        self._substeps_cache: Optional[int] = None
         self._seq = seq
         self.register = seq.register
 
@@ -340,7 +343,11 @@ class QuantumModel:
         if self.optimize_duration:
             ss = self._opt_duration_samples_obj(params, register)
             sim = TpuEmulator(
-                ss, register, self.device, sampling_rate=self.sampling_rate
+                ss,
+                register,
+                self.device,
+                sampling_rate=self.sampling_rate,
+                evaluation_times=self.evaluation_times,
             )
         else:
             seq = self._seq
@@ -352,7 +359,9 @@ class QuantumModel:
                 else seq
             )
             sim = TpuEmulator.from_sequence(
-                built, sampling_rate=self.sampling_rate
+                built,
+                sampling_rate=self.sampling_rate,
+                evaluation_times=self.evaluation_times,
             )
         if self.initial_state is not None:
             sim.set_initial_state(self.initial_state)
@@ -370,6 +379,18 @@ class QuantumModel:
         new._to_build_calls = list(self._seq._to_build_calls)
         return new
 
+    def _default_substeps(self) -> int:
+        """Stability-driven substep count, computed once from the current
+        (concrete) parameters on the host and cached; the traced path then
+        uses it as a static constant."""
+        if self._substeps_cache is None:
+            try:
+                sim = self._make_emulator(self.params)
+                self._substeps_cache = sim._auto_substeps({})
+            except Exception:
+                self._substeps_cache = 1
+        return self._substeps_cache
+
     # ------------------------------------------------------------------
     # pure functional solves
     # ------------------------------------------------------------------
@@ -383,7 +404,7 @@ class QuantumModel:
 
         if noise & _LINDBLAD_NOISES:
             solver = SolverType.DP5_ME
-        substeps = int(self.options.get("substeps", 1))
+        substeps = int(self.options.get("substeps", self._default_substeps()))
         krylov_dim = int(self.options.get("krylov_dim", 12))
         grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
         states = sim._solve_states(
