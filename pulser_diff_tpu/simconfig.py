@@ -192,6 +192,29 @@ class SimConfig:
     def supported_noises(self) -> dict[str, set[str]]:
         return SUPPORTED_NOISES
 
+    def to_pulser(self) -> "SimConfig":
+        """Copy with all JAX-array parameters concretised to python floats
+        (reference simconfig.py:57 converts tensors to floats/Qobj for the
+        qutip golden backend; without qutip here, operators become numpy
+        arrays)."""
+        import dataclasses
+
+        def conv(v: Any) -> Any:
+            if isinstance(v, jax.Array):
+                arr = np.asarray(jax.device_get(v))
+                return float(arr) if arr.ndim == 0 else arr
+            return v
+
+        kwargs = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, tuple):
+                v = tuple(conv(x) for x in v)
+            else:
+                v = conv(v)
+            kwargs[f.name] = v
+        return SimConfig(**kwargs)
+
     def to_noise_model(self) -> NoiseModel:
         """Build the NoiseModel equivalent (reference simconfig.py:98)."""
         lw = self.laser_waist

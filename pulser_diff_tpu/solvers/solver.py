@@ -328,6 +328,17 @@ def _make_me_step(ham, collapse, n, d, solver, substeps):
 # ----------------------------------------------------------------------
 # the scan driver (shared by sesolve / mesolve)
 # ----------------------------------------------------------------------
+_REMAT_BYTES_THRESHOLD = 512 * 1024 * 1024
+
+
+def _auto_remat(y0: Cplx, n_steps: int, stages: int = 6) -> bool:
+    """Rematerialize solver stages only when storing them for backward
+    would exceed the memory threshold; otherwise full residual storage is
+    much faster (no 2x recompute in the backward pass)."""
+    state_bytes = 2 * y0.re.size * y0.re.dtype.itemsize
+    return n_steps * stages * state_bytes > _REMAT_BYTES_THRESHOLD
+
+
 def _integrate(step, y0: Cplx, grid: TimeGrid, remat: bool = True) -> Cplx:
     """Scan over grid intervals, writing eval-slot states into a buffer."""
     n_grid = grid.times.shape[0]
@@ -371,12 +382,15 @@ def sesolve(
     substeps: int = 1,
     krylov_dim: int = 12,
     krylov_tol: float = 0.0,
-    remat: bool = True,
+    remat: Optional[bool] = None,
 ) -> Cplx:
     """Integrate i dpsi/dt = H(t) psi.
 
     psi0: Cplx of shape (nb, da, db).  Returns (n_eval, nb, da, db).
+    remat=None picks checkpointing automatically from memory footprint.
     """
+    if remat is None:
+        remat = _auto_remat(psi0, grid.times.shape[0] * substeps)
     step = _make_se_step(ham, solver, substeps, krylov_dim, krylov_tol)
     if solver == SolverType.KRYLOV_SE and psi0.shape[0] > 1:
         # independent Krylov subspace per batch element
@@ -399,11 +413,13 @@ def mesolve(
     grid: TimeGrid,
     solver: str = SolverType.DP5_ME,
     substeps: int = 1,
-    remat: bool = True,
+    remat: Optional[bool] = None,
 ) -> Cplx:
     """Integrate the Lindblad master equation.
 
     rho0: Cplx (dim, dim).  Returns (n_eval, dim, dim).
     """
+    if remat is None:
+        remat = _auto_remat(rho0, grid.times.shape[0] * substeps)
     step = _make_me_step(ham, collapse, n_qudits, qudit_dim, solver, substeps)
     return _integrate(step, rho0, grid, remat)
