@@ -231,11 +231,80 @@ def jax_tpu(params0: np.ndarray, n_timings: int = 3):
     return min(times), float(v), np.asarray(jax.device_get(g))
 
 
+def pallas_fast_mode(params0: np.ndarray, n_timings: int = 10):
+    """f32 fused-kernel fast mode (ops/pallas_evolution.py): same workload
+    through SolverType.RK4_PALLAS."""
+    import jax
+    import jax.numpy as jnp
+
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        CustomWaveform,
+        MockDevice,
+        Pulse,
+        Register,
+        Sequence,
+    )
+    from pulser_diff_tpu.model import QuantumModel
+    from pulser_diff_tpu.ops import total_magnetization
+    from pulser_diff_tpu.solvers import SolverType
+
+    reg = Register.from_coordinates(_coords(), prefix="q")
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp_var = seq.declare_variable("amp_samples", size=DURATION)
+    seq.add(
+        Pulse(
+            CustomWaveform(amp_var, duration=DURATION),
+            ConstantWaveform(DURATION, DET0),
+            0.0,
+        ),
+        "ryd",
+    )
+    M = jnp.asarray(_interp_matrix())
+    model = QuantumModel(
+        seq,
+        {"amp_samples": ((jnp.asarray(params0),), lambda v: M @ v)},
+        sampling_rate=SAMPLING_RATE,
+        evaluation_times="Minimal",
+        solver=SolverType.RK4_PALLAS,
+    )
+    obs = total_magnetization(N_QUBITS)
+    exp_fn = model.expectation_fn(obs)
+
+    def loss(p):
+        _, vals = exp_fn({"amp_samples_0": p})
+        return vals[-1]
+
+    vag = jax.jit(jax.value_and_grad(loss))
+    p = jnp.asarray(params0)
+    v, g = vag(p)
+    jax.block_until_ready((v, g))
+    times = []
+    for _ in range(n_timings):
+        t0 = time.perf_counter()
+        v, g = vag(p)
+        jax.block_until_ready((v, g))
+        times.append(time.perf_counter() - t0)
+    return min(times), float(v), np.asarray(jax.device_get(g))
+
+
 def main():
     params0 = np.linspace(1.0, 3.0, N_PARAMS)
 
     t_jax, v_jax, g_jax = jax_tpu(params0)
     print(f"[bench] jax/TPU: {t_jax*1e3:.1f} ms  value={v_jax:.9f}", file=sys.stderr)
+
+    try:
+        t_pal, v_pal, g_pal = pallas_fast_mode(params0)
+        print(
+            f"[bench] pallas f32 fast mode: {t_pal*1e3:.2f} ms  "
+            f"value={v_pal:.6f}  |dv vs f64|={abs(v_pal - v_jax):.2e}  "
+            f"|dgrad|={np.abs(g_pal - g_jax).max():.2e}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # fast mode is informational only
+        print(f"[bench] pallas fast mode failed: {e}", file=sys.stderr)
 
     t_torch, v_torch, g_torch = torch_baseline(params0)
     print(

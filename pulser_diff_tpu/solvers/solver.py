@@ -56,6 +56,9 @@ class SolverType:
     DP5_ME = "DP5_ME"
     RK4_SE = "RK4_SE"
     RK4_ME = "RK4_ME"
+    # fused single-kernel f32 fast mode (ops/pallas_evolution.py);
+    # final-state evaluation times only
+    RK4_PALLAS = "RK4_PALLAS"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,101 @@
+"""Checkpointing, profiling, SimConfig conversions, result post-processing."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pulser_diff_tpu import NoiseModel, SimConfig
+from pulser_diff_tpu.cplx import Cplx, as_cplx
+from pulser_diff_tpu.result import QuantumResult
+from pulser_diff_tpu.utils import load_params, save_params, timed
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"omega": jnp.asarray(1.5), "coords": jnp.array([1.0, 2.0])}
+    path = save_params(str(tmp_path / "ckpt"), params)
+    restored = load_params(path)
+    assert set(restored) == set(params)
+    for k in params:
+        assert np.allclose(
+            np.asarray(jax.device_get(restored[k])),
+            np.asarray(jax.device_get(params[k])),
+        )
+
+
+def test_timed_context():
+    out = {}
+    with timed("block", out):
+        _ = jnp.ones(10) + 1
+    assert out["block"] >= 0
+
+
+def test_simconfig_noise_model_roundtrip():
+    cfg = SimConfig(
+        noise=("dephasing", "SPAM"),
+        dephasing_rate=jnp.asarray(0.123),
+        eta=0.01,
+        epsilon=0.02,
+        epsilon_prime=0.03,
+    )
+    nm = cfg.to_noise_model()
+    assert set(nm.noise_types) == {"dephasing", "SPAM"}
+    assert float(np.asarray(jax.device_get(nm.dephasing_rate))) == pytest.approx(0.123)
+    back = SimConfig.from_noise_model(nm)
+    assert set(back.noise) == {"dephasing", "SPAM"}
+    concrete = cfg.to_pulser()
+    assert isinstance(concrete.dephasing_rate, float)
+
+
+def test_noise_model_validation():
+    with pytest.raises(ValueError):
+        NoiseModel(noise_types=("bogus",))
+    with pytest.raises(ValueError):
+        NoiseModel(noise_types=("eff_noise",))  # no operators
+    with pytest.raises(ValueError):
+        NoiseModel(
+            noise_types=("eff_noise",),
+            eff_noise_rates=(0.1,),
+            eff_noise_opers=(np.zeros(3),),  # not square 2D
+        )
+
+
+def test_result_get_state_global_phase():
+    psi = np.array([0.6 * np.exp(1j * 0.7), 0.8 * np.exp(1j * 0.7)])
+    res = QuantumResult(("q0",), "ground-rydberg", as_cplx(psi.reshape(2, 1)), True)
+    st = res.get_state(ignore_global_phase=True).to_numpy().ravel()
+    # largest component made real
+    assert abs(st[1].imag) < 1e-12
+    assert st[1].real > 0
+
+
+def test_result_reduce_to_basis():
+    # 1-qubit, 3-level state with negligible |h> population
+    psi = np.zeros(3, dtype=complex)
+    psi[0] = 1 / np.sqrt(2)  # r
+    psi[1] = 1 / np.sqrt(2)  # g
+    res = QuantumResult(("q0",), "ground-rydberg", as_cplx(psi.reshape(3, 1)), True)
+    red = res.get_state(reduce_to_basis="ground-rydberg")
+    arr = red.to_numpy().ravel()
+    assert arr.shape == (2,)
+    assert np.allclose(np.abs(arr), [1 / np.sqrt(2)] * 2)
+    # populated |h> -> error
+    psi2 = np.ones(3, dtype=complex) / np.sqrt(3)
+    res2 = QuantumResult(("q0",), "ground-rydberg", as_cplx(psi2.reshape(3, 1)), True)
+    with pytest.raises(TypeError):
+        res2.get_state(reduce_to_basis="ground-rydberg")
+
+
+def test_weights_three_level():
+    # |g r> in 3-level basis (r=0, g=1, h=2): index 1*3+0 = 3
+    psi = np.zeros(9, dtype=complex)
+    psi[3] = 1.0
+    res = QuantumResult(
+        ("q0", "q1"), "ground-rydberg", as_cplx(psi.reshape(9, 1)), False
+    )
+    w = np.asarray(jax.device_get(res._weights()))
+    # q0 in g -> bit 0; q1 in r -> bit 1 => bitstring "01" = index 1
+    assert w[1] == pytest.approx(1.0)

@@ -37,6 +37,69 @@ def test_pallas_evolution_matches_xla(two_atom_register):
     assert err < 5e-5  # f32 kernel vs f64 reference
 
 
+def test_pallas_adjoint_grad_matches_autodiff(two_atom_register):
+    """The custom-VJP adjoint kernel vs plain autodiff through an
+    equivalent XLA f32 evolution."""
+    from pulser_diff_tpu.ops.pallas_evolution import (
+        _precompute_stage_z,
+        fused_evolve,
+    )
+
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    h = sim._hamiltonian
+    hd = h._ham_data
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    da, db = h.dim**h._a, h.dim**h._b
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+
+    zr, zc, hs = _precompute_stage_z(hd, grid.times)
+    f32 = jnp.float32
+    consts = dict(
+        zc_re=zc.re.astype(f32), zc_im=zc.im.astype(f32),
+        hs=hs.astype(f32), rp=hd.row_parts.astype(f32),
+        cp=hd.col_parts.astype(f32), diag=hd.int_diag.astype(f32),
+        pr=p0.re.astype(f32), pi=p0.im.astype(f32),
+    )
+
+    def loss(zr_re, zr_im):
+        o_re, o_im = fused_evolve(
+            zr_re, zr_im, consts["zc_re"], consts["zc_im"], consts["hs"],
+            consts["rp"], consts["cp"], consts["diag"], consts["pr"],
+            consts["pi"], True,
+        )
+        return jnp.sum(o_re**2 - o_im)
+
+    g = jax.grad(loss, argnums=(0, 1))(
+        zr.re.astype(f32), zr.im.astype(f32)
+    )
+    # finite-difference spot checks
+    eps = 1e-2
+    z0 = zr.re.astype(f32)
+    z1 = zr.im.astype(f32)
+    for idx in [(10, 1, 0), (50, 3, 0)]:
+        lp = float(loss(z0.at[idx].add(eps), z1))
+        lm = float(loss(z0.at[idx].add(-eps), z1))
+        fd = (lp - lm) / (2 * eps)
+        assert abs(float(g[0][idx]) - fd) < max(5e-3, 0.05 * abs(fd) + 1e-4)
+
+
+def test_run_with_pallas_solver(two_atom_register):
+    """SolverType.RK4_PALLAS through the emulator run() path (interpret
+    mode on CPU)."""
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    res_ref = sim.run(solver=SolverType.DP5_SE)
+    res_fast = sim.run(solver=SolverType.RK4_PALLAS)
+    ref = res_ref.states.to_numpy()
+    fast = res_fast.states.to_numpy()
+    assert np.abs(ref - fast).max() < 5e-5
+    with pytest.raises(ValueError):
+        sim.set_evaluation_times("Full")
+        sim.run(solver=SolverType.RK4_PALLAS)
+
+
 def test_pallas_rejects_xy():
     import jax.numpy as jnp
 
