@@ -482,6 +482,78 @@ class TpuEmulator:
             meas_errors,
         )
 
+    # ------------------------------------------------------------------
+    # functional gradient helpers (the JAX form of the reference's
+    # time_grad / dist_grad flags, backend.py:453-460)
+    # ------------------------------------------------------------------
+    def expectation_fn_of_dists(self, obs, solver: str = SolverType.DP5_SE,
+                                **options: Any):
+        """Pure fn: distance values -> expectation trace (n_eval,).
+
+        The returned function takes a (n_pairs,) array ordered like
+        `sorted(self.qq_distance_keys)` and re-assembles the interaction
+        with those inter-qubit distances (the reference's `dist_grad`
+        leaves, hamiltonian.py:341-342); differentiate it with jax.grad /
+        deriv_param.
+        """
+        from pulser_diff_tpu.cplx import as_cplx
+        from pulser_diff_tpu.hamiltonian import zero_noise_draws
+        from pulser_diff_tpu.ops.linalg import expect as _expect
+
+        obs = as_cplx(obs, dtype=default_dtype())
+        h = self._hamiltonian
+        keys = self.qq_distance_keys
+        substeps = int(options.get("substeps", self._auto_substeps(options)))
+        krylov_dim = int(options.get("krylov_dim", 12))
+        grid = TimeGrid.make(h.sampling_times, self._eval_times_array)
+        draws = zero_noise_draws(h._size, h._count_noise_slots())
+
+        def fn(dist_values):
+            h._dist_override = dict(zip(keys, dist_values))
+            try:
+                hd = h.build_data(draws)
+            finally:
+                h._dist_override = {}
+            states = self._solve_states(
+                hd, None, solver, substeps, krylov_dim, grid
+            )
+            return _expect(obs, states).re
+
+        return fn
+
+    @property
+    def qq_distance_keys(self) -> list:
+        """Pair keys 'q1-q2' in the canonical order used by
+        expectation_fn_of_dists."""
+        import itertools
+
+        qids = list(self._hamiltonian._qdict)
+        return [
+            f"{q1}-{q2}" for q1, q2 in itertools.combinations(qids, 2)
+        ]
+
+    def expectation_fn_of_times(self, obs, solver: str = SolverType.DP5_SE,
+                                **options: Any):
+        """Pure fn: evaluation times -> expectation trace — feed to
+        derivative.deriv_time (the reference's time_grad path)."""
+        from pulser_diff_tpu.cplx import as_cplx
+        from pulser_diff_tpu.ops.linalg import expect as _expect
+
+        obs = as_cplx(obs, dtype=default_dtype())
+        h = self._hamiltonian
+        substeps = int(options.get("substeps", self._auto_substeps(options)))
+        krylov_dim = int(options.get("krylov_dim", 12))
+        grid0 = TimeGrid.make(h.sampling_times, self._eval_times_array)
+
+        def fn(times):
+            grid = grid0.with_values(times)
+            states = self._solve_states(
+                h._ham_data, None, solver, substeps, krylov_dim, grid
+            )
+            return _expect(obs, states).re
+
+        return fn
+
     def run(
         self,
         time_grad: bool = False,

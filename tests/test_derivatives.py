@@ -200,3 +200,48 @@ def test_deriv_param_onehot(reg2):
     (g,) = deriv_param(f, [om], times=times, t=None)
     g_ref = jax.grad(lambda v: f(v)[-1])(om)
     assert abs(float(g) - float(g_ref)) < 1e-12
+
+
+def test_distance_gradient_vs_coordinate_gradient(reg2):
+    """d<O>/d(r_q0q1) via the dist-override path must match the chain rule
+    through coordinates (reference dist_grad, backend.py:456-460)."""
+    from pulser_diff_tpu.core import MockDevice, Pulse, Sequence
+
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(200, 2.0, 0.0, 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    fn = sim.expectation_fn_of_dists(OBS)
+    d0 = jnp.asarray([8.0])
+    grad_d = jax.grad(lambda d: fn(d)[-1])(d0)
+
+    # coordinate route: move q1 along x; dr/dx1 = 1 at this geometry
+    def f_coord(x1):
+        reg = Register(
+            {"q0": jnp.array([-4.0, 0.0]), "q1": jnp.stack([x1, jnp.asarray(0.0)])}
+        )
+        s2 = Sequence(reg, MockDevice)
+        s2.declare_channel("ryd", "rydberg_global")
+        s2.add(Pulse.ConstantPulse(200, 2.0, 0.0, 0.0), "ryd")
+        sim2 = TpuEmulator.from_sequence(s2, evaluation_times="Minimal")
+        return sim2.run().expect([OBS])[0].re[-1]
+
+    grad_x = jax.grad(f_coord)(jnp.asarray(4.0))
+    assert abs(float(grad_d[0]) - float(grad_x)) < 1e-9
+
+
+def test_expectation_fn_of_times_matches_deriv_time(reg2):
+    from pulser_diff_tpu.core import MockDevice, Pulse, Sequence
+
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(150, 2.0, -0.5, 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(seq)
+    fn = sim.expectation_fn_of_times(OBS)
+    dfdt = deriv_time(fn, sim.evaluation_times)
+    # compare against a central difference of the trace itself
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    f = np.asarray(jax.device_get(fn(sim.evaluation_times)))
+    mid = (f[2:] - f[:-2]) / (t[2:] - t[:-2])
+    err = np.abs(np.asarray(jax.device_get(dfdt))[1:-1] - mid)
+    assert err[2:-2].mean() < 5e-2
