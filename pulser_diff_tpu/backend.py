@@ -415,32 +415,41 @@ class TpuEmulator:
                 jnp.transpose(states.im.reshape(n_eval, nb, dim), (0, 2, 1)),
             )
         elif solver == SolverType.RK4_PALLAS:
-            # fused single-kernel f32 fast mode: final state only
-            from pulser_diff_tpu.ops.pallas_evolution import pallas_evolve
+            # fused single-kernel f32 fast mode
+            from pulser_diff_tpu.ops.pallas_evolution import (
+                pallas_evolve,
+                pallas_evolve_states,
+            )
 
-            if grid.n_eval > 2:
-                raise ValueError(
-                    "RK4_PALLAS supports evaluation_times='Minimal' "
-                    "(initial + final state) only."
-                )
+            interpret = jax.default_backend() == "cpu"
             psi0 = self._initial_state
             nb = psi0.shape[1]
+            dim = da * db
             p = Cplx(
                 psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
             )
-            final = pallas_evolve(
-                ham_data, p, grid.times,
-                interpret=jax.default_backend() == "cpu",
+            if grid.n_eval <= 2:
+                # differentiable final-state path (custom-VJP adjoint)
+                final = pallas_evolve(
+                    ham_data, p, grid.times, interpret=interpret
+                )
+                f0 = Cplx(
+                    psi0.re.astype(final.dtype), psi0.im.astype(final.dtype)
+                )
+                ffin = Cplx(
+                    final.re.reshape(nb, dim).T, final.im.reshape(nb, dim).T
+                )
+                return Cplx(
+                    jnp.stack([f0.re, ffin.re]), jnp.stack([f0.im, ffin.im])
+                )
+            # forward-only path emitting every evaluation-time state
+            states = pallas_evolve_states(
+                ham_data, p, grid, interpret=interpret
             )
-            dim = da * db
-            f0 = Cplx(
-                psi0.re.astype(final.dtype), psi0.im.astype(final.dtype)
-            )
-            ffin = Cplx(
-                final.re.reshape(nb, dim).T, final.im.reshape(nb, dim).T
-            )
+            n_eval = states.re.shape[0]
             return Cplx(
-                jnp.stack([f0.re, ffin.re]), jnp.stack([f0.im, ffin.im])
+                jnp.transpose(states.re.reshape(n_eval, nb, dim), (0, 2, 1)),
+                jnp.transpose(states.im.reshape(n_eval, nb, dim), (0, 2, 1)),
             )
         elif solver in (SolverType.DP5_ME, SolverType.RK4_ME):
             psi0 = self._initial_state

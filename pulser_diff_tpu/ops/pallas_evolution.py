@@ -168,6 +168,118 @@ def _fwd_kernel(
     out_im_ref[...] = y
 
 
+def _fwd_states_kernel(
+    psi_re_ref, psi_im_ref,
+    rp_ref, rpt_ref, cp_ref, cpt_ref,
+    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref,
+    hs_ref, diag_ref, slots_ref,
+    out_re_ref, out_im_ref,
+    *, n_steps: int, pr: int, pc: int, nb: int,
+):
+    """Forward RK4 evolution emitting states at evaluation slots.
+
+    slots_ref: (n_steps + 1,) i32 in SMEM — eval-slot index per grid
+    point (n_eval = dropped).  out: (n_eval, nb, da, db).
+    """
+    diag = diag_ref[...]
+    rp, rpt = rp_ref[...], rpt_ref[...]
+    cp, cpt = cp_ref[...], cpt_ref[...]
+    n_eval = out_re_ref.shape[0]
+
+    def write(gridpoint, x, y):
+        slot = slots_ref[gridpoint]
+        from jax.experimental import pallas as pl
+
+        @pl.when(slot < n_eval)
+        def _():
+            out_re_ref[slot] = x
+            out_im_ref[slot] = y
+
+    def body(k, carry):
+        x, y = carry
+        zrr, zri = zr_re_ref[k], zr_im_ref[k]
+        zcr, zci = zc_re_ref[k], zc_im_ref[k]
+        h = hs_ref[k, 0]
+
+        def stage(s, xs, ys):
+            hr_re, hr_im = _assemble(rp, rpt, zrr[s], zri[s], pr)
+            gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
+            return _apply_minus_iH(hr_re, hr_im, gc_re, -gim, diag, xs, ys, nb)
+
+        k1x, k1y = stage(0, x, y)
+        k2x, k2y = stage(1, x + 0.5 * h * k1x, y + 0.5 * h * k1y)
+        k3x, k3y = stage(2, x + 0.5 * h * k2x, y + 0.5 * h * k2y)
+        k4x, k4y = stage(3, x + h * k3x, y + h * k3y)
+        x = x + (h / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x)
+        y = y + (h / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y)
+        write(k + 1, x, y)
+        return (x, y)
+
+    x0 = psi_re_ref[...]
+    y0 = psi_im_ref[...]
+    write(jnp.int32(0), x0, y0)
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), body, (x0, y0))
+
+
+def pallas_evolve_states(
+    ham: FactoredHamiltonian,
+    psi0: Cplx,
+    grid,
+    interpret: bool = False,
+) -> Cplx:
+    """Forward-only fused evolution emitting states at the grid's
+    evaluation slots: (n_eval, nb, da, db), f32.  Not differentiable —
+    use `pallas_evolve` (final state) or the XLA solver for gradients."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if ham.dense_mats is not None:
+        raise NotImplementedError(
+            "pallas kernels support diagonal-interaction (ising) "
+            "Hamiltonians only."
+        )
+    f32 = jnp.float32
+    zr, zc, hs = _precompute_stage_z(ham, grid.times)
+    n_steps = int(hs.shape[0])
+    pr = int(ham.row_parts.shape[0])
+    pc = int(ham.col_parts.shape[0])
+    nb = int(psi0.re.shape[0])
+    n_eval = int(grid.n_eval)
+
+    rp = ham.row_parts.astype(f32)
+    rpt = jnp.swapaxes(rp, -1, -2)
+    cp = ham.col_parts.astype(f32)
+    cpt = jnp.swapaxes(cp, -1, -2)
+    slots = jnp.asarray(grid.write_slots, jnp.int32)
+
+    kern = partial(
+        _fwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb
+    )
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = (n_eval,) + tuple(psi0.re.shape)
+    out_re, out_im = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, f32),
+            jax.ShapeDtypeStruct(out_shape, f32),
+        ),
+        in_specs=[vm] * 12 + [sm],
+        out_specs=(vm, vm),
+        interpret=interpret,
+    )(
+        psi0.re.astype(f32),
+        psi0.im.astype(f32),
+        rp, rpt, cp, cpt,
+        zr.re.astype(f32), zr.im.astype(f32),
+        zc.re.astype(f32), zc.im.astype(f32),
+        hs.astype(f32).reshape(n_steps, 1),
+        ham.int_diag.astype(f32),
+        slots,
+    )
+    return Cplx(out_re, out_im)
+
+
 # ----------------------------------------------------------------------
 # adjoint kernel
 # ----------------------------------------------------------------------

@@ -95,9 +95,14 @@ def test_run_with_pallas_solver(two_atom_register):
     ref = res_ref.states.to_numpy()
     fast = res_fast.states.to_numpy()
     assert np.abs(ref - fast).max() < 5e-5
-    with pytest.raises(ValueError):
-        sim.set_evaluation_times("Full")
-        sim.run(solver=SolverType.RK4_PALLAS)
+    # Full evaluation times: forward-only states kernel
+    sim.set_evaluation_times("Full")
+    res_full_ref = sim.run(solver=SolverType.DP5_SE)
+    res_full_fast = sim.run(solver=SolverType.RK4_PALLAS)
+    err = np.abs(
+        res_full_ref.states.to_numpy() - res_full_fast.states.to_numpy()
+    ).max()
+    assert err < 5e-5
 
 
 def test_pallas_rejects_xy():
