@@ -32,7 +32,6 @@ from pulser_diff_tpu.core.register import Register
 from pulser_diff_tpu.core.sampler import SequenceSamples, sample
 from pulser_diff_tpu.core.sequence import Sequence
 from pulser_diff_tpu.hamiltonian import (
-    CollapseOps,
     Hamiltonian,
     NoiseDraws,
     draw_noise,
@@ -195,7 +194,7 @@ class TpuEmulator:
         new_nm = config.to_noise_model()
         old_noises = set(old.noise_types)
         diff = set(new_nm.noise_types) - old_noises
-        from dataclasses import asdict, replace as dc_replace
+        from dataclasses import asdict
 
         params = asdict(old)
         params["noise_types"] = tuple(old_noises | set(new_nm.noise_types))

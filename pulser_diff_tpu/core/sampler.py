@@ -10,7 +10,7 @@ Units: 1 sample per ns; amplitude/detuning in rad/us; phase in rad.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, replace
 from typing import Any, Optional
 
 import jax
@@ -20,7 +20,7 @@ import numpy as np
 from pulser_diff_tpu.config import default_dtype
 from pulser_diff_tpu.core.channels import Channel
 from pulser_diff_tpu.core.register import QubitId
-from pulser_diff_tpu.core.sequence import Sequence, _TimeSlot
+from pulser_diff_tpu.core.sequence import Sequence
 
 
 @dataclass

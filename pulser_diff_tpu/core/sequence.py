@@ -12,8 +12,8 @@ values through sampling and the Hamiltonian into the solver.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Iterable, Mapping, Optional, Union
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional
 
 import numpy as np
 

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import itertools
 from collections import defaultdict
-from dataclasses import dataclass
 from functools import reduce
 from typing import Any, Callable, NamedTuple, Optional, Union
 
@@ -40,12 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from pulser_diff_tpu.config import default_dtype
-from pulser_diff_tpu.cplx import Cplx, as_cplx, czeros
+from pulser_diff_tpu.cplx import Cplx, as_cplx
 from pulser_diff_tpu.core.devices import Device
 from pulser_diff_tpu.core.register import QubitId
 from pulser_diff_tpu.core.sampler import SequenceSamples
 from pulser_diff_tpu.ops.apply import FactoredHamiltonian
-from pulser_diff_tpu.ops.linalg import IMAT, XMAT, YMAT, ZMAT, basis_state, kron
+from pulser_diff_tpu.ops.linalg import XMAT, YMAT, ZMAT, basis_state, kron
 from pulser_diff_tpu.simconfig import (
     SUPPORTED_NOISES,
     NoiseModel,

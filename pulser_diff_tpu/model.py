@@ -40,12 +40,12 @@ from pulser_diff_tpu.core.sampler import (
     _SlmMask,
 )
 from pulser_diff_tpu.core.sequence import Sequence
-from pulser_diff_tpu.core.variables import Expr, Variable, VariableItem
+from pulser_diff_tpu.core.variables import Variable, VariableItem
 from pulser_diff_tpu.core.waveforms import ConstantWaveform
 from pulser_diff_tpu.ops.linalg import expect as _expect
 from pulser_diff_tpu.ops.linalg import total_magnetization
 from pulser_diff_tpu.simconfig import SimConfig
-from pulser_diff_tpu.solvers import SolverType, TimeGrid, mesolve, sesolve
+from pulser_diff_tpu.solvers import SolverType, TimeGrid
 from pulser_diff_tpu.waveform_funcs import constant_waveform
 
 

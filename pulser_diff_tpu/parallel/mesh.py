@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pulser_diff_tpu.config import default_dtype
 from pulser_diff_tpu.cplx import Cplx, as_cplx
-from pulser_diff_tpu.hamiltonian import Hamiltonian, draw_noise
+from pulser_diff_tpu.hamiltonian import draw_noise
 from pulser_diff_tpu.ops.linalg import expect as _expect
 from pulser_diff_tpu.solvers import SolverType, TimeGrid
 

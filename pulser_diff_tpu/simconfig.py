@@ -15,7 +15,7 @@ parameters").
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 from typing import Any, Optional, Sequence, Tuple
 
 import jax

@@ -11,7 +11,6 @@ from __future__ import annotations
 import typing
 from abc import ABC, abstractmethod
 from collections import Counter
-from functools import lru_cache, reduce
 from typing import Mapping, Optional, Sequence
 
 import jax
