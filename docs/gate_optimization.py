@@ -43,14 +43,17 @@ M = interpolate_sine(N_PARAMS, DURATION)
 
 
 def gate_fidelity(params):
-    """|tr(U_target^H U)|^2 / d^2 from evolving the identity."""
+    """|tr(U_target^H U)|^2 / d^2 from evolving the identity.
+
+    Both the amplitude and the detuning envelopes are trainable — a
+    Hadamard needs rotation about (x+z)/sqrt(2), i.e. detuning too.
+    """
+    amp_p, det_p = params
     seq = Sequence(reg, MockDevice)
     seq.declare_channel("ryd", "rydberg_global")
-    amp = M @ params
-    seq.add(
-        Pulse(CustomWaveform(amp), ConstantWaveform(DURATION, 0.0), 0.0),
-        "ryd",
-    )
+    amp = jax.nn.relu(M @ amp_p)
+    det = M @ det_p
+    seq.add(Pulse(CustomWaveform(amp), CustomWaveform(det), 0.0), "ryd")
     sim = TpuEmulator.from_sequence(
         seq, sampling_rate=SAMPLING_RATE, evaluation_times="Minimal"
     )
@@ -65,18 +68,21 @@ def gate_fidelity(params):
 
 
 if __name__ == "__main__":
-    params = jnp.full((N_PARAMS,), 2.0)
+    params = (
+        jnp.full((N_PARAMS,), 3.0),
+        jnp.full((N_PARAMS,), 3.0),
+    )
     loss_fn = lambda p: 1.0 - gate_fidelity(p)
     vag = jax.jit(jax.value_and_grad(loss_fn))
     opt = optax.adam(5e-2)
     state = opt.init(params)
     best = (1.0, params)
-    for ep in range(120):
+    for ep in range(300):
         loss, g = vag(params)
         upd, state = opt.update(g, state, params)
         params = optax.apply_updates(params, upd)
         if float(loss) < best[0]:
             best = (float(loss), params)
-        if ep % 20 == 0:
+        if ep % 25 == 0:
             print(f"epoch {ep}: infidelity {float(loss):.6f}")
     print(f"final gate fidelity: {100 * (1 - best[0]):.3f}%")

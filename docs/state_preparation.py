@@ -23,11 +23,11 @@ from pulser_diff_tpu.core import (
 from pulser_diff_tpu.ops import interpolate_sine
 
 N_QUBITS = 6
-N_PARAMS = 8
-DURATION = 600
+N_PARAMS = 15
+DURATION = 1100
 SAMPLING_RATE = 0.25
 
-reg = Register.linear(N_QUBITS, spacing=11.0, prefix="q")
+reg = Register.linear(N_QUBITS, spacing=12.0, prefix="q")
 M = interpolate_sine(N_PARAMS, DURATION)
 
 # target: all atoms in |r> (index 0 per site -> global index 0)
@@ -56,13 +56,14 @@ if __name__ == "__main__":
 
     loss_fn = lambda a, d: 1.0 - fidelity(a, d)
     vag = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
-    opt = optax.adam(5e-2)
+    schedule = optax.exponential_decay(5e-2, 500, 0.5)
+    opt = optax.adam(schedule)
     params = (amp_p, det_p)
     state = opt.init(params)
-    for ep in range(150):
+    for ep in range(1200):
         loss, grads = vag(*params)
         upd, state = opt.update(grads, state, params)
         params = optax.apply_updates(params, upd)
-        if ep % 25 == 0:
+        if ep % 100 == 0:
             print(f"epoch {ep}: infidelity {float(loss):.6f}")
     print(f"final state fidelity: {100 * (1 - float(loss)):.3f}%")
