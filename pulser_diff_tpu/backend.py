@@ -397,7 +397,12 @@ class TpuEmulator:
         (n_eval, dim, dim) density matrices."""
         h = self._hamiltonian
         da, db = h.dim**h._a, h.dim**h._b
-        if solver in (SolverType.DP5_SE, SolverType.RK4_SE, SolverType.KRYLOV_SE):
+        if solver in (
+            SolverType.DP5_SE,
+            SolverType.RK4_SE,
+            SolverType.KRYLOV_SE,
+            SolverType.DP5_SE_ADAPTIVE,
+        ):
             psi0 = self._initial_state  # (dim, nb)
             nb = psi0.shape[1]
             p = Cplx(

@@ -59,6 +59,10 @@ class SolverType:
     # fused single-kernel f32 fast mode (ops/pallas_evolution.py);
     # final-state evaluation times only
     RK4_PALLAS = "RK4_PALLAS"
+    # adaptive-step DP5 with embedded 4th-order error control (the
+    # reference's pyqtorch solver is adaptive); bounded lax.while_loop,
+    # forward-only (reverse-mode through while_loop is unsupported)
+    DP5_SE_ADAPTIVE = "DP5_SE_ADAPTIVE"
 
 
 @dataclass(frozen=True)
@@ -183,6 +187,9 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
 
         return step
 
+    if solver == SolverType.DP5_SE_ADAPTIVE:
+        return _make_se_step_adaptive(ham, substeps)
+
     if solver == SolverType.KRYLOV_SE:
         # 4th-order commutator-free Magnus (CF4, Blanes-Moan): two Lanczos
         # exponentials per step built from the two Gauss-point Hamiltonians.
@@ -221,6 +228,75 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
         return step
 
     raise ValueError(f"Unknown statevector solver '{solver}'.")
+
+
+# embedded 4th-order weights for the DP5 error estimate (needs the FSAL
+# 7th stage k7 = f(t+h, y5))
+_DP5_B4 = np.array(
+    [5179 / 57600, 0.0, 7571 / 16695, 393 / 640, -92097 / 339200,
+     187 / 2100, 1 / 40]
+)
+
+
+def _make_se_step_adaptive(ham, substeps: int, rtol: float = 1e-8,
+                           atol: float = 1e-10, max_iters: int = 256):
+    """Adaptive DP5(4) with PI-free step control inside a bounded
+    lax.while_loop per grid interval.  Forward-only."""
+
+    def rhs(t, psi):
+        return _se_rhs(ham, t, psi)
+
+    def step(psi: Cplx, t0, t1):
+        h0 = (t1 - t0) / substeps
+
+        def cond(carry):
+            t, p, h, i = carry
+            return jnp.logical_and(t < t1 - 1e-15, i < max_iters)
+
+        def body(carry):
+            t, p, h, i = carry
+            h_eff = jnp.minimum(h, t1 - t)
+            ks = []
+            for s, cs in enumerate(_DP5_C):
+                y = p
+                for j, a in enumerate(_DP5_A[s]):
+                    if a != 0.0:
+                        y = y + ks[j] * (a * h_eff)
+                ks.append(rhs(t + cs * h_eff, y))
+            y5 = p
+            for bi, ki in zip(_DP5_B, ks):
+                if bi != 0.0:
+                    y5 = y5 + ki * (bi * h_eff)
+            k7 = rhs(t + h_eff, y5)
+            ks.append(k7)
+            # embedded error: y5 - y4 = h * sum (b5 - b4) k
+            err = None
+            b5_ext = list(_DP5_B) + [0.0]
+            for b5i, b4i, ki in zip(b5_ext, _DP5_B4, ks):
+                d = b5i - b4i
+                if d != 0.0:
+                    term = ki * (d * h_eff)
+                    err = term if err is None else err + term
+            scale2 = (atol + rtol * jnp.sqrt(p.abs2())) ** 2
+            err_norm = jnp.sqrt(jnp.mean(err.abs2() / scale2))
+            accept = err_norm <= 1.0
+            p_new = Cplx(
+                jnp.where(accept, y5.re, p.re), jnp.where(accept, y5.im, p.im)
+            )
+            t_new = jnp.where(accept, t + h_eff, t)
+            factor = jnp.clip(
+                0.9 * jnp.where(err_norm > 0, err_norm, 1e-10) ** -0.2,
+                0.2,
+                5.0,
+            )
+            return (t_new, p_new, h_eff * factor, i + 1)
+
+        t_f, p_f, _, iters = jax.lax.while_loop(
+            cond, body, (t0 * 1.0, psi, h0, jnp.int32(0))
+        )
+        return p_f
+
+    return step
 
 
 def _krylov_expm(apply, psi: Cplx, h, m: int) -> Cplx:

@@ -187,3 +187,14 @@ def test_get_hamiltonian(two_atom_register):
 
     Href, _, _, _ = golden_h_of_t(seq, MockDevice)
     assert np.abs(Hnp - Href(0.1)).max() < 1e-9
+
+
+def test_adaptive_dp5_vs_golden(two_atom_register):
+    """Adaptive DP5 (bounded while_loop, the reference's solver style)."""
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    res = sim.run(solver=SolverType.DP5_SE_ADAPTIVE)
+    psi = states_matrix(res)[-1, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)[-1]
+    assert np.abs(psi - ref).max() < 1e-6
