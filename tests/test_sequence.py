@@ -156,3 +156,44 @@ def test_phase_forward_fill_and_post_phase_shift():
     assert ph[10] == pytest.approx(0.2)
     assert ph[60] == pytest.approx(0.2)  # forward fill over delay
     assert ph[80] == pytest.approx(0.6)  # 0.1 + accumulated 0.5
+
+
+def test_output_modulation():
+    """with_modulation low-pass filters the samples (pulser's EOM response
+    approximated by a Gaussian kernel, core/sampler.py:_modulate)."""
+    from pulser_diff_tpu.core.channels import Channel
+    from pulser_diff_tpu.core.devices import Device
+
+    dev = Device(
+        name="ModDevice",
+        channels=(
+            Channel(
+                name="rydberg_global",
+                addressing="Global",
+                basis="ground-rydberg",
+                mod_bandwidth=30.0,  # MHz -> ~16 ns rise time
+            ),
+        ),
+    )
+    r = Register.linear(2, spacing=8.0, prefix="q")
+    seq = Sequence(r, dev)
+    seq.declare_channel("g", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(200, 2.0, 0.0, 0.0), "g")
+    seq.delay(100, "g")  # room for the falling edge
+    raw = sample(seq).channel_samples["g"]
+    mod = sample(seq, modulation=True).channel_samples["g"]
+    raw_amp = np.asarray(raw.amp)
+    mod_amp = np.asarray(mod.amp)
+    # same pulse area, smoothed edges
+    assert abs(raw_amp.sum() - mod_amp.sum()) / raw_amp.sum() < 0.05
+    assert mod_amp[0] < 0.6 * raw_amp[100]  # rising edge at the start
+    assert abs(mod_amp[100] - 2.0) < 1e-6  # plateau unchanged
+    # emulator accepts modulated sampling end-to-end
+    from pulser_diff_tpu import TpuEmulator
+
+    sim = TpuEmulator.from_sequence(
+        seq, evaluation_times="Minimal", with_modulation=True
+    )
+    res = sim.run()
+    psi = res.states.to_numpy()[-1, :, 0]
+    assert abs(np.linalg.norm(psi) - 1) < 1e-8
