@@ -67,3 +67,41 @@ def test_graft_dryrun_multichip():
     m = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)
+
+
+def test_sharded_expectation_step(two_atom_register):
+    """Full jitted training step over a mesh (noise axis sharded)."""
+    import optax
+
+    from pulser_diff_tpu import SimConfig
+    from pulser_diff_tpu.core import MockDevice, Pulse, Sequence
+    from pulser_diff_tpu.model import QuantumModel
+    from pulser_diff_tpu.ops import total_magnetization
+    from pulser_diff_tpu.parallel import sharded_expectation_step
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh({"runs": 4}, devices=jax.devices()[:4])
+    seq = Sequence(two_atom_register, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    om = seq.declare_variable("omega")
+    seq.add(Pulse.ConstantPulse(60, om, 0.0, 0.0), "ryd")
+    model = QuantumModel(
+        seq,
+        {"omega": jnp.asarray(1.5)},
+        noise_config=SimConfig(noise="doppler", temperature=50.0),
+        evaluation_times="Minimal",
+    )
+    obs = total_magnetization(2)
+    optimizer = optax.adam(1e-2)
+    step = sharded_expectation_step(
+        model, obs, target=-1.5, optimizer=optimizer, mesh=mesh, n_runs=4
+    )
+    params = dict(model.params)
+    opt_state = optimizer.init(params)
+    with mesh:
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.PRNGKey(3)
+        )
+    assert np.isfinite(float(loss))
+    assert float(params["omega"]) != 1.5  # an update happened
