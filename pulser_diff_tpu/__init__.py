@@ -16,6 +16,8 @@ SimConfig; the rest is imported from submodules, as the notebooks do):
 from pulser_diff_tpu import config as _config  # noqa: F401  (enables x64)
 from pulser_diff_tpu.backend import TorchEmulator, TpuEmulator
 from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.derivative import deriv_param, deriv_time
+from pulser_diff_tpu.model import QuantumModel
 from pulser_diff_tpu.simconfig import NoiseModel, SimConfig
 from pulser_diff_tpu.solvers import SolverType
 
@@ -24,8 +26,11 @@ __version__ = "0.1.0"
 __all__ = [
     "TpuEmulator",
     "TorchEmulator",
+    "QuantumModel",
     "SimConfig",
     "NoiseModel",
     "SolverType",
     "Cplx",
+    "deriv_time",
+    "deriv_param",
 ]
