@@ -99,3 +99,39 @@ def test_weights_three_level():
     w = np.asarray(jax.device_get(res._weights()))
     # q0 in g -> bit 0; q1 in r -> bit 1 => bitstring "01" = index 1
     assert w[1] == pytest.approx(1.0)
+
+
+def test_plotting_smoke(tmp_path):
+    """SimulationResults.plot / NoisyResults error bars / emulator.draw
+    (reference simresults.py:159-169, :314-344; backend.py:613-649)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    import jax.numpy as jnp
+    from pulser_diff_tpu import SimConfig, TpuEmulator
+    from pulser_diff_tpu.core import MockDevice, Pulse, Register, Sequence
+    from pulser_diff_tpu.ops import total_magnetization
+
+    reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(100, 1.5, -0.5, 0.2), "ryd")
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.2)
+    res = sim.run()
+    obs = total_magnetization(2)
+    res.plot(obs)
+    plt.close("all")
+    # noisy results with error bars
+    cfg = SimConfig(noise="doppler", temperature=50.0, runs=4, samples_per_run=3)
+    sim2 = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    nres = sim2.run()
+    nres.plot(obs, error_bars=True)
+    plt.close("all")
+    # emulator sample drawing
+    fig_path = tmp_path / "draw.png"
+    plt.ioff()
+    sim.draw(draw_phase_curve=True, fig_name=str(fig_path))
+    plt.close("all")
+    assert fig_path.exists()
