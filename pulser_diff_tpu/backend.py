@@ -650,7 +650,8 @@ class TpuEmulator:
 
             states_all = jax.vmap(solve_one)(bad_stack)
             return self._sample_noisy(
-                states_all, reps, cfg_nm.samples_per_run, cfg_nm.runs
+                states_all, reps, cfg_nm.samples_per_run, cfg_nm.runs,
+                meas_errors,
             )
 
         # stochastic path: vmapped Monte-Carlo over runs
@@ -668,31 +669,116 @@ class TpuEmulator:
 
         states_all = jax.vmap(solve_one)(keys)
         return self._sample_noisy(
-            states_all, [1] * loop_runs, cfg_nm.samples_per_run, cfg_nm.runs
+            states_all, [1] * loop_runs, cfg_nm.samples_per_run, cfg_nm.runs,
+            meas_errors,
         )
 
-    # -- noisy sampling: device-batched weights -> host Counters ---------
-    def _sample_noisy(
-        self, states_all: Cplx, reps: list, samples_per_run: int, runs: int
-    ) -> NoisyResults:
+    # -- noisy sampling: fully on device, one host transfer --------------
+    def _batched_weights(self, states_all: Cplx) -> jax.Array:
+        """Measurement bitstring probabilities for a (R, n_eval, ...) state
+        batch — the vectorised form of QuantumResult._weights (result.py).
+
+        Returns (R, n_eval, 2^n), normalised along the last axis.
+        """
         h = self._hamiltonian
+        n = h._size
+        dim = h.dim
+        full = dim**n
+        re, im = states_all.re, states_all.im
+        is_dm = re.ndim == 4 and re.shape[-2] == re.shape[-1] == full
+        if is_dm:
+            probs = jnp.abs(
+                jnp.diagonal(re, axis1=-2, axis2=-1)
+            )  # (R, n_eval, full)
+        else:
+            probs = (re**2 + im**2).reshape(re.shape[0], re.shape[1], -1)
+
+        matching = self._meas_basis == h.basis_name
+        if dim == 2:
+            if matching:
+                if self._meas_basis == "ground-rydberg":
+                    probs = probs[..., ::-1]  # r-first ordering -> bit order
+            else:
+                probs = jnp.zeros_like(probs).at[..., 0].set(1.0)
+            weights = probs
+        elif dim == 3:
+            from pulser_diff_tpu.result import _three_level_projection_matrix
+
+            if self._meas_basis == "ground-rydberg":
+                one_state, ex0, ex1 = 0, 1, 2
+            elif self._meas_basis == "digital":
+                one_state, ex0, ex1 = 2, 0, 1
+            else:
+                raise RuntimeError(
+                    f"Unknown measurement basis '{self._meas_basis}' for a "
+                    "three-level system."
+                )
+            P = jnp.asarray(
+                _three_level_projection_matrix(n, one_state, ex0, ex1),
+                probs.dtype,
+            )
+            weights = jnp.einsum("ks,rts->rtk", P, probs)
+        else:
+            raise NotImplementedError(
+                "Cannot sample systems with single-atom dimension > 3."
+            )
+        weights = jnp.clip(weights, 0.0, None)
+        return weights / jnp.sum(weights, axis=-1, keepdims=True)
+
+    def _sample_noisy(
+        self,
+        states_all: Cplx,
+        reps: list,
+        samples_per_run: int,
+        runs: int,
+        meas_errors: Optional[Mapping[str, float]] = None,
+    ) -> NoisyResults:
+        """Bitstring statistics for a batch of noisy runs.
+
+        The reference samples each run serially on the host
+        (backend.py:573-595, simresults.py:497-540 for the SPAM flips);
+        here sampling AND the detection-error bit flips run as one batched
+        device program — a single (n_eval, 2^n) counts transfer comes back.
+        """
+        h = self._hamiltonian
+        n = h._size
+        K = 2**n
         n_runs = states_all.re.shape[0]
         n_eval = states_all.re.shape[1]
-        time_indices = range(n_eval)
-        total_count = np.array([Counter() for _ in time_indices], dtype=object)
-        for r in range(n_runs):
-            res = self._wrap_coherent(states_all[r], None)
-            for ti, t in enumerate(self._eval_times_array):
-                total_count[ti] += res.sample_state(
-                    float(t), n_samples=samples_per_run * reps[r]
-                )
+        n_per_run = np.asarray(reps, dtype=np.int64) * samples_per_run
+        n_max = int(n_per_run.max())
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+
+        weights = self._batched_weights(states_all)  # (R, n_eval, K)
+        eps = eps_p = 0.0
+        if meas_errors is not None:
+            eps = _f(meas_errors["epsilon"])
+            eps_p = _f(meas_errors["epsilon_prime"])
+
+        counts = _device_sample_counts(
+            weights,
+            jnp.asarray(n_per_run, jnp.int32),
+            n_max,
+            key,
+            n,
+            eps,
+            eps_p,
+        )  # (n_eval, K) int
+        counts_np = np.asarray(jax.device_get(counts))
+
         n_measures = runs * samples_per_run
-        results = [
-            SampledResult(
-                tuple(h._qdict), self._meas_basis, total_count[t]
+        results = []
+        for t in range(n_eval):
+            nz = np.nonzero(counts_np[t])[0]
+            counter = Counter(
+                {
+                    np.binary_repr(int(i), width=n): int(counts_np[t, i])
+                    for i in nz
+                }
             )
-            for t in time_indices
-        ]
+            results.append(
+                SampledResult(tuple(h._qdict), self._meas_basis, counter)
+            )
         return NoisyResults(
             results,
             h._size,
@@ -795,6 +881,61 @@ class TpuEmulator:
 
 def _f(x: Any) -> float:
     return float(np.asarray(jax.device_get(x)))
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnums=(2, 4, 5, 6))
+def _device_sample_counts(
+    weights: jax.Array,
+    n_per_run: jax.Array,
+    n_max: int,
+    key: jax.Array,
+    n_qubits: int,
+    eps: float,
+    eps_p: float,
+) -> jax.Array:
+    """Categorical bitstring sampling + SPAM detection flips, on device.
+
+    weights: (R, n_eval, K) probabilities; n_per_run: (R,) sample counts
+    (padded draws beyond each run's count are masked out of the bincount).
+    Returns integer counts (n_eval, K) summed over runs.
+    """
+    R, n_eval, K = weights.shape
+    logits = jnp.log(jnp.clip(weights, 1e-300, None))
+    k_draw, k_flip = jax.random.split(key)
+    samples = jax.random.categorical(
+        k_draw, logits[:, :, None, :], axis=-1,
+        shape=(R, n_eval, n_max),
+    )  # int (R, n_eval, n_max)
+
+    if eps > 0.0 or eps_p > 0.0:
+        # detection errors: per-bit flip with p = eps (0->1) / eps_p (1->0)
+        # (reference simresults.py:497-540 does this per-shot on the host)
+        u = jax.random.uniform(
+            k_flip, (R, n_eval, n_max, n_qubits), weights.dtype
+        )
+        bit_pos = jnp.arange(n_qubits, dtype=samples.dtype)
+        bits = (samples[..., None] >> bit_pos) & 1
+        p_flip = jnp.where(bits == 1, eps_p, eps)
+        flips = (u < p_flip).astype(samples.dtype)
+        flip_mask = jnp.sum(flips << bit_pos, axis=-1)
+        samples = samples ^ flip_mask
+
+    mask = (
+        jnp.arange(n_max, dtype=jnp.int32)[None, :]
+        < n_per_run[:, None]
+    ).astype(jnp.float32)  # (R, n_max)
+
+    def count_cell(s_rt, w_r):
+        return jnp.bincount(s_rt, weights=w_r, length=K)
+
+    # vmap over runs and eval times; sum the run axis
+    per_cell = jax.vmap(
+        lambda s_r, w_r: jax.vmap(lambda s_rt: count_cell(s_rt, w_r))(s_r)
+    )(samples, mask)  # (R, n_eval, K)
+    return jnp.sum(per_cell, axis=0).astype(jnp.int32)
 
 
 # Reference-name alias: a drop-in for users migrating from pulser-diff.

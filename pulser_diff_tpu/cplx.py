@@ -252,3 +252,12 @@ def cconcat(xs: Sequence[Cplx], axis: int = 0) -> Cplx:
         jnp.concatenate([x.re for x in xs], axis=axis),
         jnp.concatenate([x.im for x in xs], axis=axis),
     )
+
+
+def ceinsum(sub: str, a: Cplx, b: Cplx) -> Cplx:
+    """Complex einsum from split re/im parts (4 real einsums)."""
+    rr = jnp.einsum(sub, a.re, b.re)
+    ii = jnp.einsum(sub, a.im, b.im)
+    ri = jnp.einsum(sub, a.re, b.im)
+    ir = jnp.einsum(sub, a.im, b.re)
+    return Cplx(rr - ii, ri + ir)

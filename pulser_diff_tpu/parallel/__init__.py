@@ -1,7 +1,13 @@
 from pulser_diff_tpu.parallel.mesh import (
     make_mesh,
     sharded_expectation_step,
+    sharded_mesolve,
     sharded_noise_states,
 )
 
-__all__ = ["make_mesh", "sharded_noise_states", "sharded_expectation_step"]
+__all__ = [
+    "make_mesh",
+    "sharded_noise_states",
+    "sharded_expectation_step",
+    "sharded_mesolve",
+]

@@ -146,3 +146,49 @@ def sharded_expectation_step(
         return params, opt_state, loss
 
     return step
+
+
+def sharded_mesolve(
+    ham_data,
+    rho0: Cplx,
+    collapse,
+    n_qudits: int,
+    qudit_dim: int,
+    grid: TimeGrid,
+    mesh: Mesh,
+    axis: str = "rho",
+    solver: str = SolverType.DP5_ME,
+    substeps: int = 1,
+    n_segments: Optional[int] = None,
+) -> Cplx:
+    """Lindblad evolution with the density matrix sharded over the mesh.
+
+    The row index of rho is split across ``mesh[axis]`` (NamedSharding
+    ``P(axis, None)``); XLA's SPMD partitioner propagates the sharding
+    through the factorized H application / dissipator einsums and inserts
+    the ICI collectives where contractions cross the shard boundary.  At
+    12 atoms (4096^2 complex rho = 268 MB split-f64) this is what lets the
+    mesolve state and its sqrt-checkpointed backward residuals span chips
+    instead of one HBM (SURVEY.md §2.4 extension; reference is
+    single-device, backend.py:495-509).
+    """
+    from pulser_diff_tpu.solvers import mesolve as _mesolve
+
+    rho_sh = NamedSharding(mesh, P(axis, None))
+    out_sh = NamedSharding(mesh, P(None, axis, None))
+
+    def run(hd, r0):
+        r0 = Cplx(
+            jax.lax.with_sharding_constraint(r0.re, rho_sh),
+            jax.lax.with_sharding_constraint(r0.im, rho_sh),
+        )
+        return _mesolve(
+            hd, r0, collapse, n_qudits, qudit_dim, grid,
+            solver=solver, substeps=substeps, n_segments=n_segments,
+        )
+
+    fn = jax.jit(run, out_shardings=out_sh)
+    rho0 = Cplx(
+        jax.device_put(rho0.re, rho_sh), jax.device_put(rho0.im, rho_sh)
+    )
+    return fn(ham_data, rho0)

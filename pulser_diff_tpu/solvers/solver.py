@@ -349,9 +349,56 @@ def _krylov_expm(apply, psi: Cplx, h, m: int) -> Cplx:
 # ----------------------------------------------------------------------
 # Lindblad RHS (mesolve)
 # ----------------------------------------------------------------------
+def _group_collapse(collapse: CollapseOps, n: int, d: int):
+    """Group the (M, d, d) collapse-op stack by site (static structure).
+
+    Returns a list of (site, L, Q) with L a Cplx (m, d, d) stack of the
+    ops acting at that site and Q = sum_m L_m^+ L_m (d, d).  This turns
+    the reference-shaped per-operator Python loop (M = n_ops * n lifted
+    ops per RHS call) into one batched contraction per *site*.
+    """
+    if collapse.ops is None:
+        return []
+    by_site: dict[int, list[int]] = {}
+    for k, s in enumerate(collapse.sites):
+        by_site.setdefault(int(s), []).append(k)
+    groups = []
+    for site in sorted(by_site):
+        idx = np.asarray(by_site[site], dtype=np.int64)
+        L = Cplx(collapse.ops.re[idx], collapse.ops.im[idx])  # (m, d, d)
+        q_re = jnp.einsum("mji,mjk->ik", L.re, L.re) + jnp.einsum(
+            "mji,mjk->ik", L.im, L.im
+        )
+        q_im = jnp.einsum("mji,mjk->ik", L.re, L.im) - jnp.einsum(
+            "mji,mjk->ik", L.im, L.re
+        )
+        groups.append((site, L, Cplx(q_re, q_im)))
+    return groups
+
+
+def _dissipator(groups, n: int, d: int, rho: Cplx) -> Cplx:
+    """sum_k L_k rho L_k^+ - 1/2 {L_k^+ L_k, rho}, batched per site."""
+    from pulser_diff_tpu.cplx import ceinsum
+
+    out = None
+    dim = d**n
+    for site, L, Q in groups:
+        lead = d**site
+        trail = dim // (lead * d)
+        rho6 = rho.reshape(lead, d, trail, lead, d, trail)
+        # sum_m L_m rho L_m^+ with the m axis kept through both einsums
+        t1 = ceinsum("mxi,aibcje->maxbcje", L, rho6)
+        diss = ceinsum("maxbcje,myj->axbcye", t1, L.conj()).reshape(dim, dim)
+        q_rho = apply_local_left(Q, site, n, d, rho)
+        rho_q = apply_local_right(Q, site, n, d, rho)
+        term = diss - (q_rho + rho_q) * 0.5
+        out = term if out is None else out + term
+    return out
+
+
 def _me_rhs(
     ham: FactoredHamiltonian,
-    collapse: CollapseOps,
+    groups,
     n: int,
     d: int,
     t: jax.Array,
@@ -366,21 +413,8 @@ def _me_rhs(
     comm = Cplx(hrho.re - hrho.re.T, hrho.im + hrho.im.T)
     out = comm.mul_neg_i()
 
-    if collapse.ops is not None:
-        M = collapse.ops.re.shape[0]
-        for k in range(M):
-            op = Cplx(collapse.ops.re[k], collapse.ops.im[k])
-            site = collapse.sites[k]
-            op_h = Cplx(op.re.T, -op.im.T)
-            ldag_l = Cplx(
-                op_h.re @ op.re - op_h.im @ op.im,
-                op_h.re @ op.im + op_h.im @ op.re,
-            )
-            l_rho = apply_local_left(op, site, n, d, rho)
-            l_rho_ldag = apply_local_right(op_h, site, n, d, l_rho)
-            m_rho = apply_local_left(ldag_l, site, n, d, rho)
-            rho_m = apply_local_right(ldag_l, site, n, d, rho)
-            out = out + l_rho_ldag - (m_rho + rho_m) * 0.5
+    if groups:
+        out = out + _dissipator(groups, n, d, rho)
     return out
 
 
@@ -390,12 +424,13 @@ def _make_me_step(ham, collapse, n, d, solver, substeps):
         if solver in (SolverType.DP5_ME,)
         else (_RK4_C, [[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]], np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6]))
     )
+    groups = _group_collapse(collapse, n, d)
 
     def step(rho: Cplx, t0, t1):
         h = (t1 - t0) / substeps
         def sub(i, p):
             return _explicit_rk_step(
-                partial(_me_rhs, ham, collapse, n, d), t0 + i * h, h, p, c, A, B
+                partial(_me_rhs, ham, groups, n, d), t0 + i * h, h, p, c, A, B
             )
         if substeps == 1:
             return sub(0, rho)
@@ -418,8 +453,32 @@ def _auto_remat(y0: Cplx, n_steps: int, stages: int = 6) -> bool:
     return n_steps * stages * state_bytes > _REMAT_BYTES_THRESHOLD
 
 
-def _integrate(step, y0: Cplx, grid: TimeGrid, remat: bool = True) -> Cplx:
-    """Scan over grid intervals, writing eval-slot states into a buffer."""
+def _auto_segments(y0: Cplx, n_steps: int) -> Optional[int]:
+    """Pick sqrt-checkpointing segment count when even one-state-per-step
+    residual storage would blow the memory threshold (large density
+    matrices / many steps)."""
+    state_bytes = 2 * y0.re.size * y0.re.dtype.itemsize
+    if n_steps * state_bytes > _REMAT_BYTES_THRESHOLD:
+        return max(2, int(np.ceil(np.sqrt(n_steps))))
+    return None
+
+
+def _integrate(
+    step,
+    y0: Cplx,
+    grid: TimeGrid,
+    remat: bool = True,
+    n_segments: Optional[int] = None,
+) -> Cplx:
+    """Scan over grid intervals, writing eval-slot states into a buffer.
+
+    ``n_segments``: optional sqrt-checkpointing — the step sequence is
+    split into segments, each wrapped in ``jax.checkpoint``; reverse-mode
+    then stores O(n_segments + seg_len) states instead of one state per
+    step (choose n_segments ~ sqrt(n_steps)).  This is how large-state
+    (10+ atom mesolve) gradients fit in HBM; the reference keeps torch's
+    full autograd graph over all steps (SURVEY.md §5 "long-context").
+    """
     n_grid = grid.times.shape[0]
     n_eval = grid.n_eval
     out = Cplx(
@@ -449,7 +508,38 @@ def _integrate(step, y0: Cplx, grid: TimeGrid, remat: bool = True) -> Cplx:
         )
         return (y, buf), None
 
-    (_, out), _ = jax.lax.scan(body, (y0, out), (t0s, t1s, slots))
+    n_steps = n_grid - 1
+    if n_segments is None or n_segments <= 1 or n_steps < 4:
+        (_, out), _ = jax.lax.scan(body, (y0, out), (t0s, t1s, slots))
+        return out
+
+    # sqrt-checkpointed two-level scan: pad with zero-length intervals
+    # (t0 == t1 == T, slot == n_eval -> dropped write) to a rectangle
+    n_segments = min(n_segments, n_steps)
+    seg_len = -(-n_steps // n_segments)
+    pad = n_segments * seg_len - n_steps
+    if pad:
+        t_last = grid.times[-1]
+        t0s = jnp.concatenate([t0s, jnp.full((pad,), 1.0) * t_last])
+        t1s = jnp.concatenate([t1s, jnp.full((pad,), 1.0) * t_last])
+        slots = jnp.concatenate(
+            [slots, jnp.full((pad,), n_eval, jnp.int32)]
+        )
+    xs_seg = (
+        t0s.reshape(n_segments, seg_len),
+        t1s.reshape(n_segments, seg_len),
+        slots.reshape(n_segments, seg_len),
+    )
+
+    @jax.checkpoint
+    def seg_fn(carry, xs):
+        carry, _ = jax.lax.scan(body, carry, xs)
+        return carry
+
+    def outer(carry, xs):
+        return seg_fn(carry, xs), None
+
+    (_, out), _ = jax.lax.scan(outer, (y0, out), xs_seg)
     return out
 
 
@@ -462,25 +552,32 @@ def sesolve(
     krylov_dim: int = 12,
     krylov_tol: float = 0.0,
     remat: Optional[bool] = None,
+    n_segments: Optional[int] = None,
 ) -> Cplx:
     """Integrate i dpsi/dt = H(t) psi.
 
     psi0: Cplx of shape (nb, da, db).  Returns (n_eval, nb, da, db).
-    remat=None picks checkpointing automatically from memory footprint.
+    remat=None picks checkpointing automatically from memory footprint;
+    n_segments=None auto-enables sqrt-checkpointing for large states.
     """
+    n_steps = grid.times.shape[0] * substeps
     if remat is None:
-        remat = _auto_remat(psi0, grid.times.shape[0] * substeps)
+        remat = _auto_remat(psi0, n_steps)
+    if n_segments is None:
+        n_segments = _auto_segments(psi0, n_steps)
     step = _make_se_step(ham, solver, substeps, krylov_dim, krylov_tol)
     if solver == SolverType.KRYLOV_SE and psi0.shape[0] > 1:
         # independent Krylov subspace per batch element
         def one(p: Cplx) -> Cplx:
-            return _integrate(step, p.reshape((1,) + p.shape), grid, remat)
+            return _integrate(
+                step, p.reshape((1,) + p.shape), grid, remat, n_segments
+            )
 
         res = jax.vmap(one)(psi0)  # (nb, n_eval, 1, da, db)
         return Cplx(
             jnp.moveaxis(res.re[:, :, 0], 0, 1), jnp.moveaxis(res.im[:, :, 0], 0, 1)
         )
-    return _integrate(step, psi0, grid, remat)
+    return _integrate(step, psi0, grid, remat, n_segments)
 
 
 def mesolve(
@@ -493,12 +590,18 @@ def mesolve(
     solver: str = SolverType.DP5_ME,
     substeps: int = 1,
     remat: Optional[bool] = None,
+    n_segments: Optional[int] = None,
 ) -> Cplx:
     """Integrate the Lindblad master equation.
 
     rho0: Cplx (dim, dim).  Returns (n_eval, dim, dim).
+    remat / n_segments as in :func:`sesolve` (sqrt-checkpointing keeps
+    10+-atom density-matrix gradients inside HBM).
     """
+    n_steps = grid.times.shape[0] * substeps
     if remat is None:
-        remat = _auto_remat(rho0, grid.times.shape[0] * substeps)
+        remat = _auto_remat(rho0, n_steps)
+    if n_segments is None:
+        n_segments = _auto_segments(rho0, n_steps)
     step = _make_me_step(ham, collapse, n_qudits, qudit_dim, solver, substeps)
-    return _integrate(step, rho0, grid, remat)
+    return _integrate(step, rho0, grid, remat, n_segments)

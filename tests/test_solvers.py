@@ -198,3 +198,80 @@ def test_adaptive_dp5_vs_golden(two_atom_register):
     t = np.asarray(jax.device_get(sim.evaluation_times))
     ref = golden_sesolve(seq, MockDevice, t)[-1]
     assert np.abs(psi - ref).max() < 1e-6
+
+
+def test_segmented_integration_matches_unsegmented():
+    """sqrt-checkpointed two-level scan == plain scan (values + grads)."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.solvers import TimeGrid
+    from pulser_diff_tpu.solvers.solver import _integrate, _make_se_step
+
+    reg = Register(
+        {"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])}
+    )
+    seq = make_simple_sequence(reg, duration=100, omega=2.0, delta=-1.0)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=[0.03, 0.07])
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2))
+    step = _make_se_step(h._ham_data, SolverType.DP5_SE, 1, 12, 0.0)
+
+    def final_pop(psi_re, n_segments):
+        p = Cplx(psi_re, p0.im)
+        out = _integrate(step, p, grid, remat=True, n_segments=n_segments)
+        return jnp.sum(out.re[-1] ** 2 + out.im[-1] ** 2), out
+
+    (v_plain, out_plain), g_plain = jax.value_and_grad(
+        lambda x: final_pop(x, None), has_aux=True
+    )(p0.re)
+    (v_seg, out_seg), g_seg = jax.value_and_grad(
+        lambda x: final_pop(x, 7), has_aux=True  # 7 does not divide n_steps
+    )(p0.re)
+    assert abs(float(v_plain) - float(v_seg)) < 1e-12
+    np.testing.assert_allclose(
+        np.asarray(out_plain.re), np.asarray(out_seg.re), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_plain), np.asarray(g_seg), atol=1e-12
+    )
+
+
+def test_mesolve_segmented_gradient():
+    """Noise-rate gradient through the segmented mesolve path matches the
+    unsegmented one."""
+    from pulser_diff_tpu.simconfig import SimConfig
+
+    reg = Register(
+        {"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])}
+    )
+
+    def loss(rate, n_segments):
+        from pulser_diff_tpu.cplx import Cplx
+        from pulser_diff_tpu.solvers import TimeGrid, mesolve
+
+        seq = make_simple_sequence(reg, duration=60, omega=2.0, delta=0.0)
+        cfg = SimConfig(noise="dephasing", dephasing_rate=rate)
+        sim = TpuEmulator.from_sequence(
+            seq, config=cfg, evaluation_times="Minimal"
+        )
+        h = sim._hamiltonian
+        grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+        psi0 = sim.initial_state
+        rho0 = Cplx(
+            psi0.re @ psi0.re.T + psi0.im @ psi0.im.T,
+            psi0.im @ psi0.re.T - psi0.re @ psi0.im.T,
+        )
+        rhos = mesolve(
+            h._ham_data, rho0, h._collapse_ops, h._size, h.dim, grid,
+            n_segments=n_segments,
+        )
+        # rydberg population of the final density matrix
+        return rhos.re[-1, 0, 0]
+
+    r = jnp.asarray(0.25)
+    v0, g0 = jax.value_and_grad(lambda x: loss(x, 1))(r)
+    v1, g1 = jax.value_and_grad(lambda x: loss(x, 5))(r)
+    assert abs(float(v0) - float(v1)) < 1e-12
+    assert abs(float(g0) - float(g1)) < 1e-10
+    assert abs(float(g0)) > 1e-9  # the gradient is real, not zero
