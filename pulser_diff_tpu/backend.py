@@ -419,9 +419,9 @@ class TpuEmulator:
                 jnp.transpose(states.im.reshape(n_eval, nb, dim), (0, 2, 1)),
             )
         elif solver == SolverType.RK4_PALLAS:
-            # fused single-kernel f32 fast mode
+            # fused single-kernel f32 fast mode — every evaluation-time
+            # state, differentiable via the Pallas states-adjoint kernel
             from pulser_diff_tpu.ops.pallas_evolution import (
-                pallas_evolve,
                 pallas_evolve_states,
             )
 
@@ -432,21 +432,6 @@ class TpuEmulator:
             p = Cplx(
                 psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
             )
-            if grid.n_eval <= 2:
-                # differentiable final-state path (custom-VJP adjoint)
-                final = pallas_evolve(
-                    ham_data, p, grid.times, interpret=interpret
-                )
-                f0 = Cplx(
-                    psi0.re.astype(final.dtype), psi0.im.astype(final.dtype)
-                )
-                ffin = Cplx(
-                    final.re.reshape(nb, dim).T, final.im.reshape(nb, dim).T
-                )
-                return Cplx(
-                    jnp.stack([f0.re, ffin.re]), jnp.stack([f0.im, ffin.im])
-                )
-            # forward-only path emitting every evaluation-time state
             states = pallas_evolve_states(
                 ham_data, p, grid, interpret=interpret
             )
@@ -660,6 +645,38 @@ class TpuEmulator:
         keys = jax.random.split(
             jax.random.PRNGKey(self._rng.integers(0, 2**31 - 1)), loop_runs
         )
+
+        if solver == SolverType.RK4_PALLAS:
+            # fused fast mode: the runs axis becomes the Pallas kernel
+            # grid (one launch for the whole Monte-Carlo batch —
+            # vmap-of-pallas does not lower on this backend)
+            from pulser_diff_tpu.ops.pallas_evolution import (
+                pallas_evolve_mc,
+            )
+
+            hams = jax.vmap(
+                lambda k: h.build_data(draw_noise(k, cfg_nm, h._size, n_slots))
+            )(keys)
+            psi0 = self._initial_state
+            nb = psi0.shape[1]
+            da, db = h.dim**h._a, h.dim**h._b
+            dim = da * db
+            p = Cplx(
+                psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
+            )
+            st = pallas_evolve_mc(
+                hams, p, grid,
+                interpret=jax.default_backend() == "cpu",
+            )  # (R, n_eval, nb, da, db)
+            R, n_eval = st.re.shape[:2]
+            states_all = Cplx(
+                jnp.transpose(st.re.reshape(R, n_eval, nb, dim), (0, 1, 3, 2)),
+                jnp.transpose(st.im.reshape(R, n_eval, nb, dim), (0, 1, 3, 2)),
+            )
+            return self._sample_noisy(
+                states_all, [1] * loop_runs, cfg_nm.samples_per_run,
+                cfg_nm.runs, meas_errors,
+            )
 
         def solve_one(key):
             draws = draw_noise(key, cfg_nm, h._size, n_slots)

@@ -58,6 +58,54 @@ class Channel:
     def is_global(self) -> bool:
         return self.addressing == "Global"
 
+    # -- output modulation (pulser base_channel semantics) ---------------
+    @property
+    def rise_time(self) -> int:
+        """Standard rise time (90% output) in ns:
+        MODBW_TO_TR / mod_bandwidth, MODBW_TO_TR = 0.48."""
+        if self.mod_bandwidth:
+            return int(0.48 / self.mod_bandwidth * 1e3)
+        return 0
+
+    @property
+    def fall_time(self) -> int:
+        """Extra time for the output to ramp down after the programmed
+        end (2x the rise time, matching pulser's duration extension)."""
+        return 2 * self.rise_time
+
+    @staticmethod
+    def apply_modulation(input_samples, rise_time: int, keep_ends: bool = False):
+        """Channel output response: convolution with a normalized Blackman
+        window of width 2*rise_time (pulser's exact transfer function —
+        the reference samples with it via ``with_modulation``, reference
+        backend.py:695-705).
+
+        keep_ends=True edge-pads first (used for detuning/phase, which
+        hold their boundary values instead of decaying to zero).  Output
+        length = len(input) + 2*rise_time.  Differentiable (jnp ops).
+        """
+        import jax.numpy as jnp
+        import numpy as np
+
+        if not rise_time:
+            return input_samples
+        window = np.blackman(2 * rise_time)
+        norm_window = jnp.asarray(
+            window / np.sum(window), input_samples.dtype
+        )
+        if keep_ends:
+            samples = jnp.pad(input_samples, 2 * rise_time, mode="edge")
+        else:
+            samples = jnp.pad(input_samples, rise_time)
+        mod_samples = jnp.convolve(samples, norm_window, mode="same")
+        if keep_ends:
+            mod_samples = mod_samples[rise_time:-rise_time]
+        return mod_samples
+
+    def modulate(self, input_samples, keep_ends: bool = False):
+        """Modulate the input with this channel's response."""
+        return self.apply_modulation(input_samples, self.rise_time, keep_ends)
+
 
 class _ChannelFamily:
     basis: str = ""

@@ -272,27 +272,20 @@ def _sample_channel(
 
 
 def _modulate(cs: ChannelSamples, ch: Channel) -> ChannelSamples:
-    """Output modulation: low-pass filter the samples with the channel's
-    modulation bandwidth (Gaussian impulse response, pulser-compatible
-    sigma = MODBW_TO_TR / mod_bandwidth)."""
-    if ch.mod_bandwidth is None:
+    """Channel output modulation: pulser's exact transfer function — a
+    normalized Blackman window of width 2*rise_time convolved with the
+    programmed samples (Channel.apply_modulation).  Amplitude decays to
+    zero past the programmed end (zero padding); detuning and phase hold
+    their boundary values (edge padding, pulser's keep_ends).  The
+    modulated samples extend by the 2*rise_time fall time."""
+    if ch.mod_bandwidth is None or ch.rise_time == 0:
         return cs
-    # pulser: rise time tr = MODBW_TO_TR / mod_bandwidth * 1e3 ns,
-    # MODBW_TO_TR = 0.48; gaussian std = tr / sqrt(2 ln 2) / 2
-    tr = int(round(0.48 / ch.mod_bandwidth * 1e3))
-    if tr <= 0:
-        return cs
-    sigma = tr / (2 * np.sqrt(2 * np.log(2)))
-    half = 2 * tr
-    t = np.arange(-half, half + 1)
-    kernel = np.exp(-(t**2) / (2 * sigma**2))
-    kernel /= kernel.sum()
-    k = jnp.asarray(kernel, cs.amp.dtype)
-
-    def conv(x: jax.Array) -> jax.Array:
-        return jnp.convolve(x, k, mode="same")
-
-    return replace(cs, amp=conv(cs.amp), det=conv(cs.det))
+    return replace(
+        cs,
+        amp=ch.modulate(cs.amp, keep_ends=False),
+        det=ch.modulate(cs.det, keep_ends=True),
+        phase=ch.modulate(cs.phase, keep_ends=True),
+    )
 
 
 def sample(
@@ -310,6 +303,21 @@ def sample(
         if modulation:
             cs = _modulate(cs, ch)
         chs[name] = cs
+    if modulation:
+        # normalize all channels to the fall-time-extended duration
+        # (pulser truncates modulated samples to this common length)
+        max_t = seq.get_duration(include_fall_time=True)
+        for name, cs in chs.items():
+            if cs.duration > max_t:
+                cs = replace(
+                    cs,
+                    amp=cs.amp[:max_t],
+                    det=cs.det[:max_t],
+                    phase=cs.phase[:max_t],
+                )
+            elif cs.duration < max_t:
+                cs = cs.extend_duration(max_t)
+            chs[name] = cs
 
     # SLM mask window = duration of the first pulse in the sequence
     mask_end = 0

@@ -91,11 +91,16 @@ class Sequence:
     def get_duration(
         self, channel: str | None = None, include_fall_time: bool = False
     ) -> int:
+        def fall(name: str) -> int:
+            ch = self._channels.get(name)
+            return ch.fall_time if (include_fall_time and ch) else 0
+
         if channel is not None:
             slots = self._schedule.get(channel, [])
-            return slots[-1].tf if slots else 0
+            return (slots[-1].tf + fall(channel)) if slots else 0
         return max(
-            (s[-1].tf for s in self._schedule.values() if s), default=0
+            (s[-1].tf + fall(name) for name, s in self._schedule.items() if s),
+            default=0,
         )
 
     # ------------------------------------------------------------------

@@ -168,3 +168,137 @@ def from_pulser_sequence(pseq: Any) -> Sequence:
     if getattr(pseq, "_measurement", None):
         seq.measure(pseq._measurement)
     return seq
+
+
+# ----------------------------------------------------------------------
+# pulser abstract-repr JSON (no pulser install required)
+# ----------------------------------------------------------------------
+def _waveform_from_abstract(d: Any):
+    """Build a native waveform from a pulser abstract-repr waveform dict
+    (`Sequence.to_abstract_repr()` serialization; kinds follow pulser's
+    JSON schema)."""
+    if isinstance(d, (int, float)):
+        return float(d)
+    kind = d["kind"]
+    if kind == "constant":
+        return ConstantWaveform(int(d["duration"]), float(d["value"]))
+    if kind == "ramp":
+        return RampWaveform(
+            int(d["duration"]), float(d["start"]), float(d["stop"])
+        )
+    if kind == "blackman":
+        return BlackmanWaveform(int(d["duration"]), float(d["area"]))
+    if kind == "kaiser":
+        return KaiserWaveform(
+            int(d["duration"]), float(d["area"]), float(d.get("beta", 14.6))
+        )
+    if kind == "interpolated":
+        times = np.asarray(d["times"], dtype=float)
+        return InterpolatedWaveform(
+            int(d["duration"]), np.asarray(d["values"], dtype=float), times
+        )
+    if kind == "custom":
+        return CustomWaveform(np.asarray(d["samples"], dtype=float))
+    if kind == "composite":
+        return CompositeWaveform(
+            *[_waveform_from_abstract(w) for w in d["waveforms"]]
+        )
+    raise ValueError(f"Unknown abstract waveform kind '{kind}'.")
+
+
+def _device_from_abstract(d: Any) -> Device:
+    """Resolve a device: a known native device name or a full channel
+    spec dict."""
+    from pulser_diff_tpu.core import devices as _devices
+
+    if isinstance(d, str):
+        dev = getattr(_devices, d, None)
+        if dev is None:
+            raise ValueError(f"Unknown device name '{d}'.")
+        return dev
+    channels = tuple(
+        Channel(
+            name=ch_id,
+            addressing=spec.get("addressing", "Global"),
+            basis=spec.get("basis", "ground-rydberg"),
+            max_abs_detuning=spec.get("max_abs_detuning"),
+            max_amp=spec.get("max_amp"),
+            max_targets=spec.get("max_targets"),
+            clock_period=spec.get("clock_period", 1),
+            min_duration=spec.get("min_duration", 1),
+            max_duration=spec.get("max_duration"),
+            mod_bandwidth=spec.get("mod_bandwidth"),
+        )
+        for ch_id, spec in d["channels"].items()
+    )
+    return Device(
+        name=d.get("name", "AbstractDevice"),
+        dimensions=d.get("dimensions", 2),
+        rydberg_level=d.get("rydberg_level", 70),
+        min_atom_distance=d.get("min_atom_distance", 0.0) or 0.0,
+        interaction_coeff_xy=d.get("interaction_coeff_xy"),
+        supports_slm_mask=d.get("supports_slm_mask", False),
+        channels=channels,
+    )
+
+
+def from_abstract_repr(obj: Any) -> Sequence:
+    """Deserialize a pulser abstract-repr JSON document (string or dict)
+    into a native Sequence.
+
+    This is the install-free migration path: serialize with pulser's
+    `seq.to_abstract_repr()` anywhere, load here.  Supported subset:
+    register, channel declarations (with optional initial targets),
+    pulse/delay/target operations, measurement, SLM mask and magnetic
+    field — the reference consumes the same features through the live
+    pulser objects (reference backend.py:651-711).
+    """
+    import json
+
+    d = json.loads(obj) if isinstance(obj, str) else obj
+    reg = Register(
+        {
+            str(q["name"]): np.asarray(
+                [float(q["x"]), float(q["y"])], dtype=float
+            )
+            for q in d["register"]
+        }
+    )
+    dev = _device_from_abstract(d.get("device", "MockDevice"))
+    seq = Sequence(reg, dev)
+    if d.get("magnetic_field") is not None:
+        seq.set_magnetic_field(*[float(v) for v in d["magnetic_field"]])
+    for name, decl in d.get("channels", {}).items():
+        if isinstance(decl, str):
+            seq.declare_channel(name, decl)
+        else:
+            seq.declare_channel(
+                name,
+                decl["channel_id"],
+                initial_target=decl.get("initial_target"),
+            )
+    if d.get("slm_mask_targets"):
+        seq.config_slm_mask(tuple(d["slm_mask_targets"]))
+    for op in d.get("operations", []):
+        tag = op["op"]
+        if tag == "pulse":
+            seq.add(
+                Pulse(
+                    _waveform_from_abstract(op["amplitude"]),
+                    _waveform_from_abstract(op["detuning"]),
+                    float(op.get("phase", 0.0)),
+                    float(op.get("post_phase_shift", 0.0)),
+                ),
+                op["channel"],
+                protocol=op.get("protocol", "min-delay"),
+            )
+        elif tag == "delay":
+            seq.delay(int(op["time"]), op["channel"])
+        elif tag == "target":
+            qubits = op["qubits"] if isinstance(op["qubits"], list) else [op["qubits"]]
+            seq.target(qubits, op["channel"])
+        else:
+            raise ValueError(f"Unknown abstract operation '{tag}'.")
+    if d.get("measurement"):
+        seq.measure(d["measurement"])
+    return seq

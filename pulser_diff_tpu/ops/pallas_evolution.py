@@ -1,4 +1,4 @@
-"""Pallas fused time-evolution kernels (TPU) with a custom-VJP adjoint.
+"""Pallas fused time-evolution kernels (TPU) with custom-VJP adjoints.
 
 The entire Schrodinger evolution runs inside ONE Pallas kernel: the
 (batched) state lives in VMEM for the whole solve, per-stage Hamiltonian
@@ -6,22 +6,37 @@ side-matrices are assembled on the fly from part stacks (VPU FMAs), and
 each stage's application is a handful of MXU matmuls.  This removes all
 XLA per-op overhead from the sequential hot loop.
 
-Gradients: `fused_evolve` carries a `jax.custom_vjp` whose backward pass
-is a second Pallas kernel implementing the *discrete adjoint* of the RK4
-step — the state is reconstructed by reverse-time integration (unitary
-dynamics; O(h^5) reconstruction error), the costate follows the exact
-transpose of the stage recursion, and cotangents are accumulated for the
-per-stage coefficient stacks, the interaction diagonal and the initial
-state.  Chaining to waveform parameters happens outside (the coefficient
+Structure (round 2):
+  - Every kernel carries a leading **runs axis R** mapped onto the Pallas
+    grid: coefficient streams are (R, n_steps, S, P), states
+    (R, nb, da, db).  This is the in-kernel Monte-Carlo batching that
+    replaces the reference's serial noisy-runs loop
+    (/root/reference/pulser_diff/backend.py:573-595) — vmap-of-pallas_call
+    does not lower on this backend (see CLAUDE.md), so the run axis lives
+    INSIDE the launch as grid programs.  R=1 recovers the plain case.
+  - `fused_evolve` (final state) and `fused_evolve_states` (all
+    evaluation-time states) both carry `jax.custom_vjp`s whose backward
+    passes are Pallas kernels implementing the *discrete adjoint* of the
+    RK4 step: the state is reconstructed by reverse-time integration
+    (unitary dynamics; O(h^5) reconstruction error), the costate follows
+    the exact transpose of the stage recursion, and cotangents are
+    accumulated for the per-stage coefficient stacks, the interaction
+    diagonal and the initial state.  The states-adjoint additionally
+    *reloads* the stored forward state at every grid point that has an
+    evaluation slot, resetting reconstruction drift.
+  - State accumulation uses Kahan compensated summation, pushing the f32
+    fast mode's additive rounding error from O(n_steps * eps) to O(eps).
+
+Chaining to waveform parameters happens outside (the coefficient
 interpolation is ordinary differentiable JAX).
 
-Scope (round 1): float32, 'ising' Hamiltonians (no dense XY terms),
-fixed-step RK4, batched states, final-state output.  The f64 XLA solver
-(solvers/solver.py) remains the default accuracy path; this is the fast
-mode (~1e-4 state error, validated in tests/test_pallas.py).
+Scope: float32, 'ising' Hamiltonians (no dense XY terms), fixed-step RK4.
+The f64 XLA solver (solvers/solver.py) remains the default accuracy path;
+this is the fast mode (validated in tests/test_pallas.py).
 
 See /opt/skills/guides/pallas_guide.md for the kernel-language rules
-followed here (VMEM residency, static shapes, fori_loop).
+followed here (VMEM residency, static shapes, i32 fori_loop bounds, no
+scalar VMEM stores — scalars are packed as broadcast (1, 128) rows).
 """
 
 from __future__ import annotations
@@ -124,8 +139,27 @@ def _apply_iH_transpose(hr_re, hr_im, gc_re, gc_im, diag, vx, vy, nb):
     return jnp.stack(ox), jnp.stack(oy)
 
 
+def _rk4_stages(f, x, y, h):
+    """The four RK4 stage evaluations and the summed increment."""
+    k1x, k1y = f(0, x, y)
+    k2x, k2y = f(1, x + 0.5 * h * k1x, y + 0.5 * h * k1y)
+    k3x, k3y = f(2, x + 0.5 * h * k2x, y + 0.5 * h * k2y)
+    k4x, k4y = f(3, x + h * k3x, y + h * k3y)
+    dx = (h / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x)
+    dy = (h / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y)
+    return dx, dy
+
+
+def _kahan_add(x, c, dx):
+    """One compensated accumulation step: returns (x', c')."""
+    y = dx - c
+    t = x + y
+    c_new = (t - x) - y
+    return t, c_new
+
+
 # ----------------------------------------------------------------------
-# forward kernel
+# forward kernels (leading grid axis = run)
 # ----------------------------------------------------------------------
 def _fwd_kernel(
     psi_re_ref, psi_im_ref,
@@ -135,14 +169,14 @@ def _fwd_kernel(
     out_re_ref, out_im_ref,
     *, n_steps: int, pr: int, pc: int, nb: int,
 ):
-    diag = diag_ref[...]
+    diag = diag_ref[0]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
     def body(k, carry):
-        x, y = carry
-        zrr, zri = zr_re_ref[k], zr_im_ref[k]  # (4, Pr)
-        zcr, zci = zc_re_ref[k], zc_im_ref[k]
+        x, y, cx, cy = carry
+        zrr, zri = zr_re_ref[0, k], zr_im_ref[0, k]  # (4, Pr)
+        zcr, zci = zc_re_ref[0, k], zc_im_ref[0, k]
         h = hs_ref[k, 0]
 
         def stage(s, xs, ys):
@@ -150,22 +184,21 @@ def _fwd_kernel(
             gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
             return _apply_minus_iH(hr_re, hr_im, gc_re, -gim, diag, xs, ys, nb)
 
-        k1x, k1y = stage(0, x, y)
-        k2x, k2y = stage(1, x + 0.5 * h * k1x, y + 0.5 * h * k1y)
-        k3x, k3y = stage(2, x + 0.5 * h * k2x, y + 0.5 * h * k2y)
-        k4x, k4y = stage(3, x + h * k3x, y + h * k3y)
-        x = x + (h / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x)
-        y = y + (h / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y)
-        return (x, y)
+        dx, dy = _rk4_stages(stage, x, y, h)
+        x, cx = _kahan_add(x, cx, dx)
+        y, cy = _kahan_add(y, cy, dy)
+        return (x, y, cx, cy)
 
     # i32 loop bounds: under jax_enable_x64 fori_loop counters default to
     # i64, which Mosaic cannot convert for (SMEM) store indices
-    x, y = jax.lax.fori_loop(
+    x0 = psi_re_ref[0]
+    y0 = psi_im_ref[0]
+    x, y, _, _ = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n_steps), body,
-        (psi_re_ref[...], psi_im_ref[...]),
+        (x0, y0, jnp.zeros_like(x0), jnp.zeros_like(y0)),
     )
-    out_re_ref[...] = x
-    out_im_ref[...] = y
+    out_re_ref[0] = x
+    out_im_ref[0] = y
 
 
 def _fwd_states_kernel(
@@ -179,26 +212,27 @@ def _fwd_states_kernel(
     """Forward RK4 evolution emitting states at evaluation slots.
 
     slots_ref: (n_steps + 1,) i32 in SMEM — eval-slot index per grid
-    point (n_eval = dropped).  out: (n_eval, nb, da, db).
+    point (n_eval = dropped).  out: (1, n_eval, nb, da, db) per program.
     """
-    diag = diag_ref[...]
+    from jax.experimental import pallas as pl
+
+    diag = diag_ref[0]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
-    n_eval = out_re_ref.shape[0]
+    n_eval = out_re_ref.shape[1]
 
     def write(gridpoint, x, y):
         slot = slots_ref[gridpoint]
-        from jax.experimental import pallas as pl
 
         @pl.when(slot < n_eval)
         def _():
-            out_re_ref[slot] = x
-            out_im_ref[slot] = y
+            out_re_ref[0, slot] = x
+            out_im_ref[0, slot] = y
 
     def body(k, carry):
-        x, y = carry
-        zrr, zri = zr_re_ref[k], zr_im_ref[k]
-        zcr, zci = zc_re_ref[k], zc_im_ref[k]
+        x, y, cx, cy = carry
+        zrr, zri = zr_re_ref[0, k], zr_im_ref[0, k]
+        zcr, zci = zc_re_ref[0, k], zc_im_ref[0, k]
         h = hs_ref[k, 0]
 
         def stage(s, xs, ys):
@@ -206,83 +240,141 @@ def _fwd_states_kernel(
             gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
             return _apply_minus_iH(hr_re, hr_im, gc_re, -gim, diag, xs, ys, nb)
 
-        k1x, k1y = stage(0, x, y)
-        k2x, k2y = stage(1, x + 0.5 * h * k1x, y + 0.5 * h * k1y)
-        k3x, k3y = stage(2, x + 0.5 * h * k2x, y + 0.5 * h * k2y)
-        k4x, k4y = stage(3, x + h * k3x, y + h * k3y)
-        x = x + (h / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x)
-        y = y + (h / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y)
+        dx, dy = _rk4_stages(stage, x, y, h)
+        x, cx = _kahan_add(x, cx, dx)
+        y, cy = _kahan_add(y, cy, dy)
         write(k + 1, x, y)
-        return (x, y)
+        return (x, y, cx, cy)
 
-    x0 = psi_re_ref[...]
-    y0 = psi_im_ref[...]
+    x0 = psi_re_ref[0]
+    y0 = psi_im_ref[0]
     write(jnp.int32(0), x0, y0)
-    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), body, (x0, y0))
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_steps), body,
+        (x0, y0, jnp.zeros_like(x0), jnp.zeros_like(y0)),
+    )
 
 
-def pallas_evolve_states(
-    ham: FactoredHamiltonian,
-    psi0: Cplx,
-    grid,
-    interpret: bool = False,
-) -> Cplx:
-    """Forward-only fused evolution emitting states at the grid's
-    evaluation slots: (n_eval, nb, da, db), f32.  Not differentiable —
-    use `pallas_evolve` (final state) or the XLA solver for gradients."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+# ----------------------------------------------------------------------
+# adjoint kernels
+# ----------------------------------------------------------------------
+def _bwd_interval(
+    k, x1, y1, lx, ly, dbar,
+    rp, rpt, cp, cpt, diag,
+    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref, hs_ref,
+    pr, pc, nb, zbar_ref,
+):
+    """Reverse one RK4 interval: reconstruct the start state, run the
+    exact transpose of the stage recursion on the costate, and write the
+    packed per-step coefficient cotangents.  Returns (x0, y0, lx', ly',
+    dbar')."""
+    zrr, zri = zr_re_ref[0, k], zr_im_ref[0, k]
+    zcr, zci = zc_re_ref[0, k], zc_im_ref[0, k]
+    h = hs_ref[k, 0]
 
-    if ham.dense_mats is not None:
-        raise NotImplementedError(
-            "pallas kernels support diagonal-interaction (ising) "
-            "Hamiltonians only."
+    sides = []
+    for s in range(4):
+        hr_re, hr_im = _assemble(rp, rpt, zrr[s], zri[s], pr)
+        gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
+        sides.append((hr_re, hr_im, gc_re, -gim))
+
+    def f(s, xs, ys):
+        hr_re, hr_im, gc_re, gc_im = sides[s]
+        return _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, xs, ys, nb)
+
+    def fT(s, vx, vy):
+        hr_re, hr_im, gc_re, gc_im = sides[s]
+        return _apply_iH_transpose(
+            hr_re, hr_im, gc_re, gc_im, diag, vx, vy, nb
         )
-    f32 = jnp.float32
-    zr, zc, hs = _precompute_stage_z(ham, grid.times)
-    n_steps = int(hs.shape[0])
-    pr = int(ham.row_parts.shape[0])
-    pc = int(ham.col_parts.shape[0])
-    nb = int(psi0.re.shape[0])
-    n_eval = int(grid.n_eval)
 
-    rp = ham.row_parts.astype(f32)
-    rpt = jnp.swapaxes(rp, -1, -2)
-    cp = ham.col_parts.astype(f32)
-    cpt = jnp.swapaxes(cp, -1, -2)
-    slots = jnp.asarray(grid.write_slots, jnp.int32)
+    # --- reconstruct y_k by reverse-time RK4 from y_{k+1} ----------
+    # (we simply integrate the same ODE backward; O(h^5) local mismatch)
+    b1x, b1y = f(3, x1, y1)
+    b2x, b2y = f(2, x1 - 0.5 * h * b1x, y1 - 0.5 * h * b1y)
+    b3x, b3y = f(1, x1 - 0.5 * h * b2x, y1 - 0.5 * h * b2y)
+    b4x, b4y = f(0, x1 - h * b3x, y1 - h * b3y)
+    x0 = x1 - (h / 6.0) * (b1x + 2 * b2x + 2 * b3x + b4x)
+    y0 = y1 - (h / 6.0) * (b1y + 2 * b2y + 2 * b3y + b4y)
 
-    kern = partial(
-        _fwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb
+    # --- recompute forward stage inputs from y_k --------------------
+    k1x, k1y = f(0, x0, y0)
+    u2x, u2y = x0 + 0.5 * h * k1x, y0 + 0.5 * h * k1y
+    k2x, k2y = f(1, u2x, u2y)
+    u3x, u3y = x0 + 0.5 * h * k2x, y0 + 0.5 * h * k2y
+    k3x, k3y = f(2, u3x, u3y)
+    u4x, u4y = x0 + h * k3x, y0 + h * k3y
+
+    # --- exact transpose of the stage recursion ---------------------
+    kb4x, kb4y = (h / 6.0) * lx, (h / 6.0) * ly
+    t4x, t4y = fT(3, kb4x, kb4y)
+    kb3x = (h / 3.0) * lx + h * t4x
+    kb3y = (h / 3.0) * ly + h * t4y
+    t3x, t3y = fT(2, kb3x, kb3y)
+    kb2x = (h / 3.0) * lx + 0.5 * h * t3x
+    kb2y = (h / 3.0) * ly + 0.5 * h * t3y
+    t2x, t2y = fT(1, kb2x, kb2y)
+    kb1x = (h / 6.0) * lx + 0.5 * h * t2x
+    kb1y = (h / 6.0) * ly + 0.5 * h * t2y
+    t1x, t1y = fT(0, kb1x, kb1y)
+    lx_new = lx + t1x + t2x + t3x + t4x
+    ly_new = ly + t1y + t2y + t3y + t4y
+
+    # --- coefficient cotangents per stage ---------------------------
+    stage_data = (
+        (0, kb1x, kb1y, x0, y0),
+        (1, kb2x, kb2y, u2x, u2y),
+        (2, kb3x, kb3y, u3x, u3y),
+        (3, kb4x, kb4y, u4x, u4y),
     )
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
-    out_shape = (n_eval,) + tuple(psi0.re.shape)
-    out_re, out_im = pl.pallas_call(
-        kern,
-        out_shape=(
-            jax.ShapeDtypeStruct(out_shape, f32),
-            jax.ShapeDtypeStruct(out_shape, f32),
-        ),
-        in_specs=[vm] * 12 + [sm],
-        out_specs=(vm, vm),
-        interpret=interpret,
-    )(
-        psi0.re.astype(f32),
-        psi0.im.astype(f32),
-        rp, rpt, cp, cpt,
-        zr.re.astype(f32), zr.im.astype(f32),
-        zc.re.astype(f32), zc.im.astype(f32),
-        hs.astype(f32).reshape(n_steps, 1),
-        ham.int_diag.astype(f32),
-        slots,
-    )
-    return Cplx(out_re, out_im)
+    # scalars cannot be stored to VMEM and SMEM outputs pad each scalar
+    # to a full word line — so all per-step scalar cotangents are packed
+    # as broadcast (1, 128) rows into one VMEM tile per step.
+    rows = []
+    for s, kbx, kby, ux, uy in stage_data:
+        # row side: W = sum_b kbx_b uy_b^T - kby_b ux_b^T  (da, da)
+        #           V = sum_b kbx_b ux_b^T + kby_b uy_b^T
+        W = jnp.zeros_like(rp[0])
+        V = jnp.zeros_like(rp[0])
+        for b in range(nb):
+            W += jnp.dot(kbx[b], uy[b].T, preferred_element_type=jnp.float32)
+            W -= jnp.dot(kby[b], ux[b].T, preferred_element_type=jnp.float32)
+            V += jnp.dot(kbx[b], ux[b].T, preferred_element_type=jnp.float32)
+            V += jnp.dot(kby[b], uy[b].T, preferred_element_type=jnp.float32)
+        for p in range(pr):
+            g_sym = rp[p] + rpt[p]
+            g_asym = rp[p] - rpt[p]
+            rows.append(jnp.broadcast_to(jnp.sum(g_sym * W), (1, 128)))
+            rows.append(jnp.broadcast_to(jnp.sum(g_asym * V), (1, 128)))
+        # column side: Wc = sum_b uy_b^T kbx_b - ux_b^T kby_b (db, db)
+        #              Vc = sum_b ux_b^T kbx_b + uy_b^T kby_b
+        Wc = jnp.zeros_like(cp[0])
+        Vc = jnp.zeros_like(cp[0])
+        for b in range(nb):
+            Wc += jnp.dot(uy[b].T, kbx[b], preferred_element_type=jnp.float32)
+            Wc -= jnp.dot(ux[b].T, kby[b], preferred_element_type=jnp.float32)
+            Vc += jnp.dot(ux[b].T, kbx[b], preferred_element_type=jnp.float32)
+            Vc += jnp.dot(uy[b].T, kby[b], preferred_element_type=jnp.float32)
+        for p in range(pc):
+            g_sym_t = cpt[p] + cp[p]  # (P + P^T)^T layout for Gc
+            g_asym_t = cpt[p] - cp[p]
+            rows.append(jnp.broadcast_to(jnp.sum(g_sym_t * Wc), (1, 128)))
+            rows.append(jnp.broadcast_to(jnp.sum(g_asym_t * Vc), (1, 128)))
+        # diagonal cotangent: dH/dD = identity diagonal, same pattern
+        dstage = jnp.zeros_like(diag)
+        for b in range(nb):
+            dstage += kbx[b] * uy[b] - kby[b] * ux[b]
+        dbar = dbar + dstage
+
+    r_used = len(rows)
+    r_pad = zbar_ref.shape[2]
+    if r_used < r_pad:
+        rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
+    zbar_ref[0, k] = jnp.concatenate(rows, axis=0)
+
+    return x0, y0, lx_new, ly_new, dbar
 
 
-# ----------------------------------------------------------------------
-# adjoint kernel
-# ----------------------------------------------------------------------
 def _bwd_kernel(
     psiF_re_ref, psiF_im_ref,  # final state (forward output)
     lamF_re_ref, lamF_im_ref,  # incoming cotangent of the final state
@@ -291,165 +383,174 @@ def _bwd_kernel(
     hs_ref, diag_ref,
     # outputs
     lam0_re_ref, lam0_im_ref,  # cotangent of psi0
-    zbar_ref,  # (n_steps, R_pad, 128): packed scalar rows (see _fused_bwd)
-    dbar_ref,  # (da, db)
+    zbar_ref,  # (1, n_steps, R_pad, 128): packed scalar rows
+    dbar_ref,  # (1, da, db)
     *, n_steps: int, pr: int, pc: int, nb: int,
 ):
-    diag = diag_ref[...]
+    diag = diag_ref[0]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
-    dbar_acc0 = jnp.zeros_like(diag)
-
     def body(i, carry):
-        x1, y1, lx, ly, dbar = carry  # state at step k+1, costate, diag cot
+        x1, y1, lx, ly, dbar = carry
         k = jnp.asarray(n_steps - 1, jnp.int32) - i
-        zrr, zri = zr_re_ref[k], zr_im_ref[k]
-        zcr, zci = zc_re_ref[k], zc_im_ref[k]
-        h = hs_ref[k, 0]
-
-        sides = []
-        for s in range(4):
-            hr_re, hr_im = _assemble(rp, rpt, zrr[s], zri[s], pr)
-            gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
-            sides.append((hr_re, hr_im, gc_re, -gim))
-
-        def f(s, xs, ys):
-            hr_re, hr_im, gc_re, gc_im = sides[s]
-            return _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, xs, ys, nb)
-
-        def fT(s, vx, vy):
-            hr_re, hr_im, gc_re, gc_im = sides[s]
-            return _apply_iH_transpose(
-                hr_re, hr_im, gc_re, gc_im, diag, vx, vy, nb
-            )
-
-        # --- reconstruct y_k by reverse-time RK4 from y_{k+1} ----------
-        # (RK4 with step -h and stage order 4,3,3,1 mirrored: we simply
-        # integrate the same ODE backward; O(h^5) local mismatch)
-        b1x, b1y = f(3, x1, y1)
-        b2x, b2y = f(2, x1 - 0.5 * h * b1x, y1 - 0.5 * h * b1y)
-        b3x, b3y = f(1, x1 - 0.5 * h * b2x, y1 - 0.5 * h * b2y)
-        b4x, b4y = f(0, x1 - h * b3x, y1 - h * b3y)
-        x0 = x1 - (h / 6.0) * (b1x + 2 * b2x + 2 * b3x + b4x)
-        y0 = y1 - (h / 6.0) * (b1y + 2 * b2y + 2 * b3y + b4y)
-
-        # --- recompute forward stage inputs from y_k --------------------
-        k1x, k1y = f(0, x0, y0)
-        u2x, u2y = x0 + 0.5 * h * k1x, y0 + 0.5 * h * k1y
-        k2x, k2y = f(1, u2x, u2y)
-        u3x, u3y = x0 + 0.5 * h * k2x, y0 + 0.5 * h * k2y
-        k3x, k3y = f(2, u3x, u3y)
-        u4x, u4y = x0 + h * k3x, y0 + h * k3y
-
-        # --- exact transpose of the stage recursion ---------------------
-        kb4x, kb4y = (h / 6.0) * lx, (h / 6.0) * ly
-        t4x, t4y = fT(3, kb4x, kb4y)
-        kb3x = (h / 3.0) * lx + h * t4x
-        kb3y = (h / 3.0) * ly + h * t4y
-        t3x, t3y = fT(2, kb3x, kb3y)
-        kb2x = (h / 3.0) * lx + 0.5 * h * t3x
-        kb2y = (h / 3.0) * ly + 0.5 * h * t3y
-        t2x, t2y = fT(1, kb2x, kb2y)
-        kb1x = (h / 6.0) * lx + 0.5 * h * t2x
-        kb1y = (h / 6.0) * ly + 0.5 * h * t2y
-        t1x, t1y = fT(0, kb1x, kb1y)
-        lx_new = lx + t1x + t2x + t3x + t4x
-        ly_new = ly + t1y + t2y + t3y + t4y
-
-        # --- coefficient cotangents per stage ---------------------------
-        stage_data = (
-            (0, kb1x, kb1y, x0, y0),
-            (1, kb2x, kb2y, u2x, u2y),
-            (2, kb3x, kb3y, u3x, u3y),
-            (3, kb4x, kb4y, u4x, u4y),
+        return _bwd_interval(
+            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag,
+            zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref, hs_ref,
+            pr, pc, nb, zbar_ref,
         )
-        # scalars cannot be stored to VMEM and SMEM outputs pad each scalar
-        # to a full word line — so all per-step scalar cotangents are packed
-        # as broadcast (1, 128) rows into one VMEM tile per step.
-        rows = []
-        for s, kbx, kby, ux, uy in stage_data:
-            # row side: W = sum_b kbx_b uy_b^T - kby_b ux_b^T  (da, da)
-            #           V = sum_b kbx_b ux_b^T + kby_b uy_b^T
-            W = jnp.zeros_like(rp[0])
-            V = jnp.zeros_like(rp[0])
-            for b in range(nb):
-                W += jnp.dot(kbx[b], uy[b].T, preferred_element_type=jnp.float32)
-                W -= jnp.dot(kby[b], ux[b].T, preferred_element_type=jnp.float32)
-                V += jnp.dot(kbx[b], ux[b].T, preferred_element_type=jnp.float32)
-                V += jnp.dot(kby[b], uy[b].T, preferred_element_type=jnp.float32)
-            for p in range(pr):
-                g_sym = rp[p] + rpt[p]
-                g_asym = rp[p] - rpt[p]
-                rows.append(jnp.broadcast_to(jnp.sum(g_sym * W), (1, 128)))
-                rows.append(jnp.broadcast_to(jnp.sum(g_asym * V), (1, 128)))
-            # column side: Wc = sum_b uy_b^T kbx_b - ux_b^T kby_b (db, db)
-            #              Vc = sum_b ux_b^T kbx_b + uy_b^T kby_b
-            Wc = jnp.zeros_like(cp[0])
-            Vc = jnp.zeros_like(cp[0])
-            for b in range(nb):
-                Wc += jnp.dot(uy[b].T, kbx[b], preferred_element_type=jnp.float32)
-                Wc -= jnp.dot(ux[b].T, kby[b], preferred_element_type=jnp.float32)
-                Vc += jnp.dot(ux[b].T, kbx[b], preferred_element_type=jnp.float32)
-                Vc += jnp.dot(uy[b].T, kby[b], preferred_element_type=jnp.float32)
-            for p in range(pc):
-                g_sym_t = cpt[p] + cp[p]  # (P + P^T)^T layout for Gc
-                g_asym_t = cpt[p] - cp[p]
-                rows.append(jnp.broadcast_to(jnp.sum(g_sym_t * Wc), (1, 128)))
-                rows.append(jnp.broadcast_to(jnp.sum(g_asym_t * Vc), (1, 128)))
-            # diagonal cotangent: dH/dD = identity diagonal, same pattern
-            dstage = jnp.zeros_like(diag)
-            for b in range(nb):
-                dstage += kbx[b] * uy[b] - kby[b] * ux[b]
-            dbar = dbar + dstage
-
-        r_used = len(rows)
-        r_pad = zbar_ref.shape[1]
-        if r_used < r_pad:
-            rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
-        zbar_ref[k] = jnp.concatenate(rows, axis=0)
-
-        return (x0, y0, lx_new, ly_new, dbar)
 
     x0, y0, lx, ly, dbar = jax.lax.fori_loop(
         jnp.int32(0),
         jnp.int32(n_steps),
         body,
         (
-            psiF_re_ref[...],
-            psiF_im_ref[...],
-            lamF_re_ref[...],
-            lamF_im_ref[...],
-            dbar_acc0,
+            psiF_re_ref[0],
+            psiF_im_ref[0],
+            lamF_re_ref[0],
+            lamF_im_ref[0],
+            jnp.zeros_like(diag),
         ),
     )
-    lam0_re_ref[...] = lx
-    lam0_im_ref[...] = ly
-    dbar_ref[...] = dbar
+    lam0_re_ref[0] = lx
+    lam0_im_ref[0] = ly
+    dbar_ref[0] = dbar
+
+
+def _bwd_states_kernel(
+    states_re_ref, states_im_ref,  # (1, n_eval, nb, da, db) fwd outputs
+    lam_re_ref, lam_im_ref,  # (1, n_eval, nb, da, db) incoming cotangents
+    rp_ref, rpt_ref, cp_ref, cpt_ref,
+    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref,
+    hs_ref, diag_ref, slots_ref,
+    # outputs
+    lam0_re_ref, lam0_im_ref,
+    zbar_ref,
+    dbar_ref,
+    *, n_steps: int, pr: int, pc: int, nb: int, last_slot: int,
+):
+    """Adjoint of the states kernel.
+
+    Walks the grid in reverse from the final state (= states[last_slot]:
+    the last grid point is always an evaluation time, the emulator unions
+    {0, T} into eval times, reference backend.py:363-375).  At every grid
+    point k with an eval slot the *stored* forward state replaces the
+    reconstruction (resetting drift) and the slot's cotangent is added to
+    the costate.
+    """
+    n_eval = states_re_ref.shape[1]
+    diag = diag_ref[0]
+    rp, rpt = rp_ref[...], rpt_ref[...]
+    cp, cpt = cp_ref[...], cpt_ref[...]
+
+    def body(i, carry):
+        x1, y1, lx, ly, dbar = carry
+        k = jnp.asarray(n_steps - 1, jnp.int32) - i
+        x0, y0, lx, ly, dbar = _bwd_interval(
+            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag,
+            zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref, hs_ref,
+            pr, pc, nb, zbar_ref,
+        )
+        # grid point k: reload the stored state / add the slot cotangent
+        slot = slots_ref[k]
+        valid = slot < n_eval
+        safe = jnp.where(valid, slot, 0)
+        x0 = jnp.where(valid, states_re_ref[0, safe], x0)
+        y0 = jnp.where(valid, states_im_ref[0, safe], y0)
+        addx = jnp.where(valid, lam_re_ref[0, safe], jnp.zeros_like(lx))
+        addy = jnp.where(valid, lam_im_ref[0, safe], jnp.zeros_like(ly))
+        return (x0, y0, lx + addx, ly + addy, dbar)
+
+    x0, y0, lx, ly, dbar = jax.lax.fori_loop(
+        jnp.int32(0),
+        jnp.int32(n_steps),
+        body,
+        (
+            states_re_ref[0, last_slot],
+            states_im_ref[0, last_slot],
+            lam_re_ref[0, last_slot],
+            lam_im_ref[0, last_slot],
+            jnp.zeros_like(diag),
+        ),
+    )
+    lam0_re_ref[0] = lx
+    lam0_im_ref[0] = ly
+    dbar_ref[0] = dbar
 
 
 # ----------------------------------------------------------------------
-# custom-vjp primitive over the precomputed stage coefficients
+# pallas_call wrappers (grid over the run axis)
 # ----------------------------------------------------------------------
-def _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
-                interpret=False):
+def _specs(n_runs: int):
+    """BlockSpecs: per-run blocks for run-major operands."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    def run_block(shape):
+        # shape with leading R axis -> block (1, *rest), indexed by r
+        rest = shape[1:]
+        return pl.BlockSpec(
+            (1,) + tuple(rest), lambda r: (r,) + (0,) * len(rest),
+            memory_space=pltpu.VMEM,
+        )
+
+    def shared_block(shape):
+        return pl.BlockSpec(
+            tuple(shape), lambda r: (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def smem_shared(shape):
+        return pl.BlockSpec(
+            tuple(shape), lambda r: (0,) * len(shape),
+            memory_space=pltpu.SMEM,
+        )
+
+    return run_block, shared_block, smem_shared
+
+
+def _unpack_zbar(zbar_packed, n_steps, pr, pc):
+    """(R, n_steps, r_pad, 128) packed rows -> per-stream cotangents."""
+    r_used = 4 * (2 * pr + 2 * pc)
+    flat = zbar_packed[:, :, :r_used, 0].reshape(
+        zbar_packed.shape[0], n_steps, 4, 2 * pr + 2 * pc
+    )
+    zbar_rr = flat[..., 0 : 2 * pr : 2]
+    zbar_ri = flat[..., 1 : 2 * pr : 2]
+    zbar_cr = flat[..., 2 * pr :: 2]
+    zbar_ci = flat[..., 2 * pr + 1 :: 2]
+    return zbar_rr, zbar_ri, zbar_cr, zbar_ci
+
+
+def _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
+                interpret=False):
+    """Final-state forward launch.  Run-major operands: z* (R, n_steps,
+    4, P), diag (R, da, db), psi (R, nb, da, db)."""
+    from jax.experimental import pallas as pl
+
+    R = int(psi_re.shape[0])
     n_steps = int(hs.shape[0])
-    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(psi_re.shape[0])
+    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(psi_re.shape[1])
     rpt = jnp.swapaxes(rp, -1, -2)
     cpt = jnp.swapaxes(cp, -1, -2)
     kern = partial(_fwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb)
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    run_block, shared, _ = _specs(R)
     return pl.pallas_call(
         kern,
+        grid=(R,),
         out_shape=(
             jax.ShapeDtypeStruct(psi_re.shape, jnp.float32),
             jax.ShapeDtypeStruct(psi_im.shape, jnp.float32),
         ),
-        in_specs=[vm] * 12,
-        out_specs=(vm, vm),
+        in_specs=[
+            run_block(psi_re.shape), run_block(psi_im.shape),
+            shared(rp.shape), shared(rpt.shape),
+            shared(cp.shape), shared(cpt.shape),
+            run_block(zr_re.shape), run_block(zr_im.shape),
+            run_block(zc_re.shape), run_block(zc_im.shape),
+            shared((n_steps, 1)), run_block(diag.shape),
+        ],
+        out_specs=(run_block(psi_re.shape), run_block(psi_im.shape)),
         interpret=interpret,
     )(psi_re, psi_im, rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
       hs.reshape(n_steps, 1), diag)
@@ -458,10 +559,12 @@ def _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
 @partial(jax.custom_vjp, nondiff_argnums=(10,))
 def fused_evolve(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
                  psi_re, psi_im, interpret=False):
-    """Fused f32 RK4 evolution with adjoint gradients.
+    """Fused f32 RK4 evolution (final state) with adjoint gradients.
 
-    Differentiable in the stage coefficients (zr/zc), the interaction
-    diagonal and the initial state; hs / part stacks are treated constant.
+    Run-major batch: all of zr/zc (R, n_steps, 4, P), diag (R, da, db) and
+    psi (R, nb, da, db) carry a leading Monte-Carlo runs axis mapped onto
+    the kernel grid.  Differentiable in the stage coefficients, the
+    interaction diagonal and the initial state; hs / part stacks constant.
     """
     return _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
                        psi_re, psi_im, interpret)
@@ -477,47 +580,54 @@ def _fused_fwd(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
 
 def _fused_bwd(interpret, res, cot):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, outF_re, outF_im = res
     lamF_re, lamF_im = cot
+    R = int(outF_re.shape[0])
     n_steps = int(hs.shape[0])
-    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(outF_re.shape[0])
+    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(outF_re.shape[1])
     rpt = jnp.swapaxes(rp, -1, -2)
     cpt = jnp.swapaxes(cp, -1, -2)
     kern = partial(_bwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb)
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    run_block, shared, _ = _specs(R)
     f32 = jnp.float32
     r_used = 4 * (2 * pr + 2 * pc)
     r_pad = int(np.ceil(r_used / 8) * 8)  # (8, 128) f32 tiling
+    zbar_shape = (R, n_steps, r_pad, 128)
     (lam0_re, lam0_im, zbar_packed, dbar) = pl.pallas_call(
         kern,
+        grid=(R,),
         out_shape=(
             jax.ShapeDtypeStruct(outF_re.shape, f32),
             jax.ShapeDtypeStruct(outF_im.shape, f32),
-            jax.ShapeDtypeStruct((n_steps, r_pad, 128), f32),
+            jax.ShapeDtypeStruct(zbar_shape, f32),
             jax.ShapeDtypeStruct(diag.shape, f32),
         ),
-        in_specs=[vm] * 14,
-        out_specs=(vm,) * 4,
+        in_specs=[
+            run_block(outF_re.shape), run_block(outF_im.shape),
+            run_block(lamF_re.shape), run_block(lamF_im.shape),
+            shared(rp.shape), shared(rpt.shape),
+            shared(cp.shape), shared(cpt.shape),
+            run_block(zr_re.shape), run_block(zr_im.shape),
+            run_block(zc_re.shape), run_block(zc_im.shape),
+            shared((n_steps, 1)), run_block(diag.shape),
+        ],
+        out_specs=(
+            run_block(outF_re.shape), run_block(outF_im.shape),
+            run_block(zbar_shape), run_block(diag.shape),
+        ),
         interpret=interpret,
     )(
         outF_re, outF_im, lamF_re, lamF_im,
         rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
         hs.reshape(n_steps, 1), diag,
     )
-    # unpack the per-step scalar rows (stage-major, then
-    # [zrr_p..., zri_p..., zcr_p..., zci_p...] within each stage)
-    flat = zbar_packed[:, :r_used, 0].reshape(n_steps, 4, 2 * pr + 2 * pc)
-    zbar_rr = flat[:, :, 0 : 2 * pr : 2]
-    zbar_ri = flat[:, :, 1 : 2 * pr : 2]
-    zbar_cr = flat[:, :, 2 * pr :: 2]
-    zbar_ci = flat[:, :, 2 * pr + 1 :: 2]
-    zeros_hs = jnp.zeros_like(hs)
-    zeros_rp = jnp.zeros_like(rp)
-    zeros_cp = jnp.zeros_like(cp)
+    zbar_rr, zbar_ri, zbar_cr, zbar_ci = _unpack_zbar(
+        zbar_packed, n_steps, pr, pc
+    )
     return (
-        zbar_rr, zbar_ri, zbar_cr, zbar_ci, zeros_hs, zeros_rp, zeros_cp,
+        zbar_rr, zbar_ri, zbar_cr, zbar_ci, jnp.zeros_like(hs),
+        jnp.zeros_like(rp), jnp.zeros_like(cp),
         dbar, lam0_re, lam0_im,
     )
 
@@ -526,8 +636,166 @@ fused_evolve.defvjp(_fused_fwd, _fused_bwd)
 
 
 # ----------------------------------------------------------------------
-# public entry point
+# eval-time states with adjoint
 # ----------------------------------------------------------------------
+def _fused_states_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
+                       psi_re, psi_im, slots, n_eval, interpret=False):
+    from jax.experimental import pallas as pl
+
+    R = int(psi_re.shape[0])
+    n_steps = int(hs.shape[0])
+    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(psi_re.shape[1])
+    rpt = jnp.swapaxes(rp, -1, -2)
+    cpt = jnp.swapaxes(cp, -1, -2)
+    kern = partial(_fwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb)
+    run_block, shared, smem = _specs(R)
+    out_shape = (R, n_eval) + tuple(psi_re.shape[1:])
+    slots_arr = jnp.asarray(slots, jnp.int32)
+    return pl.pallas_call(
+        kern,
+        grid=(R,),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        ),
+        in_specs=[
+            run_block(psi_re.shape), run_block(psi_im.shape),
+            shared(rp.shape), shared(rpt.shape),
+            shared(cp.shape), shared(cpt.shape),
+            run_block(zr_re.shape), run_block(zr_im.shape),
+            run_block(zc_re.shape), run_block(zc_im.shape),
+            shared((n_steps, 1)), run_block(diag.shape),
+            smem(slots_arr.shape),
+        ],
+        out_specs=(run_block(out_shape), run_block(out_shape)),
+        interpret=interpret,
+    )(
+        psi_re, psi_im, rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
+        hs.reshape(n_steps, 1), diag, slots_arr,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+def fused_evolve_states(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
+                        psi_re, psi_im, slots, n_eval, last_slot,
+                        interpret=False):
+    """Fused f32 RK4 evolution emitting every evaluation-slot state, with
+    adjoint gradients (run-major batch like :func:`fused_evolve`).
+
+    slots: static tuple of ints, length n_steps+1 (grid write slots);
+    n_eval: number of evaluation slots; last_slot: the final grid point's
+    slot (always valid — T is an eval time).
+    Returns (R, n_eval, nb, da, db) re/im.
+    """
+    return _fused_states_core(
+        zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
+        slots, n_eval, interpret,
+    )
+
+
+def _fused_states_fwd(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
+                      psi_re, psi_im, slots, n_eval, last_slot, interpret):
+    out = _fused_states_core(
+        zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
+        slots, n_eval, interpret,
+    )
+    res = (zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, out[0], out[1])
+    return out, res
+
+
+def _fused_states_bwd(slots, n_eval, last_slot, interpret, res, cot):
+    from jax.experimental import pallas as pl
+
+    zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, states_re, states_im = res
+    lam_re, lam_im = cot
+    R = int(states_re.shape[0])
+    n_steps = int(hs.shape[0])
+    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(states_re.shape[2])
+    rpt = jnp.swapaxes(rp, -1, -2)
+    cpt = jnp.swapaxes(cp, -1, -2)
+    kern = partial(
+        _bwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
+        last_slot=int(last_slot),
+    )
+    run_block, shared, smem = _specs(R)
+    f32 = jnp.float32
+    r_used = 4 * (2 * pr + 2 * pc)
+    r_pad = int(np.ceil(r_used / 8) * 8)
+    zbar_shape = (R, n_steps, r_pad, 128)
+    psi_shape = (R,) + tuple(states_re.shape[2:])
+    slots_arr = jnp.asarray(slots, jnp.int32)
+    (lam0_re, lam0_im, zbar_packed, dbar) = pl.pallas_call(
+        kern,
+        grid=(R,),
+        out_shape=(
+            jax.ShapeDtypeStruct(psi_shape, f32),
+            jax.ShapeDtypeStruct(psi_shape, f32),
+            jax.ShapeDtypeStruct(zbar_shape, f32),
+            jax.ShapeDtypeStruct(diag.shape, f32),
+        ),
+        in_specs=[
+            run_block(states_re.shape), run_block(states_im.shape),
+            run_block(lam_re.shape), run_block(lam_im.shape),
+            shared(rp.shape), shared(rpt.shape),
+            shared(cp.shape), shared(cpt.shape),
+            run_block(zr_re.shape), run_block(zr_im.shape),
+            run_block(zc_re.shape), run_block(zc_im.shape),
+            shared((n_steps, 1)), run_block(diag.shape),
+            smem(slots_arr.shape),
+        ],
+        out_specs=(
+            run_block(psi_shape), run_block(psi_shape),
+            run_block(zbar_shape), run_block(diag.shape),
+        ),
+        interpret=interpret,
+    )(
+        states_re, states_im, lam_re, lam_im,
+        rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
+        hs.reshape(n_steps, 1), diag, slots_arr,
+    )
+    zbar_rr, zbar_ri, zbar_cr, zbar_ci = _unpack_zbar(
+        zbar_packed, n_steps, pr, pc
+    )
+    return (
+        zbar_rr, zbar_ri, zbar_cr, zbar_ci, jnp.zeros_like(hs),
+        jnp.zeros_like(rp), jnp.zeros_like(cp),
+        dbar, lam0_re, lam0_im,
+    )
+
+
+fused_evolve_states.defvjp(_fused_states_fwd, _fused_states_bwd)
+
+
+# ----------------------------------------------------------------------
+# public entry points
+# ----------------------------------------------------------------------
+def _check_ising(ham: FactoredHamiltonian) -> None:
+    if ham.dense_mats is not None:
+        raise NotImplementedError(
+            "pallas kernels support diagonal-interaction (ising) "
+            "Hamiltonians only."
+        )
+
+
+def _as_run_major(ham: FactoredHamiltonian, psi0: Cplx, grid_times):
+    """Stage-precompute + cast to f32 with a leading R=1 run axis."""
+    f32 = jnp.float32
+    zr, zc, hs = _precompute_stage_z(ham, grid_times)
+    args = dict(
+        zr_re=zr.re.astype(f32)[None],
+        zr_im=zr.im.astype(f32)[None],
+        zc_re=zc.re.astype(f32)[None],
+        zc_im=zc.im.astype(f32)[None],
+        hs=hs.astype(f32),
+        rp=ham.row_parts.astype(f32),
+        cp=ham.col_parts.astype(f32),
+        diag=ham.int_diag.astype(f32)[None],
+        psi_re=psi0.re.astype(f32)[None],
+        psi_im=psi0.im.astype(f32)[None],
+    )
+    return args
+
+
 def pallas_evolve(
     ham: FactoredHamiltonian,
     psi0: Cplx,
@@ -540,24 +808,108 @@ def pallas_evolve(
     Hamiltonian coefficient streams / interaction diagonal / psi0 via the
     Pallas adjoint kernel.  ising Hamiltonians only.
     """
-    if ham.dense_mats is not None:
+    _check_ising(ham)
+    a = _as_run_major(ham, psi0, grid_times)
+    out_re, out_im = fused_evolve(
+        a["zr_re"], a["zr_im"], a["zc_re"], a["zc_im"], a["hs"],
+        a["rp"], a["cp"], a["diag"], a["psi_re"], a["psi_im"], interpret,
+    )
+    return Cplx(out_re[0], out_im[0])
+
+
+def pallas_evolve_states(
+    ham: FactoredHamiltonian,
+    psi0: Cplx,
+    grid,
+    interpret: bool = False,
+) -> Cplx:
+    """Fused evolution emitting states at the grid's evaluation slots:
+    (n_eval, nb, da, db), f32 — DIFFERENTIABLE via the states-adjoint
+    kernel (the backward sweep reloads stored eval states, so with dense
+    evaluation times the reconstruction is exact)."""
+    _check_ising(ham)
+    a = _as_run_major(ham, psi0, grid.times)
+    slots = tuple(int(s) for s in np.asarray(grid.write_slots))
+    last_slot = slots[-1]
+    if last_slot >= grid.n_eval:
+        raise ValueError(
+            "The final grid point must carry an evaluation slot (the "
+            "emulator always unions {0, T} into evaluation times)."
+        )
+    out_re, out_im = fused_evolve_states(
+        a["zr_re"], a["zr_im"], a["zc_re"], a["zc_im"], a["hs"],
+        a["rp"], a["cp"], a["diag"], a["psi_re"], a["psi_im"],
+        slots, int(grid.n_eval), last_slot, interpret,
+    )
+    return Cplx(out_re[0], out_im[0])
+
+
+def pallas_evolve_mc(
+    hams: FactoredHamiltonian,
+    psi0: Cplx,
+    grid,
+    interpret: bool = False,
+) -> Cplx:
+    """Monte-Carlo batched fused evolution: ``hams`` carries a leading
+    runs axis R on its streams/diagonal (build with
+    ``jax.vmap(h.build_data)(draws)``), psi0 is (nb, da, db) shared or
+    (R, nb, da, db) per-run.  Returns (R, n_eval, nb, da, db) states,
+    differentiable.  The runs axis is the kernel grid — one launch for
+    the whole Monte-Carlo batch."""
+    if hams.dense_mats is not None:
         raise NotImplementedError(
-            "pallas_evolve supports diagonal-interaction (ising) "
+            "pallas kernels support diagonal-interaction (ising) "
             "Hamiltonians only."
         )
     f32 = jnp.float32
-    zr, zc, hs = _precompute_stage_z(ham, grid_times)
-    out_re, out_im = fused_evolve(
-        zr.re.astype(f32),
-        zr.im.astype(f32),
-        zc.re.astype(f32),
-        zc.im.astype(f32),
-        hs.astype(f32),
-        ham.row_parts.astype(f32),
-        ham.col_parts.astype(f32),
-        ham.int_diag.astype(f32),
-        psi0.re.astype(f32),
-        psi0.im.astype(f32),
-        interpret,
+    R = int(hams.row_streams.re.shape[0])
+    rp = hams.row_parts[0] if hams.row_parts.ndim == 4 else hams.row_parts
+    cp = hams.col_parts[0] if hams.col_parts.ndim == 4 else hams.col_parts
+    sdt = (
+        hams.sample_dt.reshape(-1)[0] if hams.sample_dt.ndim
+        else hams.sample_dt
+    )
+
+    def stage_one(rs_re, rs_im, cs_re, cs_im, diag):
+        h1 = hams._replace(
+            row_streams=Cplx(rs_re, rs_im),
+            col_streams=Cplx(cs_re, cs_im),
+            int_diag=diag,
+            row_parts=rp,
+            col_parts=cp,
+            sample_dt=sdt,
+            # vmap batches the int n_samples leaf into an array; the
+            # static value is just the stream length
+            n_samples=int(hams.row_streams.re.shape[-1]),
+        )
+        zr, zc, hs = _precompute_stage_z(h1, grid.times)
+        return zr.re, zr.im, zc.re, zc.im, hs
+
+    zr_re, zr_im, zc_re, zc_im, hs_all = jax.vmap(
+        lambda a, b, c, d, e: stage_one(a, b, c, d, e)
+    )(
+        hams.row_streams.re, hams.row_streams.im,
+        hams.col_streams.re, hams.col_streams.im,
+        hams.int_diag,
+    )
+    hs = hs_all[0]
+    if psi0.re.ndim == 3:
+        psi_re = jnp.broadcast_to(
+            psi0.re.astype(f32)[None], (R,) + tuple(psi0.re.shape)
+        )
+        psi_im = jnp.broadcast_to(
+            psi0.im.astype(f32)[None], (R,) + tuple(psi0.im.shape)
+        )
+    else:
+        psi_re = psi0.re.astype(f32)
+        psi_im = psi0.im.astype(f32)
+    slots = tuple(int(s) for s in np.asarray(grid.write_slots))
+    last_slot = slots[-1]
+    out_re, out_im = fused_evolve_states(
+        zr_re.astype(f32), zr_im.astype(f32),
+        zc_re.astype(f32), zc_im.astype(f32),
+        hs.astype(f32), rp.astype(f32), cp.astype(f32),
+        hams.int_diag.astype(f32),
+        psi_re, psi_im, slots, int(grid.n_eval), last_slot, interpret,
     )
     return Cplx(out_re, out_im)

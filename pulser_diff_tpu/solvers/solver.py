@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pulser_diff_tpu.config import default_dtype
-from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.cplx import Cplx, cstack
 from pulser_diff_tpu.hamiltonian import CollapseOps
 from pulser_diff_tpu.ops.apply import (
     FactoredHamiltonian,
@@ -60,8 +60,8 @@ class SolverType:
     # final-state evaluation times only
     RK4_PALLAS = "RK4_PALLAS"
     # adaptive-step DP5 with embedded 4th-order error control (the
-    # reference's pyqtorch solver is adaptive); bounded lax.while_loop,
-    # forward-only (reverse-mode through while_loop is unsupported)
+    # reference's pyqtorch solver is adaptive); bounded lax.while_loop
+    # with a continuous-adjoint custom VJP (differentiable)
     DP5_SE_ADAPTIVE = "DP5_SE_ADAPTIVE"
 
 
@@ -205,7 +205,11 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
                 return None
             return _mix(za, zb, wa, wb)
 
-        def step(psi: Cplx, t0, t1):
+        def one(psi: Cplx, t0, t1):
+            """Single batch column (1, da, db): independent Krylov
+            subspace per column, but one shared integration grid — the
+            batch axis is vmapped around this function so the scan over
+            grid intervals runs once for the whole batch."""
             h = (t1 - t0) / substeps
 
             def sub(i, p):
@@ -218,12 +222,22 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
                     zc = _mix(zc1, zc2, wa, wb)
                     zd = _mix_opt(zd1, zd2, wa, wb)
                     apply = lambda v: h_apply_batched(ham, zr, zc, zd, v)
-                    p = _krylov_expm(apply, p, h / 2, krylov_dim)
+                    p = _krylov_expm(apply, p, h / 2, krylov_dim, krylov_tol)
                 return p
 
             if substeps == 1:
                 return sub(0, psi)
             return jax.lax.fori_loop(0, substeps, sub, psi)
+
+        def step(psi: Cplx, t0, t1):
+            nb = psi.re.shape[0]
+            if nb == 1:
+                return one(psi, t0, t1)
+            return jax.vmap(
+                lambda p: one(p.reshape((1,) + p.shape), t0, t1).reshape(
+                    p.shape
+                )
+            )(psi)
 
         return step
 
@@ -238,96 +252,219 @@ _DP5_B4 = np.array(
 )
 
 
+def _tree_axpy(y, k, c):
+    """y + c * k over matching pytrees."""
+    return jax.tree.map(lambda a, b: a + c * b, y, k)
+
+
+def _adaptive_dp5_pytree(rhs, y0, span, h0, rtol, atol, max_iters):
+    """Adaptive DP5(4) over an arbitrary pytree state: integrate
+    dy/ds = rhs(s, y) from s=0 to s=span (span >= 0) inside a bounded
+    ``lax.while_loop``.  Componentwise error scale atol + rtol*|y|,
+    RMS-normed over every leaf element."""
+    n_elems = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(y0)) or 1
+
+    def cond(carry):
+        s, y, h, i = carry
+        return jnp.logical_and(s < span - 1e-15, i < max_iters)
+
+    def body(carry):
+        s, y, h, i = carry
+        h_eff = jnp.minimum(h, span - s)
+        ks = []
+        for st, cs in enumerate(_DP5_C):
+            yi = y
+            for j, a in enumerate(_DP5_A[st]):
+                if a != 0.0:
+                    yi = _tree_axpy(yi, ks[j], a * h_eff)
+            ks.append(rhs(s + cs * h_eff, yi))
+        y5 = y
+        for bi, ki in zip(_DP5_B, ks):
+            if bi != 0.0:
+                y5 = _tree_axpy(y5, ki, bi * h_eff)
+        ks.append(rhs(s + h_eff, y5))  # FSAL 7th stage
+        err = None
+        b5_ext = list(_DP5_B) + [0.0]
+        for b5i, b4i, ki in zip(b5_ext, _DP5_B4, ks):
+            d = b5i - b4i
+            if d != 0.0:
+                err = (
+                    jax.tree.map(lambda k_: (d * h_eff) * k_, ki)
+                    if err is None
+                    else _tree_axpy(err, ki, d * h_eff)
+                )
+        sq_sum = sum(
+            jnp.sum((e / (atol + rtol * jnp.abs(yv))) ** 2)
+            for e, yv in zip(jax.tree.leaves(err), jax.tree.leaves(y))
+        )
+        err_norm = jnp.sqrt(sq_sum / n_elems)
+        accept = err_norm <= 1.0
+        y_new = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), y5, y
+        )
+        s_new = jnp.where(accept, s + h_eff, s)
+        factor = jnp.clip(
+            0.9 * jnp.where(err_norm > 0, err_norm, 1e-10) ** -0.2, 0.2, 5.0
+        )
+        return (s_new, y_new, h_eff * factor, i + 1)
+
+    _, y_f, _, _ = jax.lax.while_loop(
+        cond, body, (span * 0.0, y0, h0, jnp.int32(0))
+    )
+    return y_f
+
+
+def _rebuild_ham(parts, streams, n_samples: int) -> FactoredHamiltonian:
+    row_parts, col_parts, sample_dt = parts
+    row_streams, col_streams, int_diag, dense_mats, dense_streams = streams
+    return FactoredHamiltonian(
+        row_parts=row_parts,
+        col_parts=col_parts,
+        row_streams=row_streams,
+        col_streams=col_streams,
+        int_diag=int_diag,
+        dense_mats=dense_mats,
+        dense_streams=dense_streams,
+        sample_dt=sample_dt,
+        n_samples=n_samples,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _adaptive_evolve(cfg, parts, streams, psi: Cplx, t0, t1):
+    """Adaptive DP5(4) evolution over [t0, t1] with a continuous-adjoint
+    custom VJP (the reference differentiates through pyqtorch's adaptive
+    DP5 by unrolled autograd, backend.py:487-494; here the backward pass
+    is its own adaptive sweep over the augmented (psi, costate,
+    parameter-cotangent) system — O(1) memory in the step count).
+
+    cfg = (n_samples, rtol, atol, max_iters) static.
+    Differentiable in streams (coefficients/diagonal/dense terms), psi
+    and the interval endpoints; parts (operator structure) are constant.
+    """
+    n_samples, rtol, atol, max_iters = cfg
+    ham = _rebuild_ham(parts, streams, n_samples)
+    span = t1 - t0
+
+    def rhs(s, p):
+        return _se_rhs(ham, t0 + s, p)
+
+    return _adaptive_dp5_pytree(rhs, psi, span, span, rtol, atol, max_iters)
+
+
+def _adaptive_evolve_fwd(cfg, parts, streams, psi, t0, t1):
+    psi1 = _adaptive_evolve(cfg, parts, streams, psi, t0, t1)
+    return psi1, (parts, streams, psi1, t0, t1)
+
+
+def _adaptive_evolve_bwd(cfg, res, lam1):
+    n_samples, rtol, atol, max_iters = cfg
+    parts, streams, psi1, t0, t1 = res
+    span = t1 - t0
+
+    def f(streams_, t, psi_):
+        return _se_rhs(_rebuild_ham(parts, streams_, n_samples), t, psi_)
+
+    def aug_rhs(s, y):
+        psi_, lam, _ = y
+        t = t1 - s
+        f_val, pull = jax.vjp(lambda st_, p_: f(st_, t, p_), streams, psi_)
+        st_bar, psi_bar = pull(lam)
+        # dpsi/ds = -f;  dlam/ds = +(df/dpsi)^T lam;  dtheta/ds = +(df/dth)^T lam
+        return (
+            jax.tree.map(jnp.negative, f_val),
+            psi_bar,
+            st_bar,
+        )
+
+    hbar0 = jax.tree.map(jnp.zeros_like, streams)
+    y0 = (psi1, lam1, hbar0)
+    psi0, lam0, hbar = _adaptive_dp5_pytree(
+        aug_rhs, y0, span, span, rtol, atol, max_iters
+    )
+
+    def inner(l: Cplx, v: Cplx):
+        return jnp.sum(l.re * v.re) + jnp.sum(l.im * v.im)
+
+    f1 = f(streams, t1, psi1)
+    f0 = f(streams, t0, psi0)
+    t1_bar = inner(lam1, f1)
+    t0_bar = -inner(lam0, f0)
+    parts_bar = jax.tree.map(jnp.zeros_like, parts)
+    return (parts_bar, hbar, lam0, t0_bar, t1_bar)
+
+
+_adaptive_evolve.defvjp(_adaptive_evolve_fwd, _adaptive_evolve_bwd)
+
+
 def _make_se_step_adaptive(ham, substeps: int, rtol: float = 1e-8,
                            atol: float = 1e-10, max_iters: int = 256):
-    """Adaptive DP5(4) with PI-free step control inside a bounded
-    lax.while_loop per grid interval.  Forward-only."""
-
-    def rhs(t, psi):
-        return _se_rhs(ham, t, psi)
+    """Adaptive DP5(4) per grid interval, differentiable through the
+    continuous-adjoint custom VJP (:func:`_adaptive_evolve`)."""
+    cfg = (int(ham.n_samples), float(rtol), float(atol), int(max_iters))
+    parts = (ham.row_parts, ham.col_parts, ham.sample_dt)
+    streams = (
+        ham.row_streams,
+        ham.col_streams,
+        ham.int_diag,
+        ham.dense_mats,
+        ham.dense_streams,
+    )
 
     def step(psi: Cplx, t0, t1):
-        h0 = (t1 - t0) / substeps
-
-        def cond(carry):
-            t, p, h, i = carry
-            return jnp.logical_and(t < t1 - 1e-15, i < max_iters)
-
-        def body(carry):
-            t, p, h, i = carry
-            h_eff = jnp.minimum(h, t1 - t)
-            ks = []
-            for s, cs in enumerate(_DP5_C):
-                y = p
-                for j, a in enumerate(_DP5_A[s]):
-                    if a != 0.0:
-                        y = y + ks[j] * (a * h_eff)
-                ks.append(rhs(t + cs * h_eff, y))
-            y5 = p
-            for bi, ki in zip(_DP5_B, ks):
-                if bi != 0.0:
-                    y5 = y5 + ki * (bi * h_eff)
-            k7 = rhs(t + h_eff, y5)
-            ks.append(k7)
-            # embedded error: y5 - y4 = h * sum (b5 - b4) k
-            err = None
-            b5_ext = list(_DP5_B) + [0.0]
-            for b5i, b4i, ki in zip(b5_ext, _DP5_B4, ks):
-                d = b5i - b4i
-                if d != 0.0:
-                    term = ki * (d * h_eff)
-                    err = term if err is None else err + term
-            scale2 = (atol + rtol * jnp.sqrt(p.abs2())) ** 2
-            err_norm = jnp.sqrt(jnp.mean(err.abs2() / scale2))
-            accept = err_norm <= 1.0
-            p_new = Cplx(
-                jnp.where(accept, y5.re, p.re), jnp.where(accept, y5.im, p.im)
-            )
-            t_new = jnp.where(accept, t + h_eff, t)
-            factor = jnp.clip(
-                0.9 * jnp.where(err_norm > 0, err_norm, 1e-10) ** -0.2,
-                0.2,
-                5.0,
-            )
-            return (t_new, p_new, h_eff * factor, i + 1)
-
-        t_f, p_f, _, iters = jax.lax.while_loop(
-            cond, body, (t0 * 1.0, psi, h0, jnp.int32(0))
-        )
-        return p_f
+        return _adaptive_evolve(cfg, parts, streams, psi, t0, t1)
 
     return step
 
 
-def _krylov_expm(apply, psi: Cplx, h, m: int) -> Cplx:
+def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
     """exp(-i h H) psi via an m-dimensional Lanczos subspace.
 
     H hermitian => real symmetric tridiagonal T; the small expm uses an
-    eigendecomposition of T (m x m, on-device).  Works on batched psi by
-    flattening the batch into the Krylov vectors (same subspace for the
-    whole batch would be wrong, so batch must be handled by vmap upstream;
-    here nb is expected to be 1 or the caller vmaps).
+    eigendecomposition of T (m x m, on-device).  Each new Lanczos vector
+    is fully reorthogonalized against all previous ones (small m, cheap;
+    prevents the loss-of-orthogonality drift of the bare three-term
+    recurrence).  ``tol`` is the happy-breakdown threshold: once
+    ||w|| <= tol the recursion has exhausted the Krylov space and all
+    later vectors/couplings are masked to zero, so exp(T) decouples from
+    the garbage block instead of dividing by a denormal.
+
+    One state per subspace: batch is handled by vmap upstream.
     """
     dt = psi.dtype
     nrm = jnp.sqrt(jnp.sum(psi.abs2()))
     safe_nrm = jnp.where(nrm > 0, nrm, 1.0)
     q = psi * (1.0 / safe_nrm)
 
-    def body(carry, _):
-        q_prev, q_cur, beta_prev = carry
-        w = apply(q_cur)
-        alpha = jnp.sum(w.re * q_cur.re + w.im * q_cur.im)
-        w = w - q_cur * alpha - q_prev * beta_prev
-        # full reorthogonalization is skipped (short recurrences, small m)
+    qs = [q]
+    alphas = []
+    betas = []
+    alive = jnp.asarray(1.0, dt)
+    for j in range(m):
+        w = apply(qs[j])
+        alpha = jnp.sum(w.re * qs[j].re + w.im * qs[j].im)
+        w = w - qs[j] * alpha
+        if j > 0:
+            w = w - qs[j - 1] * betas[j - 1]
+        # full reorthogonalization (classical Gram-Schmidt, one pass)
+        for k in range(j + 1):
+            ov_re = jnp.sum(qs[k].re * w.re + qs[k].im * w.im)
+            ov_im = jnp.sum(qs[k].re * w.im - qs[k].im * w.re)
+            w = w - Cplx(
+                ov_re * qs[k].re - ov_im * qs[k].im,
+                ov_re * qs[k].im + ov_im * qs[k].re,
+            )
         beta = jnp.sqrt(jnp.sum(w.abs2()))
-        safe_beta = jnp.where(beta > 1e-300, beta, 1.0)
-        q_next = w * (1.0 / safe_beta)
-        return (q_cur, q_next, beta), (q_cur, alpha, beta)
+        alive = alive * (beta > tol).astype(dt)
+        safe_beta = jnp.where(beta > tol, beta, 1.0)
+        q_next = w * (alive / safe_beta)
+        alphas.append(alpha)
+        betas.append(beta * alive)
+        qs.append(q_next)
 
-    zero_q = Cplx(jnp.zeros_like(q.re), jnp.zeros_like(q.im))
-    (_, _, _), (qs, alphas, betas) = jax.lax.scan(
-        body, (zero_q, q, jnp.asarray(0.0, dt)), None, length=m
-    )
+    qs_c = cstack(qs[:m])
+    alphas = jnp.stack(alphas)
+    betas = jnp.stack(betas)
     # T: symmetric tridiagonal (alphas diag, betas[:-1] off-diag)
     T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
     lam, V = jnp.linalg.eigh(T)
@@ -337,11 +474,11 @@ def _krylov_expm(apply, psi: Cplx, h, m: int) -> Cplx:
     v0 = V[0, :]
     u_re = V @ (coef_re * v0)
     u_im = V @ (coef_im * v0)
-    out_re = jnp.einsum("k,k...->...", u_re, qs.re) - jnp.einsum(
-        "k,k...->...", u_im, qs.im
+    out_re = jnp.einsum("k,k...->...", u_re, qs_c.re) - jnp.einsum(
+        "k,k...->...", u_im, qs_c.im
     )
-    out_im = jnp.einsum("k,k...->...", u_re, qs.im) + jnp.einsum(
-        "k,k...->...", u_im, qs.re
+    out_im = jnp.einsum("k,k...->...", u_re, qs_c.im) + jnp.einsum(
+        "k,k...->...", u_im, qs_c.re
     )
     return Cplx(out_re, out_im) * nrm
 
@@ -550,7 +687,7 @@ def sesolve(
     solver: str = SolverType.DP5_SE,
     substeps: int = 1,
     krylov_dim: int = 12,
-    krylov_tol: float = 0.0,
+    krylov_tol: float = 1e-12,
     remat: Optional[bool] = None,
     n_segments: Optional[int] = None,
 ) -> Cplx:
@@ -566,17 +703,6 @@ def sesolve(
     if n_segments is None:
         n_segments = _auto_segments(psi0, n_steps)
     step = _make_se_step(ham, solver, substeps, krylov_dim, krylov_tol)
-    if solver == SolverType.KRYLOV_SE and psi0.shape[0] > 1:
-        # independent Krylov subspace per batch element
-        def one(p: Cplx) -> Cplx:
-            return _integrate(
-                step, p.reshape((1,) + p.shape), grid, remat, n_segments
-            )
-
-        res = jax.vmap(one)(psi0)  # (nb, n_eval, 1, da, db)
-        return Cplx(
-            jnp.moveaxis(res.re[:, :, 0], 0, 1), jnp.moveaxis(res.im[:, :, 0], 0, 1)
-        )
     return _integrate(step, psi0, grid, remat, n_segments)
 
 

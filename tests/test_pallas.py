@@ -57,10 +57,10 @@ def test_pallas_adjoint_grad_matches_autodiff(two_atom_register):
     zr, zc, hs = _precompute_stage_z(hd, grid.times)
     f32 = jnp.float32
     consts = dict(
-        zc_re=zc.re.astype(f32), zc_im=zc.im.astype(f32),
+        zc_re=zc.re.astype(f32)[None], zc_im=zc.im.astype(f32)[None],
         hs=hs.astype(f32), rp=hd.row_parts.astype(f32),
-        cp=hd.col_parts.astype(f32), diag=hd.int_diag.astype(f32),
-        pr=p0.re.astype(f32), pi=p0.im.astype(f32),
+        cp=hd.col_parts.astype(f32), diag=hd.int_diag.astype(f32)[None],
+        pr=p0.re.astype(f32)[None], pi=p0.im.astype(f32)[None],
     )
 
     def loss(zr_re, zr_im):
@@ -72,13 +72,13 @@ def test_pallas_adjoint_grad_matches_autodiff(two_atom_register):
         return jnp.sum(o_re**2 - o_im)
 
     g = jax.grad(loss, argnums=(0, 1))(
-        zr.re.astype(f32), zr.im.astype(f32)
+        zr.re.astype(f32)[None], zr.im.astype(f32)[None]
     )
     # finite-difference spot checks
     eps = 1e-2
-    z0 = zr.re.astype(f32)
-    z1 = zr.im.astype(f32)
-    for idx in [(10, 1, 0), (50, 3, 0)]:
+    z0 = zr.re.astype(f32)[None]
+    z1 = zr.im.astype(f32)[None]
+    for idx in [(0, 10, 1, 0), (0, 50, 3, 0)]:
         lp = float(loss(z0.at[idx].add(eps), z1))
         lm = float(loss(z0.at[idx].add(-eps), z1))
         fd = (lp - lm) / (2 * eps)
@@ -122,3 +122,126 @@ def test_pallas_rejects_xy():
     p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
     with pytest.raises(NotImplementedError):
         pallas_evolve(h._ham_data, p0, grid.times, interpret=True)
+
+
+def test_pallas_states_adjoint_grad(two_atom_register):
+    """Gradients through the eval-time states kernel (custom VJP with
+    stored-state reloads) vs finite differences."""
+    from pulser_diff_tpu.ops.pallas_evolution import (
+        _precompute_stage_z,
+        fused_evolve_states,
+    )
+
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=[0.05, 0.12])
+    h = sim._hamiltonian
+    hd = h._ham_data
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    da, db = h.dim**h._a, h.dim**h._b
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+
+    zr, zc, hs = _precompute_stage_z(hd, grid.times)
+    f32 = jnp.float32
+    slots = tuple(int(x) for x in np.asarray(grid.write_slots))
+    n_eval = int(grid.n_eval)
+    consts = dict(
+        zc_re=zc.re.astype(f32)[None], zc_im=zc.im.astype(f32)[None],
+        hs=hs.astype(f32), rp=hd.row_parts.astype(f32),
+        cp=hd.col_parts.astype(f32), diag=hd.int_diag.astype(f32)[None],
+        pr=p0.re.astype(f32)[None], pi=p0.im.astype(f32)[None],
+    )
+
+    def loss(zr_re, zr_im):
+        o_re, o_im = fused_evolve_states(
+            zr_re, zr_im, consts["zc_re"], consts["zc_im"], consts["hs"],
+            consts["rp"], consts["cp"], consts["diag"], consts["pr"],
+            consts["pi"], slots, n_eval, slots[-1], True,
+        )
+        # weight every eval state (mid-trajectory gradients included)
+        w = jnp.arange(1.0, n_eval + 1.0, dtype=f32)[None, :, None, None, None]
+        return jnp.sum(w * o_re**2) + jnp.sum(w * o_im**2) * 0.5
+
+    g = jax.grad(loss, argnums=(0, 1))(
+        zr.re.astype(f32)[None], zr.im.astype(f32)[None]
+    )
+    eps = 1e-2
+    z0 = zr.re.astype(f32)[None]
+    z1 = zr.im.astype(f32)[None]
+    for idx in [(0, 10, 1, 0), (0, 50, 3, 0), (0, 90, 0, 0)]:
+        lp = float(loss(z0.at[idx].add(eps), z1))
+        lm = float(loss(z0.at[idx].add(-eps), z1))
+        fd = (lp - lm) / (2 * eps)
+        assert abs(float(g[0][idx]) - fd) < max(5e-3, 0.05 * abs(fd) + 1e-4)
+    # psi0 cotangent flows too
+    def loss_psi(pr):
+        o_re, o_im = fused_evolve_states(
+            z0, z1, consts["zc_re"], consts["zc_im"], consts["hs"],
+            consts["rp"], consts["cp"], consts["diag"], pr,
+            consts["pi"], slots, n_eval, slots[-1], True,
+        )
+        return jnp.sum(o_re[:, -1] ** 2)
+
+    gp = jax.grad(loss_psi)(consts["pr"])
+    assert np.isfinite(np.asarray(gp)).all()
+    assert np.abs(np.asarray(gp)).max() > 1e-6
+
+
+def test_pallas_mc_matches_vmapped_xla(two_atom_register):
+    """In-kernel Monte-Carlo batching (grid over the runs axis) vs the
+    vmapped XLA solver on the same noise draws."""
+    from pulser_diff_tpu import SimConfig
+    from pulser_diff_tpu.hamiltonian import draw_noise
+    from pulser_diff_tpu.ops.pallas_evolution import pallas_evolve_mc
+
+    seq = make_rich_sequence(two_atom_register)
+    cfg = SimConfig(noise="doppler", temperature=80.0, runs=3)
+    sim = TpuEmulator.from_sequence(
+        seq, config=cfg, evaluation_times=[0.05, 0.12]
+    )
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    n_slots = h._count_noise_slots()
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    draws = jax.vmap(
+        lambda k: draw_noise(k, h.config, h._size, n_slots)
+    )(keys)
+    hams = jax.vmap(h.build_data)(draws)
+
+    da, db = h.dim**h._a, h.dim**h._b
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+
+    mc = pallas_evolve_mc(hams, p0, grid, interpret=True)
+
+    # reference: per-run XLA RK4 on the same draws
+    def one(i):
+        hd = h.build_data(
+            jax.tree.map(lambda x: x[i], draws)
+        )
+        return sesolve(hd, p0, grid, solver=SolverType.RK4_SE)
+
+    for r in range(3):
+        ref = one(r)
+        err = np.abs(mc[r].to_numpy() - ref.to_numpy()).max()
+        assert err < 5e-5
+    # runs actually differ
+    assert (
+        np.abs(mc[0].to_numpy() - mc[1].to_numpy()).max() > 1e-6
+    )
+
+
+def test_run_noisy_with_pallas_solver(two_atom_register):
+    """run() with stochastic noise + RK4_PALLAS goes through the fused
+    MC kernel and returns NoisyResults."""
+    from pulser_diff_tpu import SimConfig
+
+    seq = make_rich_sequence(two_atom_register)
+    cfg = SimConfig(noise="doppler", temperature=60.0, runs=4,
+                    samples_per_run=25)
+    sim = TpuEmulator.from_sequence(
+        seq, config=cfg, evaluation_times="Minimal"
+    )
+    res = sim.run(solver=SolverType.RK4_PALLAS)
+    tot = sum(sum(r.bitstring_counts.values()) for r in res._results)
+    assert tot == 4 * 25 * len(res._sim_times)

@@ -159,8 +159,11 @@ def test_phase_forward_fill_and_post_phase_shift():
 
 
 def test_output_modulation():
-    """with_modulation low-pass filters the samples (pulser's EOM response
-    approximated by a Gaussian kernel, core/sampler.py:_modulate)."""
+    """with_modulation applies pulser's exact channel transfer function:
+    normalized Blackman window of width 2*rise_time, zero-padded for
+    amplitude and edge-padded (keep_ends) for detuning/phase, extending
+    the samples by the 2*rise_time fall time (reference samples with it
+    via with_modulation, backend.py:695-705)."""
     from pulser_diff_tpu.core.channels import Channel
     from pulser_diff_tpu.core.devices import Device
 
@@ -184,10 +187,26 @@ def test_output_modulation():
     mod = sample(seq, modulation=True).channel_samples["g"]
     raw_amp = np.asarray(raw.amp)
     mod_amp = np.asarray(mod.amp)
-    # same pulse area, smoothed edges
-    assert abs(raw_amp.sum() - mod_amp.sum()) / raw_amp.sum() < 0.05
+    rise = 16  # int(0.48 / 30 MHz * 1e3)
+    # fall-time extension: programmed 300 ns + 2 * rise_time
+    assert mod_amp.shape[0] == 300 + 2 * rise
+    # normalized window preserves the pulse area exactly
+    assert abs(raw_amp.sum() - mod_amp.sum()) < 1e-9 * raw_amp.sum() + 1e-9
     assert mod_amp[0] < 0.6 * raw_amp[100]  # rising edge at the start
-    assert abs(mod_amp[100] - 2.0) < 1e-6  # plateau unchanged
+    assert abs(mod_amp[100] - 2.0) < 1e-9  # plateau unchanged
+    # golden check vs the direct numpy form of pulser's transfer function
+    win = np.blackman(2 * rise)
+    win = win / win.sum()
+    ref = np.convolve(np.pad(raw_amp, rise), win, mode="same")
+    ref = np.pad(ref, (0, mod_amp.shape[0] - ref.shape[0]))
+    np.testing.assert_allclose(mod_amp, ref[: mod_amp.shape[0]], atol=1e-9)
+    # detuning/phase hold their boundary values (keep_ends)
+    seq2 = Sequence(r, dev)
+    seq2.declare_channel("g", "rydberg_global")
+    seq2.add(Pulse.ConstantPulse(200, 1.0, -2.0, 0.4), "g")
+    mod2 = sample(seq2, modulation=True).channel_samples["g"]
+    assert abs(float(mod2.det[0]) - (-2.0)) < 1e-9
+    assert abs(float(mod2.phase[-1]) - 0.4) < 1e-9
     # emulator accepts modulated sampling end-to-end
     from pulser_diff_tpu import TpuEmulator
 
