@@ -48,7 +48,7 @@ from pulser_diff_tpu.simresults import (
 from pulser_diff_tpu.solvers import SolverType, TimeGrid, mesolve, sesolve
 
 _LINDBLAD_NOISES = {"dephasing", "relaxation", "depolarizing", "eff_noise"}
-_DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude"}
+_DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude", "leakage"}
 
 
 class TpuEmulator:
@@ -469,6 +469,7 @@ class TpuEmulator:
                     self._meas_basis,
                     st,
                     self._meas_basis == h.basis_name,
+                    basis_labels=tuple(h._basis_labels),
                 )
             )
         return CoherentResults(
@@ -718,26 +719,27 @@ class TpuEmulator:
             else:
                 probs = jnp.zeros_like(probs).at[..., 0].set(1.0)
             weights = probs
-        elif dim == 3:
-            from pulser_diff_tpu.result import _three_level_projection_matrix
+        elif dim in (3, 4):
+            from pulser_diff_tpu.result import (
+                _ONE_LABEL,
+                _level_projection_matrix,
+            )
 
-            if self._meas_basis == "ground-rydberg":
-                one_state, ex0, ex1 = 0, 1, 2
-            elif self._meas_basis == "digital":
-                one_state, ex0, ex1 = 2, 0, 1
-            else:
+            labels = list(h._basis_labels)
+            one_label = _ONE_LABEL.get(self._meas_basis)
+            if one_label is None or one_label not in labels:
                 raise RuntimeError(
                     f"Unknown measurement basis '{self._meas_basis}' for a "
-                    "three-level system."
+                    f"{dim}-level system."
                 )
             P = jnp.asarray(
-                _three_level_projection_matrix(n, one_state, ex0, ex1),
+                _level_projection_matrix(n, dim, labels.index(one_label)),
                 probs.dtype,
             )
             weights = jnp.einsum("ks,rts->rtk", P, probs)
         else:
             raise NotImplementedError(
-                "Cannot sample systems with single-atom dimension > 3."
+                "Cannot sample systems with single-atom dimension > 4."
             )
         weights = jnp.clip(weights, 0.0, None)
         return weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -815,7 +817,13 @@ class TpuEmulator:
     ) -> None:
         """Plot the sampled amp/det(/phase) per channel (reference
         backend.py:613-649 delegates to pulser's draw_samples; here a
-        native matplotlib rendering)."""
+        native matplotlib rendering).
+
+        draw_phase_area annotates each pulse with its area (multiples of
+        pi) and phase; draw_phase_shifts marks the instants where the
+        carrier phase changes with dashed lines + labels (pulser
+        draw_samples parity).
+        """
         import matplotlib.pyplot as plt
 
         chs = self.samples_obj.channel_samples
@@ -828,6 +836,7 @@ class TpuEmulator:
             t = np.arange(cs.duration)
             amp = np.asarray(jax.device_get(cs.amp))
             det = np.asarray(jax.device_get(cs.det))
+            ph = np.asarray(jax.device_get(cs.phase))
             ax_a, ax_d = axes[2 * i], axes[2 * i + 1]
             ax_a.fill_between(t, 0, amp, color="darkgreen", alpha=0.4)
             ax_a.plot(t, amp, color="darkgreen")
@@ -835,8 +844,39 @@ class TpuEmulator:
             ax_d.fill_between(t, 0, det, color="indigo", alpha=0.3)
             ax_d.plot(t, det, color="indigo")
             ax_d.set_ylabel("δ (rad/µs)")
+            if draw_phase_area:
+                top = float(amp.max()) if amp.size else 1.0
+                for sl in cs.slots:
+                    if sl.tf <= sl.ti:
+                        continue
+                    seg = amp[sl.ti : sl.tf]
+                    if seg.size == 0 or float(np.abs(seg).max()) == 0.0:
+                        continue
+                    area = float(seg.sum()) / 1000.0  # rad (ns * rad/us)
+                    phase_val = float(ph[sl.ti])
+                    mid = 0.5 * (sl.ti + sl.tf)
+                    label = f"A: {area / np.pi:.3g}π"
+                    if phase_val != 0.0:
+                        label += f"\nφ: {phase_val / np.pi:.3g}π"
+                    ax_a.text(
+                        mid, 1.02 * top, label,
+                        ha="center", va="bottom", fontsize=8,
+                        color="darkgreen",
+                    )
+            if draw_phase_shifts:
+                # instants where the carrier phase jumps between slots
+                jumps = np.nonzero(np.abs(np.diff(ph)) > 1e-12)[0] + 1
+                for tj in jumps:
+                    for ax in (ax_a, ax_d):
+                        ax.axvline(
+                            tj, linestyle="--", color="gray", alpha=0.6
+                        )
+                    ax_a.text(
+                        tj, 0.0, f"{float(ph[tj]) / np.pi:.3g}π",
+                        ha="left", va="bottom", fontsize=7, color="gray",
+                        rotation=90,
+                    )
             if draw_phase_curve:
-                ph = np.asarray(jax.device_get(cs.phase))
                 ax2 = ax_a.twinx()
                 ax2.plot(t, ph, color="crimson", linestyle="--")
                 ax2.set_ylabel("phase (rad)")

@@ -72,12 +72,43 @@ class Waveform:
 
     @property
     def samples(self) -> jax.Array:
-        """One sample per ns; differentiable w.r.t. waveform parameters."""
+        """One sample per ns; differentiable w.r.t. waveform parameters.
+
+        When every parameter is a plain host scalar (nothing traced, no
+        device arrays) the samples come from the native C++ kernels
+        (native/sampler.cpp via pulser_diff_tpu.native) — eager jnp
+        dispatch would otherwise ship dozens of tiny ops through the
+        remote-device tunnel per waveform.  Traced/array parameters always
+        take the differentiable JAX path.
+        """
         if self.is_parametrized:
             raise ValueError(
                 "Cannot sample a parametrized waveform; call build() first."
             )
+        if self._host_concrete():
+            try:
+                out = self._samples_native()
+            except Exception:
+                out = None
+            if out is not None:
+                return jnp.asarray(out, default_dtype())
         return self._samples()
+
+    def _host_concrete(self) -> bool:
+        """True when no parameter is a JAX array (incl. tracers)."""
+        for n in self._param_names:
+            v = getattr(self, n)
+            if isinstance(v, jax.Array):
+                return False
+            if isinstance(v, (list, tuple)) and any(
+                isinstance(x, jax.Array) for x in v
+            ):
+                return False
+        return True
+
+    def _samples_native(self):
+        """Native (C++) sample computation; None = no native kernel."""
+        return None
 
     def _samples(self) -> jax.Array:
         raise NotImplementedError
@@ -151,6 +182,15 @@ class RampWaveform(Waveform):
         frac = jnp.arange(d, dtype=default_dtype()) / max(d - 1, 1)
         return start + (stop - start) * frac
 
+    def _samples_native(self):
+        from pulser_diff_tpu import native
+
+        if not native.available():
+            return None
+        return native.ramp(
+            self.duration, float(self.start), float(self.stop)
+        )
+
     @property
     def slope(self) -> jax.Array:
         return (_as_array(self.stop) - _as_array(self.start)) / (
@@ -193,6 +233,13 @@ class BlackmanWaveform(Waveform):
         area = _as_array(self.area)
         return w * (area / (jnp.sum(w) * 1e-3))
 
+    def _samples_native(self):
+        from pulser_diff_tpu import native
+
+        if not native.available() or self.duration == 1:
+            return None
+        return native.blackman(self.duration, float(self.area))
+
     def change_duration(self, new_duration: int) -> "BlackmanWaveform":
         return BlackmanWaveform(new_duration, self.area)
 
@@ -231,6 +278,15 @@ class KaiserWaveform(Waveform):
         w = _kaiser_window(self.duration, self.beta)
         area = _as_array(self.area)
         return w * (area / (jnp.sum(w) * 1e-3))
+
+    def _samples_native(self):
+        from pulser_diff_tpu import native
+
+        if not native.available() or self.duration == 1:
+            return None
+        return native.kaiser(
+            self.duration, float(self.area), float(self.beta)
+        )
 
     def change_duration(self, new_duration: int) -> "KaiserWaveform":
         return KaiserWaveform(new_duration, self.area, self.beta)
@@ -360,6 +416,21 @@ class InterpolatedWaveform(Waveform):
         x = tfrac * (self.duration - 1)
         t = jnp.arange(self.duration, dtype=default_dtype())
         return pchip_interpolate(x, vals, t)
+
+    def _samples_native(self):
+        from pulser_diff_tpu import native
+
+        if not native.available():
+            return None
+        vals = np.asarray(self.values, dtype=np.float64)
+        n = vals.shape[0]
+        if self.times is None:
+            tfrac = np.linspace(0.0, 1.0, n)
+        else:
+            tfrac = np.asarray(self.times, dtype=np.float64)
+        x = tfrac * (self.duration - 1)
+        t = np.arange(self.duration, dtype=np.float64)
+        return native.pchip(x, vals, t)
 
     def change_duration(self, new_duration: int) -> "InterpolatedWaveform":
         return InterpolatedWaveform(new_duration, self.values, self.times)

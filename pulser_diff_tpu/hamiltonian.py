@@ -214,8 +214,9 @@ class Hamiltonian:
                 f"Interaction mode '{self._interaction}' does not support "
                 f"simulation of noise types: {', '.join(not_supported)}."
             )
-        if not hasattr(self, "basis_name"):
-            self._build_basis_and_op_matrices()
+        want_leak = "leakage" in cfg.noise_types
+        if not hasattr(self, "basis_name") or want_leak != self._with_leakage:
+            self._build_basis_and_op_matrices(with_leakage=want_leak)
         self._build_collapse_operators(cfg)
         self._config = cfg
         self._construct_hamiltonian()
@@ -223,7 +224,7 @@ class Hamiltonian:
     # ------------------------------------------------------------------
     # basis / operator tables
     # ------------------------------------------------------------------
-    def _build_basis_and_op_matrices(self) -> None:
+    def _build_basis_and_op_matrices(self, with_leakage: bool = False) -> None:
         if self._interaction == "XY":
             self.basis_name = "XY"
         else:
@@ -235,6 +236,19 @@ class Hamiltonian:
             else:
                 self.basis_name = "all"
         dim, basis, projectors = _BASIS_TABLE[self.basis_name]
+        self._with_leakage = with_leakage
+        if with_leakage:
+            # leakage noise: one extra (dark, undriven) level |x> per
+            # qudit; collapse operators may couple into it.  Equivalent of
+            # pulser-simulation's "<basis>_with_error" bases — the
+            # reference threads the flag through its NoiseModel
+            # (reference simconfig.py:77,131) and delegates the physics
+            # to pulser-simulation; here it is native.
+            dim += 1
+            basis = basis + ["x"]
+            projectors = [
+                b1 + b2 for b1 in basis for b2 in basis
+            ]
         self.dim = dim
         self._basis_labels = basis
         self.basis = {b: basis_state(dim, i) for i, b in enumerate(basis)}
@@ -257,6 +271,15 @@ class Hamiltonian:
                 )
 
         dt = default_dtype()
+
+        def _embed2(op2: Cplx) -> Cplx:
+            """Lift a 2x2 operator to self.dim (leakage level untouched)."""
+            if self.dim == 2:
+                return op2
+            re = jnp.zeros((self.dim, self.dim), dt).at[:2, :2].set(op2.re)
+            im = jnp.zeros((self.dim, self.dim), dt).at[:2, :2].set(op2.im)
+            return Cplx(re, im)
+
         local_ops: list[Cplx] = []
         if "dephasing" in config.noise_types:
             basis_check("dephasing")
@@ -265,7 +288,9 @@ class Hamiltonian:
                 if self.basis_name == "digital"
                 else config.dephasing_rate
             )
-            local_ops.append(ZMAT * jnp.sqrt(jnp.asarray(rate, dt) / 2))
+            local_ops.append(
+                _embed2(ZMAT) * jnp.sqrt(jnp.asarray(rate, dt) / 2)
+            )
         if "relaxation" in config.noise_types:
             if "sigma_gr" not in self.op_matrix:
                 raise ValueError(
@@ -279,12 +304,25 @@ class Hamiltonian:
         if "depolarizing" in config.noise_types:
             basis_check("depolarizing")
             coeff = jnp.sqrt(jnp.asarray(config.depolarizing_rate, dt) / 4)
-            local_ops += [XMAT * coeff, YMAT * coeff, ZMAT * coeff]
+            local_ops += [
+                _embed2(XMAT) * coeff,
+                _embed2(YMAT) * coeff,
+                _embed2(ZMAT) * coeff,
+            ]
         if "eff_noise" in config.noise_types:
             basis_check("effective")
             for rate, op in zip(config.eff_noise_rates, config.eff_noise_opers):
+                op_c = as_cplx(op, dtype=dt)
+                if op_c.shape != (self.dim, self.dim):
+                    raise ValueError(
+                        f"Incompatible shape {op_c.shape} of effective "
+                        f"noise operator: expected ({self.dim}, "
+                        f"{self.dim}) for basis '{self.basis_name}'"
+                        + (" with leakage" if self._with_leakage else "")
+                        + "."
+                    )
                 local_ops.append(
-                    as_cplx(op, dtype=dt) * jnp.sqrt(jnp.asarray(rate, dt))
+                    op_c * jnp.sqrt(jnp.asarray(rate, dt))
                 )
 
         if not local_ops:

@@ -56,6 +56,18 @@ from pulser_diff_tpu.ops.apply import FactoredHamiltonian, interp_streams
 
 _RK4_C = np.array([0.0, 0.5, 0.5, 1.0])
 
+# MXU f32 matmuls default to single-pass bf16 (~1e-3 relative error per
+# product); HIGHEST runs the multi-pass decomposition for true-f32
+# accuracy — together with the Kahan accumulation this keeps the fast
+# mode's state error at the ~1e-5 bar (BASELINE.md).
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jnp.dot(
+        a, b, preferred_element_type=jnp.float32, precision=_PRECISION
+    )
+
 
 def _precompute_stage_z(ham: FactoredHamiltonian, grid_times: jax.Array,
                         c_nodes: np.ndarray = _RK4_C):
@@ -92,17 +104,17 @@ def _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, xs, ys, nb):
     for b in range(nb):
         xb, yb = xs[b], ys[b]
         h_re = (
-            jnp.dot(hr_re, xb, preferred_element_type=jnp.float32)
-            - jnp.dot(hr_im, yb, preferred_element_type=jnp.float32)
-            + jnp.dot(xb, gc_re, preferred_element_type=jnp.float32)
-            - jnp.dot(yb, gc_im, preferred_element_type=jnp.float32)
+            _dot(hr_re, xb)
+            - _dot(hr_im, yb)
+            + _dot(xb, gc_re)
+            - _dot(yb, gc_im)
             + diag * xb
         )
         h_im = (
-            jnp.dot(hr_re, yb, preferred_element_type=jnp.float32)
-            + jnp.dot(hr_im, xb, preferred_element_type=jnp.float32)
-            + jnp.dot(xb, gc_im, preferred_element_type=jnp.float32)
-            + jnp.dot(yb, gc_re, preferred_element_type=jnp.float32)
+            _dot(hr_re, yb)
+            + _dot(hr_im, xb)
+            + _dot(xb, gc_im)
+            + _dot(yb, gc_re)
             + diag * yb
         )
         kx.append(h_im)
@@ -123,16 +135,10 @@ def _apply_iH_transpose(hr_re, hr_im, gc_re, gc_im, diag, vx, vy, nb):
         xb, yb = vx[b], vy[b]
 
         def hre_apply(u):
-            return (
-                jnp.dot(hr_re, u, preferred_element_type=jnp.float32)
-                + jnp.dot(u, gc_re, preferred_element_type=jnp.float32)
-                + diag * u
-            )
+            return _dot(hr_re, u) + _dot(u, gc_re) + diag * u
 
         def him_apply(u):
-            return jnp.dot(hr_im, u, preferred_element_type=jnp.float32) + jnp.dot(
-                u, gc_im, preferred_element_type=jnp.float32
-            )
+            return _dot(hr_im, u) + _dot(u, gc_im)
 
         ox.append(-him_apply(xb) - hre_apply(yb))
         oy.append(hre_apply(xb) - him_apply(yb))
@@ -169,14 +175,14 @@ def _fwd_kernel(
     out_re_ref, out_im_ref,
     *, n_steps: int, pr: int, pc: int, nb: int,
 ):
-    diag = diag_ref[0]
+    diag = diag_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
     def body(k, carry):
         x, y, cx, cy = carry
-        zrr, zri = zr_re_ref[0, k], zr_im_ref[0, k]  # (4, Pr)
-        zcr, zci = zc_re_ref[0, k], zc_im_ref[0, k]
+        zrr, zri = zr_re_ref[k], zr_im_ref[k]  # (4, Pr)
+        zcr, zci = zc_re_ref[k], zc_im_ref[k]
         h = hs_ref[k, 0]
 
         def stage(s, xs, ys):
@@ -191,14 +197,14 @@ def _fwd_kernel(
 
     # i32 loop bounds: under jax_enable_x64 fori_loop counters default to
     # i64, which Mosaic cannot convert for (SMEM) store indices
-    x0 = psi_re_ref[0]
-    y0 = psi_im_ref[0]
+    x0 = psi_re_ref[...]
+    y0 = psi_im_ref[...]
     x, y, _, _ = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n_steps), body,
         (x0, y0, jnp.zeros_like(x0), jnp.zeros_like(y0)),
     )
-    out_re_ref[0] = x
-    out_im_ref[0] = y
+    out_re_ref[...] = x
+    out_im_ref[...] = y
 
 
 def _fwd_states_kernel(
@@ -216,23 +222,23 @@ def _fwd_states_kernel(
     """
     from jax.experimental import pallas as pl
 
-    diag = diag_ref[0]
+    diag = diag_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
-    n_eval = out_re_ref.shape[1]
+    n_eval = out_re_ref.shape[0]
 
     def write(gridpoint, x, y):
         slot = slots_ref[gridpoint]
 
         @pl.when(slot < n_eval)
         def _():
-            out_re_ref[0, slot] = x
-            out_im_ref[0, slot] = y
+            out_re_ref[slot] = x
+            out_im_ref[slot] = y
 
     def body(k, carry):
         x, y, cx, cy = carry
-        zrr, zri = zr_re_ref[0, k], zr_im_ref[0, k]
-        zcr, zci = zc_re_ref[0, k], zc_im_ref[0, k]
+        zrr, zri = zr_re_ref[k], zr_im_ref[k]
+        zcr, zci = zc_re_ref[k], zc_im_ref[k]
         h = hs_ref[k, 0]
 
         def stage(s, xs, ys):
@@ -246,8 +252,8 @@ def _fwd_states_kernel(
         write(k + 1, x, y)
         return (x, y, cx, cy)
 
-    x0 = psi_re_ref[0]
-    y0 = psi_im_ref[0]
+    x0 = psi_re_ref[...]
+    y0 = psi_im_ref[...]
     write(jnp.int32(0), x0, y0)
     jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n_steps), body,
@@ -268,8 +274,8 @@ def _bwd_interval(
     exact transpose of the stage recursion on the costate, and write the
     packed per-step coefficient cotangents.  Returns (x0, y0, lx', ly',
     dbar')."""
-    zrr, zri = zr_re_ref[0, k], zr_im_ref[0, k]
-    zcr, zci = zc_re_ref[0, k], zc_im_ref[0, k]
+    zrr, zri = zr_re_ref[k], zr_im_ref[k]
+    zcr, zci = zc_re_ref[k], zc_im_ref[k]
     h = hs_ref[k, 0]
 
     sides = []
@@ -337,10 +343,10 @@ def _bwd_interval(
         W = jnp.zeros_like(rp[0])
         V = jnp.zeros_like(rp[0])
         for b in range(nb):
-            W += jnp.dot(kbx[b], uy[b].T, preferred_element_type=jnp.float32)
-            W -= jnp.dot(kby[b], ux[b].T, preferred_element_type=jnp.float32)
-            V += jnp.dot(kbx[b], ux[b].T, preferred_element_type=jnp.float32)
-            V += jnp.dot(kby[b], uy[b].T, preferred_element_type=jnp.float32)
+            W += _dot(kbx[b], uy[b].T)
+            W -= _dot(kby[b], ux[b].T)
+            V += _dot(kbx[b], ux[b].T)
+            V += _dot(kby[b], uy[b].T)
         for p in range(pr):
             g_sym = rp[p] + rpt[p]
             g_asym = rp[p] - rpt[p]
@@ -351,10 +357,10 @@ def _bwd_interval(
         Wc = jnp.zeros_like(cp[0])
         Vc = jnp.zeros_like(cp[0])
         for b in range(nb):
-            Wc += jnp.dot(uy[b].T, kbx[b], preferred_element_type=jnp.float32)
-            Wc -= jnp.dot(ux[b].T, kby[b], preferred_element_type=jnp.float32)
-            Vc += jnp.dot(ux[b].T, kbx[b], preferred_element_type=jnp.float32)
-            Vc += jnp.dot(uy[b].T, kby[b], preferred_element_type=jnp.float32)
+            Wc += _dot(uy[b].T, kbx[b])
+            Wc -= _dot(ux[b].T, kby[b])
+            Vc += _dot(ux[b].T, kbx[b])
+            Vc += _dot(uy[b].T, kby[b])
         for p in range(pc):
             g_sym_t = cpt[p] + cp[p]  # (P + P^T)^T layout for Gc
             g_asym_t = cpt[p] - cp[p]
@@ -367,10 +373,10 @@ def _bwd_interval(
         dbar = dbar + dstage
 
     r_used = len(rows)
-    r_pad = zbar_ref.shape[2]
+    r_pad = zbar_ref.shape[1]
     if r_used < r_pad:
         rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
-    zbar_ref[0, k] = jnp.concatenate(rows, axis=0)
+    zbar_ref[k] = jnp.concatenate(rows, axis=0)
 
     return x0, y0, lx_new, ly_new, dbar
 
@@ -387,7 +393,7 @@ def _bwd_kernel(
     dbar_ref,  # (1, da, db)
     *, n_steps: int, pr: int, pc: int, nb: int,
 ):
-    diag = diag_ref[0]
+    diag = diag_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
@@ -405,16 +411,16 @@ def _bwd_kernel(
         jnp.int32(n_steps),
         body,
         (
-            psiF_re_ref[0],
-            psiF_im_ref[0],
-            lamF_re_ref[0],
-            lamF_im_ref[0],
+            psiF_re_ref[...],
+            psiF_im_ref[...],
+            lamF_re_ref[...],
+            lamF_im_ref[...],
             jnp.zeros_like(diag),
         ),
     )
-    lam0_re_ref[0] = lx
-    lam0_im_ref[0] = ly
-    dbar_ref[0] = dbar
+    lam0_re_ref[...] = lx
+    lam0_im_ref[...] = ly
+    dbar_ref[...] = dbar
 
 
 def _bwd_states_kernel(
@@ -438,8 +444,8 @@ def _bwd_states_kernel(
     reconstruction (resetting drift) and the slot's cotangent is added to
     the costate.
     """
-    n_eval = states_re_ref.shape[1]
-    diag = diag_ref[0]
+    n_eval = states_re_ref.shape[0]
+    diag = diag_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
@@ -454,11 +460,11 @@ def _bwd_states_kernel(
         # grid point k: reload the stored state / add the slot cotangent
         slot = slots_ref[k]
         valid = slot < n_eval
-        safe = jnp.where(valid, slot, 0)
-        x0 = jnp.where(valid, states_re_ref[0, safe], x0)
-        y0 = jnp.where(valid, states_im_ref[0, safe], y0)
-        addx = jnp.where(valid, lam_re_ref[0, safe], jnp.zeros_like(lx))
-        addy = jnp.where(valid, lam_im_ref[0, safe], jnp.zeros_like(ly))
+        safe = jnp.where(valid, slot, jnp.int32(0))
+        x0 = jnp.where(valid, states_re_ref[safe], x0)
+        y0 = jnp.where(valid, states_im_ref[safe], y0)
+        addx = jnp.where(valid, lam_re_ref[safe], jnp.zeros_like(lx))
+        addy = jnp.where(valid, lam_im_ref[safe], jnp.zeros_like(ly))
         return (x0, y0, lx + addx, ly + addy, dbar)
 
     x0, y0, lx, ly, dbar = jax.lax.fori_loop(
@@ -466,43 +472,59 @@ def _bwd_states_kernel(
         jnp.int32(n_steps),
         body,
         (
-            states_re_ref[0, last_slot],
-            states_im_ref[0, last_slot],
-            lam_re_ref[0, last_slot],
-            lam_im_ref[0, last_slot],
+            # i32 indices: python ints become i64 under x64, which
+            # Mosaic's convert helper cannot lower (infinite recursion)
+            states_re_ref[jnp.int32(last_slot)],
+            states_im_ref[jnp.int32(last_slot)],
+            lam_re_ref[jnp.int32(last_slot)],
+            lam_im_ref[jnp.int32(last_slot)],
             jnp.zeros_like(diag),
         ),
     )
-    lam0_re_ref[0] = lx
-    lam0_im_ref[0] = ly
-    dbar_ref[0] = dbar
+    lam0_re_ref[...] = lx
+    lam0_im_ref[...] = ly
+    dbar_ref[...] = dbar
 
 
 # ----------------------------------------------------------------------
 # pallas_call wrappers (grid over the run axis)
 # ----------------------------------------------------------------------
 def _specs(n_runs: int):
-    """BlockSpecs: per-run blocks for run-major operands."""
+    """BlockSpecs: per-run blocks for run-major operands.
+
+    Index maps return i32 scalars explicitly: under jax_enable_x64 the
+    literal 0s become i64 block indices, which Mosaic cannot legalize
+    (`func.return (i32, i64, ...)`; same family as the i64 fori_loop
+    issue in CLAUDE.md).  The run axis is SQUEEZED out of each block
+    (block dim None) so the kernel bodies index exactly like the
+    un-batched round-1 form.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    def _z():
+        return jnp.zeros((), jnp.int32)
+
     def run_block(shape):
-        # shape with leading R axis -> block (1, *rest), indexed by r
         rest = shape[1:]
+        n_rest = len(rest)
         return pl.BlockSpec(
-            (1,) + tuple(rest), lambda r: (r,) + (0,) * len(rest),
+            (None,) + tuple(rest),
+            lambda r: (jnp.asarray(r, jnp.int32),) + (_z(),) * n_rest,
             memory_space=pltpu.VMEM,
         )
 
     def shared_block(shape):
+        n = len(shape)
         return pl.BlockSpec(
-            tuple(shape), lambda r: (0,) * len(shape),
+            tuple(shape), lambda r: (_z(),) * n,
             memory_space=pltpu.VMEM,
         )
 
     def smem_shared(shape):
+        n = len(shape)
         return pl.BlockSpec(
-            tuple(shape), lambda r: (0,) * len(shape),
+            tuple(shape), lambda r: (_z(),) * n,
             memory_space=pltpu.SMEM,
         )
 

@@ -21,29 +21,39 @@ from pulser_diff_tpu.cplx import Cplx
 
 
 @lru_cache
+def _level_projection_matrix(n: int, d: int, one_state: int) -> np.ndarray:
+    """(2^n, d^n) 0/1 matrix P with P[b, s] = 1 iff the d-level state s
+    maps to bitstring b: digit == one_state -> bit 1, any other digit
+    (including a leakage level) -> bit 0.
+
+    Vectorised equivalent of the reference's per-bitstring slice summation
+    (result.py:90-114), generalised to any local dimension (3-level 'all'
+    basis, leakage-extended bases).
+    """
+    s = np.arange(d**n)
+    digits = np.zeros((d**n, n), dtype=np.int64)
+    rem = s.copy()
+    for k in range(n - 1, -1, -1):
+        digits[:, k] = rem % d
+        rem //= d
+    bits = (digits == one_state).astype(np.int64)
+    b_of_s = np.zeros(d**n, dtype=np.int64)
+    for k in range(n):
+        b_of_s = b_of_s * 2 + bits[:, k]
+    P = np.zeros((2**n, d**n))
+    P[b_of_s, s] = 1.0
+    return P
+
+
 def _three_level_projection_matrix(
     n: int, one_state: int, ex0: int, ex1: int
 ) -> np.ndarray:
-    """(2^n, 3^n) 0/1 matrix P with P[b, s] = 1 iff 3-level state s maps to
-    bitstring b: digit==one_state -> bit 1; digit in {ex0, ex1} -> bit 0.
+    """Backward-compatible 3-level wrapper."""
+    return _level_projection_matrix(n, 3, one_state)
 
-    Vectorised equivalent of the reference's per-bitstring slice summation
-    (result.py:90-114).
-    """
-    s = np.arange(3**n)
-    digits = np.zeros((3**n, n), dtype=np.int64)
-    rem = s.copy()
-    for k in range(n - 1, -1, -1):
-        digits[:, k] = rem % 3
-        rem //= 3
-    bits = (digits == one_state).astype(np.int64)
-    valid = np.ones(3**n, dtype=bool)  # every digit maps to some bit
-    b_of_s = np.zeros(3**n, dtype=np.int64)
-    for k in range(n):
-        b_of_s = b_of_s * 2 + bits[:, k]
-    P = np.zeros((2**n, 3**n))
-    P[b_of_s[valid], s[valid]] = 1.0
-    return P
+
+# measurement "bright" label per basis (bit value 1)
+_ONE_LABEL = {"ground-rydberg": "r", "digital": "h", "XY": "d"}
 
 
 @dataclass
@@ -59,6 +69,7 @@ class QuantumResult:
     meas_basis: str
     state: Cplx
     matching_meas_basis: bool
+    basis_labels: Optional[tuple] = None  # set for leakage-extended bases
 
     @property
     def _size(self) -> int:
@@ -109,24 +120,29 @@ class QuantumResult:
                 )
             else:
                 weights = jnp.zeros_like(probs).at[0].set(1.0)
-        elif self._dim == 3:
-            if self.meas_basis == "ground-rydberg":
-                one_state, ex0, ex1 = 0, 1, 2  # 1 = |r>
-            elif self.meas_basis == "digital":
-                one_state, ex0, ex1 = 2, 0, 1  # 1 = |h>
+        elif self._dim in (3, 4):
+            if self.basis_labels is not None:
+                labels = list(self.basis_labels)
+            elif self._dim == 3:
+                labels = ["r", "g", "h"]  # the 'all' basis
             else:
+                raise NotImplementedError(
+                    "4-level states need explicit basis_labels."
+                )
+            one_label = _ONE_LABEL.get(self.meas_basis)
+            if one_label is None or one_label not in labels:
                 raise RuntimeError(
                     f"Unknown measurement basis '{self.meas_basis}' for a "
-                    "three-level system."
+                    f"{self._dim}-level system."
                 )
             P = jnp.asarray(
-                _three_level_projection_matrix(n, one_state, ex0, ex1),
+                _level_projection_matrix(n, self._dim, labels.index(one_label)),
                 probs.dtype,
             )
             weights = P @ probs
         else:
             raise NotImplementedError(
-                "Cannot sample systems with single-atom dimension > 3."
+                "Cannot sample systems with single-atom dimension > 4."
             )
         return weights / jnp.sum(weights)
 

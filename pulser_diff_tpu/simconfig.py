@@ -46,8 +46,9 @@ SUPPORTED_NOISES: dict[str, set[str]] = {
         "relaxation",
         "SPAM",
     },
-    "XY": {"SPAM", "eff_noise", "dephasing", "depolarizing"},
+    "XY": {"SPAM", "eff_noise", "dephasing", "depolarizing", "leakage"},
 }
+SUPPORTED_NOISES["ising"].add("leakage")
 
 NOISE_TYPES = (
     "dephasing",
@@ -57,6 +58,7 @@ NOISE_TYPES = (
     "doppler",
     "amplitude",
     "SPAM",
+    "leakage",
 )
 
 
@@ -94,9 +96,20 @@ class NoiseModel:
     with_leakage: bool = False
 
     def __post_init__(self) -> None:
+        if self.with_leakage and "leakage" not in self.noise_types:
+            object.__setattr__(
+                self, "noise_types", tuple(self.noise_types) + ("leakage",)
+            )
+        if "leakage" in self.noise_types and not self.with_leakage:
+            object.__setattr__(self, "with_leakage", True)
         unknown = set(self.noise_types) - set(NOISE_TYPES)
         if unknown:
             raise ValueError(f"Unknown noise types: {unknown}")
+        if self.with_leakage and "eff_noise" not in self.noise_types:
+            raise ValueError(
+                "At least one effective noise operator must be defined to "
+                "simulate leakage."
+            )
         if "eff_noise" in self.noise_types:
             if len(self.eff_noise_rates) != len(self.eff_noise_opers):
                 raise ValueError(
@@ -138,6 +151,8 @@ class NoiseModel:
             params |= {"depolarizing_rate"}
         if "eff_noise" in noise_types:
             params |= {"eff_noise_rates", "eff_noise_opers"}
+        if "leakage" in noise_types:
+            params |= {"with_leakage"}
         return params
 
 
@@ -171,11 +186,18 @@ class SimConfig:
     depolarizing_rate: Any = 0.05
     eff_noise_rates: Tuple[Any, ...] = ()
     eff_noise_opers: Tuple[Any, ...] = ()
+    with_leakage: bool = False
     solver_options: Optional[dict] = None
 
     def __post_init__(self) -> None:
         if isinstance(self.noise, str):
             object.__setattr__(self, "noise", (self.noise,))
+        if self.with_leakage and "leakage" not in self.noise:
+            object.__setattr__(
+                self, "noise", tuple(self.noise) + ("leakage",)
+            )
+        if "leakage" in self.noise and not self.with_leakage:
+            object.__setattr__(self, "with_leakage", True)
         unknown = set(self.noise) - set(NOISE_TYPES)
         if unknown:
             raise ValueError(f"Unknown noise types: {unknown}")
@@ -256,6 +278,7 @@ class SimConfig:
             depolarizing_rate=nm.depolarizing_rate,
             eff_noise_rates=tuple(nm.eff_noise_rates),
             eff_noise_opers=tuple(nm.eff_noise_opers),
+            with_leakage=nm.with_leakage,
         )
 
     def __str__(self, solver_options: bool = False) -> str:

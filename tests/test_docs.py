@@ -39,3 +39,29 @@ def test_state_preparation_loss_and_grad():
     d = jnp.asarray(np.linspace(-6.0, 6.0, mod["N_PARAMS"]))
     v = fid(a, d)
     assert 0.0 <= float(v) <= 1.0
+
+
+def test_gate_optimization_mini_convergence():
+    """A scaled-down version of the docs training loop: a few optimizer
+    steps must strictly improve the gate fidelity (keeps the notebooks'
+    convergence claims honest in CI; the full runs live in docs/)."""
+    import optax
+
+    mod = runpy.run_path(
+        os.path.join(DOCS, "gate_optimization.py"), run_name="docs"
+    )
+    fid = mod["gate_fidelity"]
+    n = mod["N_PARAMS"]
+    params = (jnp.full((n,), 3.0), jnp.full((n,), 3.0))
+    loss_fn = jax.jit(jax.value_and_grad(lambda p: 1.0 - fid(p)))
+    opt = optax.adam(0.3)
+    state = opt.init(params)
+    v0, _ = loss_fn(params)
+    for _ in range(6):
+        v, g = loss_fn(params)
+        upd, state = opt.update(g, state, params)
+        import optax as _o
+
+        params = _o.apply_updates(params, upd)
+    v1, _ = loss_fn(params)
+    assert float(v1) < float(v0) - 1e-3  # the loss actually decreases

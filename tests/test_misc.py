@@ -135,3 +135,20 @@ def test_plotting_smoke(tmp_path):
     sim.draw(draw_phase_curve=True, fig_name=str(fig_path))
     plt.close("all")
     assert fig_path.exists()
+    # phase-area annotations + phase-shift markers actually render
+    # (reference delegates to pulser draw_samples, backend.py:613-649)
+    seq2 = Sequence(reg, MockDevice)
+    seq2.declare_channel("ryd", "rydberg_global")
+    seq2.add(Pulse.ConstantPulse(100, 1.5, -0.5, 0.2), "ryd")
+    seq2.add(Pulse.ConstantPulse(80, 2.0, 0.0, 0.9), "ryd")
+    sim3 = TpuEmulator.from_sequence(seq2, evaluation_times="Minimal")
+    sim3.draw(draw_phase_area=True, draw_phase_shifts=True)
+    fig = plt.gcf()
+    ax_amp = fig.axes[0]
+    texts = [t.get_text() for t in ax_amp.texts]
+    assert any("A:" in t for t in texts)  # area labels
+    assert any("φ" in t for t in texts)  # phase label on the 2nd pulse
+    assert any(
+        ln.get_linestyle() == "--" for ln in ax_amp.lines
+    )  # phase-shift marker
+    plt.close("all")
