@@ -668,9 +668,24 @@ def _integrate(
         slots.reshape(n_segments, seg_len),
     )
 
+    # inside a checkpointed segment the steps are NOT individually
+    # rematerialized: double-nested checkpoint transposes blow up the XLA
+    # compiler (observed stack-overflow segfaults); memory during a
+    # segment's backward is O(seg_len * stages * state), which with
+    # seg_len ~ sqrt(n_steps) keeps the asymptotic win
+    def body_plain(carry, xs):
+        y, buf = carry
+        t0, t1, slot = xs
+        y = step(y, t0, t1)
+        buf = Cplx(
+            buf.re.at[slot].set(y.re, mode="drop"),
+            buf.im.at[slot].set(y.im, mode="drop"),
+        )
+        return (y, buf), None
+
     @jax.checkpoint
     def seg_fn(carry, xs):
-        carry, _ = jax.lax.scan(body, carry, xs)
+        carry, _ = jax.lax.scan(body_plain, carry, xs)
         return carry
 
     def outer(carry, xs):

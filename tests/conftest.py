@@ -15,6 +15,25 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+# XLA's CPU backend compiles large grad-of-scan programs with deep
+# recursion on the calling thread; with the default 8 MB stack rlimit the
+# compiler overflows the MAIN-thread stack when invoked late in the suite
+# (deep pytest frames underneath) — observed as SIGSEGV/SIGABRT in
+# backend_compile_and_load.  Raise the limit; the main-thread stack grows
+# dynamically up to the rlimit on Linux.
+import resource
+
+try:
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    resource.setrlimit(
+        resource.RLIMIT_STACK, (resource.RLIM_INFINITY, resource.RLIM_INFINITY)
+    )
+except (ValueError, OSError):  # pragma: no cover - non-root fallback
+    try:
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+    except Exception:
+        pass
+
 import numpy as np
 import pytest
 
@@ -94,3 +113,50 @@ def simple_seq(two_atom_register):
 @pytest.fixture
 def rich_seq(two_atom_register):
     return make_rich_sequence(two_atom_register)
+
+
+def run_isolated(code: str, timeout: int = 900) -> str:
+    """Run a physics/gradient check in a FRESH interpreter.
+
+    The handful of largest grad-of-scan compiles reproducibly crash
+    XLA's CPU compiler (SIGSEGV/SIGABRT inside backend_compile_and_load)
+    when they are the first big compile late in a long-lived test
+    process, while always succeeding in a fresh one.  Tests wrap only the
+    fragile compile in a subprocess; everything else runs in-process.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    pre = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_enable_x64', True)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", pre + code],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    return proc.stdout
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The XLA CPU backend segfaults/aborts inside `backend_compile_and_load`
+    once a long-lived process has accumulated a few hundred compiled
+    programs (the crash is positional — it strikes whichever sizable
+    compile comes next, reproducibly around test ~120 of the suite).
+    Dropping the executable caches between modules keeps the process
+    young; within-module cache reuse is preserved.
+    """
+    yield
+    jax.clear_caches()

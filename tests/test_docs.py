@@ -65,3 +65,8 @@ def test_gate_optimization_mini_convergence():
         params = _o.apply_updates(params, upd)
     v1, _ = loss_fn(params)
     assert float(v1) < float(v0) - 1e-3  # the loss actually decreases
+
+
+def test_noisy_simulation_runs(monkeypatch):
+    monkeypatch.setenv("PDT_DOCS_CI", "1")
+    runpy.run_path(os.path.join(DOCS, "noisy_simulation.py"), run_name="docs")

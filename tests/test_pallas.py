@@ -245,3 +245,67 @@ def test_run_noisy_with_pallas_solver(two_atom_register):
     res = sim.run(solver=SolverType.RK4_PALLAS)
     tot = sum(sum(r.bitstring_counts.values()) for r in res._results)
     assert tot == 4 * 25 * len(res._sim_times)
+
+
+def test_pallas_mc_noisy_gradient_matches_xla(two_atom_register):
+    """Gradient of a noisy Monte-Carlo loss (doppler draws, fixed keys)
+    through the fused MC kernel matches the vmapped XLA solver path."""
+    from pulser_diff_tpu import SimConfig
+    from pulser_diff_tpu.hamiltonian import draw_noise
+    from pulser_diff_tpu.ops.pallas_evolution import pallas_evolve_mc
+    from pulser_diff_tpu.ops import total_magnetization
+    from pulser_diff_tpu.ops.linalg import expect as _expect
+    from .conftest import make_simple_sequence
+
+    cfg = SimConfig(noise="doppler", temperature=70.0, runs=3)
+    obs = total_magnetization(2)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+
+    def make_loss(use_pallas):
+        def loss(omega):
+            seq = make_simple_sequence(
+                two_atom_register, duration=60, omega=omega, delta=-0.5
+            )
+            sim = TpuEmulator.from_sequence(
+                seq, config=cfg, evaluation_times="Minimal"
+            )
+            h = sim._hamiltonian
+            grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+            n_slots = h._count_noise_slots()
+            draws = jax.vmap(
+                lambda k: draw_noise(k, h.config, h._size, n_slots)
+            )(keys)
+            psi0 = sim.initial_state
+            p0 = Cplx(
+                psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2)
+            )
+            if use_pallas:
+                hams = jax.vmap(h.build_data)(draws)
+                st = pallas_evolve_mc(hams, p0, grid, interpret=True)
+                st = Cplx(
+                    st.re.astype(p0.dtype), st.im.astype(p0.dtype)
+                )
+            else:
+                st = jax.vmap(
+                    lambda d: sesolve(
+                        h.build_data(d), p0, grid,
+                        solver=SolverType.RK4_SE,
+                    )
+                )(draws)
+            # mean final <Sz> over runs: states (R, n_eval, 1, 2, 2)
+            pr = st.re[:, -1].reshape(3, 4)
+            pi = st.im[:, -1].reshape(3, 4)
+            # <psi|O|psi> for real-diagonal O (total magnetization)
+            vals = jnp.einsum("ri,ij,rj->r", pr, obs.re, pr) + jnp.einsum(
+                "ri,ij,rj->r", pi, obs.re, pi
+            )
+            return jnp.mean(vals)
+
+        return loss
+
+    om = jnp.asarray(1.8)
+    v_x, g_x = jax.value_and_grad(make_loss(False))(om)
+    v_p, g_p = jax.value_and_grad(make_loss(True))(om)
+    assert abs(float(v_x) - float(v_p)) < 1e-5
+    assert abs(float(g_x) - float(g_p)) < 1e-3
+    assert abs(float(g_x)) > 1e-4

@@ -201,155 +201,212 @@ def test_adaptive_dp5_vs_golden(two_atom_register):
 
 
 def test_segmented_integration_matches_unsegmented():
-    """sqrt-checkpointed two-level scan == plain scan (values + grads)."""
-    from pulser_diff_tpu.cplx import Cplx
-    from pulser_diff_tpu.solvers import TimeGrid
-    from pulser_diff_tpu.solvers.solver import _integrate, _make_se_step
+    """sqrt-checkpointed two-level scan == plain scan (values + grads).
+    Fresh interpreter: another of the large grad-of-scan compiles that
+    crash XLA's CPU compiler late in a long-lived process."""
+    from .conftest import run_isolated
 
-    reg = Register(
-        {"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])}
-    )
-    seq = make_simple_sequence(reg, duration=100, omega=2.0, delta=-1.0)
-    sim = TpuEmulator.from_sequence(seq, evaluation_times=[0.03, 0.07])
-    h = sim._hamiltonian
-    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
-    psi0 = sim.initial_state
-    p0 = Cplx(psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2))
-    step = _make_se_step(h._ham_data, SolverType.DP5_SE, 1, 12, 0.0)
+    out = run_isolated("""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pulser_diff_tpu import SolverType, TpuEmulator
+from pulser_diff_tpu.core import Register
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.solvers import TimeGrid
+from pulser_diff_tpu.solvers.solver import _integrate, _make_se_step
+from tests.conftest import make_simple_sequence
 
-    def final_pop(psi_re, n_segments):
-        p = Cplx(psi_re, p0.im)
-        out = _integrate(step, p, grid, remat=True, n_segments=n_segments)
-        return jnp.sum(out.re[-1] ** 2 + out.im[-1] ** 2), out
+reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+seq = make_simple_sequence(reg, duration=100, omega=2.0, delta=-1.0)
+sim = TpuEmulator.from_sequence(seq, evaluation_times=[0.03, 0.07])
+h = sim._hamiltonian
+grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+psi0 = sim.initial_state
+p0 = Cplx(psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2))
+step = _make_se_step(h._ham_data, SolverType.DP5_SE, 1, 12, 0.0)
 
-    (v_plain, out_plain), g_plain = jax.value_and_grad(
-        lambda x: final_pop(x, None), has_aux=True
-    )(p0.re)
-    (v_seg, out_seg), g_seg = jax.value_and_grad(
-        lambda x: final_pop(x, 7), has_aux=True  # 7 does not divide n_steps
-    )(p0.re)
-    assert abs(float(v_plain) - float(v_seg)) < 1e-12
-    np.testing.assert_allclose(
-        np.asarray(out_plain.re), np.asarray(out_seg.re), atol=1e-12
-    )
-    np.testing.assert_allclose(
-        np.asarray(g_plain), np.asarray(g_seg), atol=1e-12
-    )
+
+def final_pop(psi_re, n_segments):
+    p = Cplx(psi_re, p0.im)
+    out = _integrate(step, p, grid, remat=True, n_segments=n_segments)
+    return jnp.sum(out.re[-1] ** 2 + out.im[-1] ** 2), out
+
+
+(v_plain, out_plain), g_plain = jax.value_and_grad(
+    lambda x: final_pop(x, None), has_aux=True
+)(p0.re)
+(v_seg, out_seg), g_seg = jax.value_and_grad(
+    lambda x: final_pop(x, 7), has_aux=True  # 7 does not divide n_steps
+)(p0.re)
+assert abs(float(v_plain) - float(v_seg)) < 1e-12
+np.testing.assert_allclose(
+    np.asarray(out_plain.re), np.asarray(out_seg.re), atol=1e-12
+)
+np.testing.assert_allclose(np.asarray(g_plain), np.asarray(g_seg), atol=1e-12)
+print("SEGMENTED-OK")
+""")
+    assert "SEGMENTED-OK" in out
 
 
 def test_mesolve_segmented_gradient():
     """Noise-rate gradient through the segmented mesolve path matches the
-    unsegmented one."""
-    from pulser_diff_tpu.simconfig import SimConfig
+    unsegmented one.
 
-    reg = Register(
-        {"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])}
+    Runs in a fresh subprocess: this particular grad-of-nested-scan
+    program reproducibly crashes XLA's CPU compiler when compiled late in
+    a long-lived test process (SIGSEGV/SIGABRT), while always succeeding
+    in a fresh interpreter.
+    """
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from pulser_diff_tpu import TpuEmulator
+from pulser_diff_tpu.core import MockDevice, Pulse, Register, Sequence
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.simconfig import SimConfig
+from pulser_diff_tpu.solvers import TimeGrid, mesolve
+
+reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+seq = Sequence(reg, MockDevice)
+seq.declare_channel("ryd", "rydberg_global")
+seq.add(Pulse.ConstantPulse(40, 2.0, 0.0, 0.5), "ryd")
+
+
+def loss(rate, n_segments):
+    cfg = SimConfig(noise="dephasing", dephasing_rate=rate)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim.initial_state
+    rho0 = Cplx(
+        psi0.re @ psi0.re.T + psi0.im @ psi0.im.T,
+        psi0.im @ psi0.re.T - psi0.re @ psi0.im.T,
     )
-
-    def loss(rate, n_segments):
-        from pulser_diff_tpu.cplx import Cplx
-        from pulser_diff_tpu.solvers import TimeGrid, mesolve
-
-        seq = make_simple_sequence(reg, duration=60, omega=2.0, delta=0.0)
-        cfg = SimConfig(noise="dephasing", dephasing_rate=rate)
-        sim = TpuEmulator.from_sequence(
-            seq, config=cfg, evaluation_times="Minimal"
-        )
-        h = sim._hamiltonian
-        grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
-        psi0 = sim.initial_state
-        rho0 = Cplx(
-            psi0.re @ psi0.re.T + psi0.im @ psi0.im.T,
-            psi0.im @ psi0.re.T - psi0.re @ psi0.im.T,
-        )
-        rhos = mesolve(
-            h._ham_data, rho0, h._collapse_ops, h._size, h.dim, grid,
-            n_segments=n_segments,
-        )
-        # rydberg population of the final density matrix
-        return rhos.re[-1, 0, 0]
-
-    r = jnp.asarray(0.25)
-    v0, g0 = jax.value_and_grad(lambda x: loss(x, 1))(r)
-    v1, g1 = jax.value_and_grad(lambda x: loss(x, 5))(r)
-    assert abs(float(v0) - float(v1)) < 1e-12
-    assert abs(float(g0) - float(g1)) < 1e-10
-    assert abs(float(g0)) > 1e-9  # the gradient is real, not zero
+    rhos = mesolve(
+        h._ham_data, rho0, h._collapse_ops, h._size, h.dim, grid,
+        n_segments=n_segments,
+    )
+    return rhos.re[-1, 0, 0]
 
 
-def test_adaptive_dp5_gradient_matches_fixed_step(two_atom_register):
+r = jnp.asarray(0.25)
+v0, g0 = jax.jit(jax.value_and_grad(lambda x: loss(x, 1)))(r)
+v1, g1 = jax.jit(jax.value_and_grad(lambda x: loss(x, 3)))(r)
+assert abs(float(v0) - float(v1)) < 1e-12, (float(v0), float(v1))
+assert abs(float(g0) - float(g1)) < 1e-10, (float(g0), float(g1))
+assert abs(float(g0)) > 1e-9
+print("SEGMENTED-GRAD-OK")
+"""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SEGMENTED-GRAD-OK" in proc.stdout
+
+
+
+def test_adaptive_dp5_gradient_matches_fixed_step():
     """Continuous-adjoint gradients through the adaptive solver agree
     with the fixed-step (discrete-autodiff) gradients and with finite
     differences (reference parity: autograd through adaptive pyqtorch
-    DP5, backend.py:487-494)."""
-    from pulser_diff_tpu.ops import total_magnetization
-    from pulser_diff_tpu.ops.linalg import expect as _expect
-    from pulser_diff_tpu.solvers import TimeGrid, sesolve
-    from pulser_diff_tpu.cplx import Cplx
+    DP5, backend.py:487-494).  Runs in a fresh interpreter (see
+    conftest.run_isolated)."""
+    from .conftest import run_isolated
 
-    obs = total_magnetization(2)
+    out = run_isolated("""
+import jax.numpy as jnp
+import numpy as np
+from pulser_diff_tpu import SolverType, TpuEmulator
+from pulser_diff_tpu.core import Register
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.ops import total_magnetization
+from pulser_diff_tpu.ops.linalg import expect as _expect
+from pulser_diff_tpu.solvers import TimeGrid, sesolve
+from tests.conftest import make_simple_sequence
 
-    def make_loss(solver):
-        def loss(omega):
-            seq = make_simple_sequence(
-                two_atom_register, duration=80, omega=omega, delta=-1.0
-            )
-            sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
-            h = sim._hamiltonian
-            grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
-            psi0 = sim.initial_state
-            p0 = Cplx(
-                psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2)
-            )
-            states = sesolve(
-                h._ham_data, p0, grid, solver=solver, substeps=2
-            )
-            n_eval = states.re.shape[0]
-            flat = Cplx(
-                jnp.transpose(states.re.reshape(n_eval, 1, 4), (0, 2, 1)),
-                jnp.transpose(states.im.reshape(n_eval, 1, 4), (0, 2, 1)),
-            )
-            return _expect(obs, flat).re[-1]
-
-        return loss
-
-    om = jnp.asarray(1.7)
-    v_fix, g_fix = jax.value_and_grad(make_loss(SolverType.DP5_SE))(om)
-    v_ad, g_ad = jax.value_and_grad(make_loss(SolverType.DP5_SE_ADAPTIVE))(om)
-    assert abs(float(v_fix) - float(v_ad)) < 1e-7
-    assert abs(float(g_fix) - float(g_ad)) < 1e-6
-    # independent oracle: central finite differences
-    eps = 1e-5
-    fd = (
-        float(make_loss(SolverType.DP5_SE_ADAPTIVE)(om + eps))
-        - float(make_loss(SolverType.DP5_SE_ADAPTIVE)(om - eps))
-    ) / (2 * eps)
-    assert abs(float(g_ad) - fd) < 1e-5
+reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+obs = total_magnetization(2)
 
 
-def test_adaptive_dp5_time_gradient(two_atom_register):
+def make_loss(solver):
+    def loss(omega):
+        seq = make_simple_sequence(reg, duration=80, omega=omega, delta=-1.0)
+        sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+        h = sim._hamiltonian
+        grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+        psi0 = sim.initial_state
+        p0 = Cplx(psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2))
+        states = sesolve(h._ham_data, p0, grid, solver=solver, substeps=2)
+        n_eval = states.re.shape[0]
+        flat = Cplx(
+            jnp.transpose(states.re.reshape(n_eval, 1, 4), (0, 2, 1)),
+            jnp.transpose(states.im.reshape(n_eval, 1, 4), (0, 2, 1)),
+        )
+        return _expect(obs, flat).re[-1]
+
+    return loss
+
+
+import jax
+
+om = jnp.asarray(1.7)
+v_fix, g_fix = jax.value_and_grad(make_loss(SolverType.DP5_SE))(om)
+v_ad, g_ad = jax.value_and_grad(make_loss(SolverType.DP5_SE_ADAPTIVE))(om)
+assert abs(float(v_fix) - float(v_ad)) < 1e-7
+assert abs(float(g_fix) - float(g_ad)) < 1e-6
+eps = 1e-5
+fd = (
+    float(make_loss(SolverType.DP5_SE_ADAPTIVE)(om + eps))
+    - float(make_loss(SolverType.DP5_SE_ADAPTIVE)(om - eps))
+) / (2 * eps)
+assert abs(float(g_ad) - fd) < 1e-5
+print("ADAPTIVE-GRAD-OK")
+""")
+    assert "ADAPTIVE-GRAD-OK" in out
+
+
+def test_adaptive_dp5_time_gradient():
     """Evaluation-time gradients flow through the adaptive path (the
-    interval-endpoint cotangents of the continuous adjoint)."""
-    from pulser_diff_tpu.ops import total_magnetization
+    interval-endpoint cotangents of the continuous adjoint).  Runs in a
+    fresh interpreter (see conftest.run_isolated)."""
+    from .conftest import run_isolated
 
-    seq = make_simple_sequence(
-        two_atom_register, duration=100, omega=2.0, delta=0.0
-    )
-    sim = TpuEmulator.from_sequence(seq, evaluation_times=[0.04, 0.08])
-    obs = total_magnetization(2)
+    out = run_isolated("""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pulser_diff_tpu import SolverType, TpuEmulator
+from pulser_diff_tpu.core import Register
+from pulser_diff_tpu.ops import total_magnetization
+from tests.conftest import make_simple_sequence
 
-    fn_ad = sim.expectation_fn_of_times(
-        obs, solver=SolverType.DP5_SE_ADAPTIVE, substeps=2
-    )
-    fn_fix = sim.expectation_fn_of_times(obs, solver=SolverType.DP5_SE)
-    times = sim.evaluation_times
+reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+seq = make_simple_sequence(reg, duration=100, omega=2.0, delta=0.0)
+sim = TpuEmulator.from_sequence(seq, evaluation_times=[0.04, 0.08])
+obs = total_magnetization(2)
 
-    def last(fn):
-        return lambda ts: fn(ts)[-1]
+fn_ad = sim.expectation_fn_of_times(
+    obs, solver=SolverType.DP5_SE_ADAPTIVE, substeps=2
+)
+fn_fix = sim.expectation_fn_of_times(obs, solver=SolverType.DP5_SE)
+times = sim.evaluation_times
 
-    g_ad = jax.grad(lambda ts: last(fn_ad)(ts))(times)
-    g_fix = jax.grad(lambda ts: last(fn_fix)(ts))(times)
-    np.testing.assert_allclose(
-        np.asarray(g_ad), np.asarray(g_fix), atol=1e-6
-    )
-    assert np.abs(np.asarray(g_fix)).max() > 1e-4
+g_ad = jax.grad(lambda ts: fn_ad(ts)[-1])(times)
+g_fix = jax.grad(lambda ts: fn_fix(ts)[-1])(times)
+np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_fix), atol=1e-6)
+assert np.abs(np.asarray(g_fix)).max() > 1e-4
+print("ADAPTIVE-TIME-GRAD-OK")
+""")
+    assert "ADAPTIVE-TIME-GRAD-OK" in out
