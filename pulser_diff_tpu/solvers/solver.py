@@ -436,44 +436,70 @@ def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
     safe_nrm = jnp.where(nrm > 0, nrm, 1.0)
     q = psi * (1.0 / safe_nrm)
 
-    qs = [q]
-    alphas = []
-    betas = []
-    alive = jnp.asarray(1.0, dt)
-    for j in range(m):
-        w = apply(qs[j])
-        alpha = jnp.sum(w.re * qs[j].re + w.im * qs[j].im)
-        w = w - qs[j] * alpha
-        if j > 0:
-            w = w - qs[j - 1] * betas[j - 1]
-        # full reorthogonalization (classical Gram-Schmidt, one pass)
-        for k in range(j + 1):
-            ov_re = jnp.sum(qs[k].re * w.re + qs[k].im * w.im)
-            ov_im = jnp.sum(qs[k].re * w.im - qs[k].im * w.re)
-            w = w - Cplx(
-                ov_re * qs[k].re - ov_im * qs[k].im,
-                ov_re * qs[k].im + ov_im * qs[k].re,
-            )
-        beta = jnp.sqrt(jnp.sum(w.abs2()))
-        alive = alive * (beta > tol).astype(dt)
-        safe_beta = jnp.where(beta > tol, beta, 1.0)
-        q_next = w * (alive / safe_beta)
-        alphas.append(alpha)
-        betas.append(beta * alive)
-        qs.append(q_next)
+    # rolled Lanczos (lax.scan over the subspace index): the recursion
+    # used to be a Python-unrolled double loop, whose traced graph blew
+    # up reverse-mode compile times; here the full reorthogonalization is
+    # ONE masked contraction against the whole basis buffer per step.
+    Q_re0 = jnp.zeros((m,) + q.shape, dt).at[0].set(q.re)
+    Q_im0 = jnp.zeros((m,) + q.shape, dt).at[0].set(q.im)
+    state_axes = tuple(range(1, q.re.ndim + 1))
 
-    qs_c = cstack(qs[:m])
-    alphas = jnp.stack(alphas)
-    betas = jnp.stack(betas)
+    def body(carry, j):
+        Q_re, Q_im, beta_prev, alive = carry
+        qj = Cplx(Q_re[j], Q_im[j])
+        w = apply(qj)
+        alpha = jnp.sum(w.re * qj.re + w.im * qj.im)
+        w = w - qj * alpha
+        jprev = jnp.maximum(j - 1, 0)
+        prev = Cplx(Q_re[jprev], Q_im[jprev])
+        w = w - prev * jnp.where(j > 0, beta_prev, 0.0)
+        # full reorthogonalization against all built vectors (k <= j)
+        mask = (jnp.arange(m) <= j).astype(dt)
+        ov_re = (
+            jnp.sum(Q_re * w.re, axis=state_axes)
+            + jnp.sum(Q_im * w.im, axis=state_axes)
+        ) * mask
+        ov_im = (
+            jnp.sum(Q_re * w.im, axis=state_axes)
+            - jnp.sum(Q_im * w.re, axis=state_axes)
+        ) * mask
+        w = Cplx(
+            w.re
+            - jnp.tensordot(ov_re, Q_re, axes=1)
+            + jnp.tensordot(ov_im, Q_im, axes=1),
+            w.im
+            - jnp.tensordot(ov_re, Q_im, axes=1)
+            - jnp.tensordot(ov_im, Q_re, axes=1),
+        )
+        # happy-breakdown-safe norm: sqrt of a ~0 sum has an unbounded
+        # derivative (1/(2*sqrt)), so mask BEFORE the sqrt — otherwise
+        # reverse-mode produces NaN whenever the Krylov space exhausts
+        # (guaranteed when m exceeds the state dimension)
+        s2 = jnp.sum(w.abs2())
+        ok = (s2 > tol * tol).astype(dt)
+        beta = jnp.sqrt(jnp.where(s2 > tol * tol, s2, 1.0)) * ok
+        alive = alive * ok
+        safe_beta = jnp.where(beta > 0, beta, 1.0)
+        q_next = w * (alive / safe_beta)
+        jn = jnp.minimum(j + 1, m - 1)
+        keep = (j + 1 < m).astype(dt)
+        Q_re = Q_re.at[jn].set(
+            keep * q_next.re + (1.0 - keep) * Q_re[jn]
+        )
+        Q_im = Q_im.at[jn].set(
+            keep * q_next.im + (1.0 - keep) * Q_im[jn]
+        )
+        return (Q_re, Q_im, beta, alive), (alpha, beta * alive)
+
+    (Q_re, Q_im, _, _), (alphas, betas) = jax.lax.scan(
+        body,
+        (Q_re0, Q_im0, jnp.asarray(0.0, dt), jnp.asarray(1.0, dt)),
+        jnp.arange(m),
+    )
+    qs_c = Cplx(Q_re, Q_im)
     # T: symmetric tridiagonal (alphas diag, betas[:-1] off-diag)
     T = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) + jnp.diag(betas[:-1], -1)
-    lam, V = jnp.linalg.eigh(T)
-    phase = lam * (-h)
-    coef_re = jnp.cos(phase)
-    coef_im = jnp.sin(phase)
-    v0 = V[0, :]
-    u_re = V @ (coef_re * v0)
-    u_im = V @ (coef_im * v0)
+    u_re, u_im = _expm_sym_e1(T, h)
     out_re = jnp.einsum("k,k...->...", u_re, qs_c.re) - jnp.einsum(
         "k,k...->...", u_im, qs_c.im
     )
@@ -481,6 +507,61 @@ def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
         "k,k...->...", u_im, qs_c.re
     )
     return Cplx(out_re, out_im) * nrm
+
+
+@jax.custom_jvp
+def _expm_sym_e1(T: jax.Array, h) -> tuple[jax.Array, jax.Array]:
+    """(re, im) of expm(-i h T) @ e1 for small symmetric T.
+
+    Carries a custom JVP via the Daleckii-Krein divided-difference
+    formula: plain autodiff through ``eigh`` divides by eigenvalue gaps
+    and produces NaN gradients whenever T's spectrum (near-)degenerates —
+    which the Lanczos happy-breakdown masking makes EXACT (decoupled zero
+    blocks).  The reference differentiates through pyqtorch's KRYLOV_SE
+    (test_derivatives.py parametrization); this is the TPU-native
+    equivalent with safe derivatives.
+    """
+    lam, V = jnp.linalg.eigh(T)
+    phase = lam * (-h)
+    v0 = V[0, :]
+    return V @ (jnp.cos(phase) * v0), V @ (jnp.sin(phase) * v0)
+
+
+@_expm_sym_e1.defjvp
+def _expm_sym_e1_jvp(primals, tangents):
+    T, h = primals
+    dT, dh = tangents
+    lam, V = jnp.linalg.eigh(T)
+    phase = lam * (-h)
+    f_re = jnp.cos(phase)
+    f_im = jnp.sin(phase)
+    v0 = V[0, :]
+    u_re = V @ (f_re * v0)
+    u_im = V @ (f_im * v0)
+
+    # divided differences F_ij = (f(li) - f(lj)) / (li - lj), with the
+    # derivative f'(l) = -i h f(l) on (near-)degenerate pairs, evaluated
+    # at the midpoint (li+lj)/2 for accuracy:
+    #   f'(mu) = -i h e^{-i h mu} = h sin(m) - i h cos(m),  m = -h mu
+    dl = lam[:, None] - lam[None, :]
+    scale = jnp.maximum(jnp.max(jnp.abs(lam)), 1.0)
+    near = jnp.abs(dl) < 1e-10 * scale
+    safe_dl = jnp.where(near, 1.0, dl)
+    num_re = f_re[:, None] - f_re[None, :]
+    num_im = f_im[:, None] - f_im[None, :]
+    mid = 0.5 * (lam[:, None] + lam[None, :]) * (-h)
+    F_re = jnp.where(near, h * jnp.sin(mid), num_re / safe_dl)
+    F_im = jnp.where(near, -h * jnp.cos(mid), num_im / safe_dl)
+
+    M = V.T @ dT @ V
+    du_re = V @ ((F_re * M) @ v0)
+    du_im = V @ ((F_im * M) @ v0)
+    # dh term: d/dh e^{-i h l} = -i l e^{-i h l} -> re = l f_im, im = -l f_re
+    g_re = lam * f_im
+    g_im = -lam * f_re
+    du_re = du_re + (V @ (g_re * v0)) * dh
+    du_im = du_im + (V @ (g_im * v0)) * dh
+    return (u_re, u_im), (du_re, du_im)
 
 
 # ----------------------------------------------------------------------

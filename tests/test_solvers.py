@@ -410,3 +410,82 @@ assert np.abs(np.asarray(g_fix)).max() > 1e-4
 print("ADAPTIVE-TIME-GRAD-OK")
 """)
     assert "ADAPTIVE-TIME-GRAD-OK" in out
+
+
+def test_expm_sym_e1_jvp_degenerate():
+    """The Daleckii-Krein custom JVP of the small Lanczos expm is exact
+    and NaN-free even for an exactly degenerate spectrum (plain autodiff
+    through eigh divides by eigenvalue gaps)."""
+    from pulser_diff_tpu.solvers.solver import _expm_sym_e1
+
+    # T with an exact 2x2 degenerate zero block (post-breakdown shape)
+    T = jnp.asarray(
+        [[1.3, 0.4, 0.0, 0.0],
+         [0.4, -0.2, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 0.0],
+         [0.0, 0.0, 0.0, 0.0]]
+    )
+    h = jnp.asarray(0.7)
+
+    def loss(T_, h_):
+        u_re, u_im = _expm_sym_e1(T_, h_)
+        return jnp.sum(u_re**2) + jnp.sum(u_re * u_im)
+
+    gT, gh = jax.grad(loss, argnums=(0, 1))(T, h)
+    assert np.isfinite(np.asarray(gT)).all()
+    assert np.isfinite(float(gh))
+    # finite-difference checks (symmetric perturbations)
+    eps = 1e-6
+    for i, j in [(0, 0), (0, 1), (2, 2), (1, 2)]:
+        dT = jnp.zeros_like(T).at[i, j].add(eps).at[j, i].add(eps)
+        fd = (float(loss(T + dT / 2, h)) - float(loss(T - dT / 2, h))) / eps
+        g_sym = float(gT[i, j] + gT[j, i]) / (2 if i == j else 1)
+        assert abs(g_sym * (2 if i == j else 1) / 2 - fd / 2) < 1e-6, (i, j)
+    fd_h = (float(loss(T, h + eps)) - float(loss(T, h - eps))) / (2 * eps)
+    assert abs(float(gh) - fd_h) < 1e-6
+
+
+def test_krylov_gradient_matches_dp5(two_atom_register):
+    """Waveform-parameter gradients through KRYLOV_SE agree with DP5
+    (the reference runs its gradient tests on both solvers,
+    test_derivatives.py parametrization)."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.ops import total_magnetization
+    from pulser_diff_tpu.solvers import TimeGrid, sesolve
+
+    obs = total_magnetization(2)
+
+    def make_loss(solver):
+        def loss(omega):
+            # tiny subsampled grid: the reverse-mode Lanczos trace is
+            # compile-heavy on the 1-CPU CI machine
+            seq = make_simple_sequence(
+                two_atom_register, duration=48, omega=omega, delta=-0.6
+            )
+            sim = TpuEmulator.from_sequence(
+                seq, sampling_rate=0.25, evaluation_times="Minimal"
+            )
+            h = sim._hamiltonian
+            grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+            psi0 = sim.initial_state
+            p0 = Cplx(
+                psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2)
+            )
+            st = sesolve(
+                h._ham_data, p0, grid, solver=solver, krylov_dim=6
+            )
+            pr = st.re[-1].reshape(4)
+            pi = st.im[-1].reshape(4)
+            return (
+                jnp.einsum("i,ij,j->", pr, obs.re, pr)
+                + jnp.einsum("i,ij,j->", pi, obs.re, pi)
+            )
+
+        return loss
+
+    om = jnp.asarray(1.9)
+    v_dp, g_dp = jax.value_and_grad(make_loss(SolverType.DP5_SE))(om)
+    v_kr, g_kr = jax.value_and_grad(make_loss(SolverType.KRYLOV_SE))(om)
+    assert np.isfinite(float(g_kr))
+    assert abs(float(v_dp) - float(v_kr)) < 1e-6
+    assert abs(float(g_dp) - float(g_kr)) < 1e-5
