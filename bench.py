@@ -15,8 +15,19 @@ sine-interpolated 8-parameter amplitude waveform (gate-optimization
 style), 660 ns, sampling_rate 0.25; loss = final total magnetization;
 gradient w.r.t. the 8 waveform parameters.
 
-Prints ONE json line: {"metric", "value" (TPU seconds), "unit",
-"vs_baseline" (torch_time / tpu_time)}.
+Two TPU paths are timed:
+  - the DEFAULT path: the fused DP5-stage Pallas kernel (compensated-f32
+    arithmetic; run(solver=DP5_SE) auto-routes here on TPU) — this is
+    the headline number;
+  - the f64 XLA path (fused=False) — the parity anchor vs the torch
+    baseline (values ~1e-13, grads ~1e-14) and the accuracy reference
+    for the fused kernel (|dv| ~2e-7, |dgrad| ~5e-6 — inside the
+    BASELINE.md 1e-6 / 1e-5 bars).
+
+Prints ONE json line: {"metric", "value" (TPU seconds, default path),
+"unit", "vs_baseline" (torch_time / tpu_time)} and a per-phase
+compile/forward/forward+grad breakdown on stderr (VERDICT.md round-2
+next-step #6).
 """
 
 from __future__ import annotations
@@ -172,13 +183,19 @@ def torch_baseline(params0: np.ndarray, n_timings: int = 1):
 
 
 # ----------------------------------------------------------------------
-# JAX / TPU side
+# JAX / TPU side (one builder, two solver configurations)
 # ----------------------------------------------------------------------
-def jax_tpu(params0: np.ndarray, n_timings: int = 3):
+def jax_tpu(params0: np.ndarray, fused: bool, n_timings: int = 3):
+    """Run the workload through QuantumModel.
+
+    fused=True: the default TPU path (DP5-stage fused Pallas kernel).
+    fused=False: the f64 XLA stepper (parity anchor).
+    Returns (times_dict, value, grad): times_dict has 'compile',
+    'forward', 'step' (forward+grad) wall-clock seconds.
+    """
     import jax
     import jax.numpy as jnp
 
-    from pulser_diff_tpu import TpuEmulator
     from pulser_diff_tpu.core import (
         ConstantWaveform,
         CustomWaveform,
@@ -209,6 +226,7 @@ def jax_tpu(params0: np.ndarray, n_timings: int = 3):
         {"amp_samples": ((jnp.asarray(params0),), lambda v: M @ v)},
         sampling_rate=SAMPLING_RATE,
         evaluation_times="Minimal",
+        fused=fused,
     )
     obs = total_magnetization(N_QUBITS)
     exp_fn = model.expectation_fn(obs)
@@ -217,83 +235,37 @@ def jax_tpu(params0: np.ndarray, n_timings: int = 3):
         _, vals = exp_fn({"amp_samples_0": p})
         return vals[-1]
 
+    fwd = jax.jit(loss)
     vag = jax.jit(jax.value_and_grad(loss))
     p = jnp.asarray(params0)
-    # compile
+    t0 = time.perf_counter()
     v, g = vag(p)
     jax.block_until_ready((v, g))
-    times = []
-    for _ in range(n_timings):
-        t0 = time.perf_counter()
-        v, g = vag(p)
-        jax.block_until_ready((v, g))
-        times.append(time.perf_counter() - t0)
-    return min(times), float(v), np.asarray(jax.device_get(g))
+    t_compile = time.perf_counter() - t0
+    jax.block_until_ready(fwd(p))
 
+    def _time(fn):
+        ts = []
+        for _ in range(n_timings):
+            t0 = time.perf_counter()
+            out = fn(p)
+            jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-def pallas_fast_mode(params0: np.ndarray, n_timings: int = 10):
-    """f32 fused-kernel fast mode (ops/pallas_evolution.py): same workload
-    through SolverType.RK4_PALLAS."""
-    import jax
-    import jax.numpy as jnp
-
-    from pulser_diff_tpu.core import (
-        ConstantWaveform,
-        CustomWaveform,
-        MockDevice,
-        Pulse,
-        Register,
-        Sequence,
-    )
-    from pulser_diff_tpu.model import QuantumModel
-    from pulser_diff_tpu.ops import total_magnetization
-    from pulser_diff_tpu.solvers import SolverType
-
-    reg = Register.from_coordinates(_coords(), prefix="q")
-    seq = Sequence(reg, MockDevice)
-    seq.declare_channel("ryd", "rydberg_global")
-    amp_var = seq.declare_variable("amp_samples", size=DURATION)
-    seq.add(
-        Pulse(
-            CustomWaveform(amp_var, duration=DURATION),
-            ConstantWaveform(DURATION, DET0),
-            0.0,
-        ),
-        "ryd",
-    )
-    M = jnp.asarray(_interp_matrix())
-    model = QuantumModel(
-        seq,
-        {"amp_samples": ((jnp.asarray(params0),), lambda v: M @ v)},
-        sampling_rate=SAMPLING_RATE,
-        evaluation_times="Minimal",
-        solver=SolverType.RK4_PALLAS,
-    )
-    obs = total_magnetization(N_QUBITS)
-    exp_fn = model.expectation_fn(obs)
-
-    def loss(p):
-        _, vals = exp_fn({"amp_samples_0": p})
-        return vals[-1]
-
-    vag = jax.jit(jax.value_and_grad(loss))
-    p = jnp.asarray(params0)
+    t_fwd = _time(fwd)
+    t_step = _time(vag)
     v, g = vag(p)
-    jax.block_until_ready((v, g))
-    times = []
-    for _ in range(n_timings):
-        t0 = time.perf_counter()
-        v, g = vag(p)
-        jax.block_until_ready((v, g))
-        times.append(time.perf_counter() - t0)
-    return min(times), float(v), np.asarray(jax.device_get(g))
+    times = {"compile": t_compile, "forward": t_fwd, "step": t_step}
+    return times, float(v), np.asarray(jax.device_get(g))
 
 
-# torch-CPU baseline recorded from a full run of torch_baseline() on this
-# container (round 1: 175 s).  Used only if the live baseline run fails,
-# so that a valid JSON line is still printed whenever the TPU timing
-# succeeds.
-_RECORDED_TORCH_BASELINE_S = 175.0
+# torch-CPU baseline recorded from full runs of torch_baseline() on this
+# container (rounds 1-2: 136.6-175 s; the host is shared, so live runs
+# jitter).  The reported denominator is min(live, recorded): conservative
+# (can only under-state the speedup) and stable across reruns
+# (VERDICT.md round-2 weak #7).
+_RECORDED_TORCH_BASELINE_S = 136.6
 
 
 def _with_retries(fn, what: str, attempts: int = 4, backoffs=(15, 45, 90)):
@@ -322,14 +294,15 @@ def main():
 
     # 1. torch baseline FIRST (isolated: a baseline failure must never
     #    zero the round once a TPU timing exists)
-    t_torch = None
     v_torch = g_torch = None
     try:
-        t_torch, v_torch, g_torch = torch_baseline(params0)
+        t_torch_live, v_torch, g_torch = torch_baseline(params0)
         print(
-            f"[bench] torch/CPU: {t_torch*1e3:.1f} ms  value={v_torch:.9f}",
+            f"[bench] torch/CPU: {t_torch_live*1e3:.1f} ms  "
+            f"value={v_torch:.9f}",
             file=sys.stderr,
         )
+        t_torch = min(t_torch_live, _RECORDED_TORCH_BASELINE_S)
     except Exception as e:  # noqa: BLE001
         print(
             f"[bench] torch baseline failed ({e!r}); using recorded "
@@ -338,48 +311,70 @@ def main():
         )
         t_torch = _RECORDED_TORCH_BASELINE_S
 
-    # 2. TPU f64 path, with retries around compile + execute
-    t_jax = v_jax = g_jax = None
+    # 2. TPU default path (fused DP5 Pallas kernel), with retries around
+    #    compile + execute
+    t_fused = v_fused = g_fused = None
     try:
-        t_jax, v_jax, g_jax = _with_retries(
-            lambda: jax_tpu(params0), "jax/TPU"
+        t_fused, v_fused, g_fused = _with_retries(
+            lambda: jax_tpu(params0, fused=True, n_timings=5),
+            "jax/TPU fused",
         )
         print(
-            f"[bench] jax/TPU: {t_jax*1e3:.1f} ms  value={v_jax:.9f}",
+            f"[bench] jax/TPU fused DP5 kernel (default): "
+            f"{t_fused['step']*1e3:.2f} ms  value={v_fused:.9f}",
             file=sys.stderr,
         )
     except Exception as e:  # noqa: BLE001
-        print(f"[bench] jax/TPU path failed after retries: {e!r}", file=sys.stderr)
-
-    # 3. Pallas f32 fast mode (informational; also the fallback timing if
-    #    the f64 path failed)
-    t_pal = v_pal = g_pal = None
-    try:
-        t_pal, v_pal, g_pal = _with_retries(
-            lambda: pallas_fast_mode(params0), "pallas fast mode", attempts=2,
-            backoffs=(20,),
+        print(
+            f"[bench] fused path failed after retries: {e!r}",
+            file=sys.stderr,
         )
-        msg = f"[bench] pallas f32 fast mode: {t_pal*1e3:.2f} ms  value={v_pal:.6f}"
-        if v_jax is not None:
-            msg += (
-                f"  |dv vs f64|={abs(v_pal - v_jax):.2e}"
-                f"  |dgrad|={np.abs(g_pal - g_jax).max():.2e}"
+
+    # 3. f64 XLA path: parity anchor vs torch + accuracy reference for
+    #    the fused kernel
+    t_f64 = v_f64 = g_f64 = None
+    try:
+        t_f64, v_f64, g_f64 = _with_retries(
+            lambda: jax_tpu(params0, fused=False), "jax/TPU f64",
+            attempts=2, backoffs=(20,),
+        )
+        print(
+            f"[bench] jax/TPU f64 XLA path: {t_f64['step']*1e3:.1f} ms  "
+            f"value={v_f64:.9f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] f64 path failed: {e!r}", file=sys.stderr)
+
+    # 4. accuracy cross-checks + per-phase breakdown (stderr)
+    if v_f64 is not None and v_torch is not None:
+        print(
+            f"[bench] f64 vs torch: |value diff|={abs(v_f64 - v_torch):.3e}"
+            f"  |grad diff|={np.abs(g_f64 - g_torch).max():.3e}",
+            file=sys.stderr,
+        )
+    if v_fused is not None and v_f64 is not None:
+        print(
+            f"[bench] fused vs f64: |value diff|={abs(v_fused - v_f64):.3e}"
+            f"  |grad diff|={np.abs(g_fused - g_f64).max():.3e}"
+            f"  (bars: 1e-6 / 1e-5)",
+            file=sys.stderr,
+        )
+    for name, t in (("fused", t_fused), ("f64", t_f64)):
+        if t is not None:
+            print(
+                f"[bench] breakdown {name}: compile={t['compile']:.1f} s  "
+                f"forward={t['forward']*1e3:.2f} ms  "
+                f"forward+grad={t['step']*1e3:.2f} ms  "
+                f"(adjoint overhead {t['step']/max(t['forward'],1e-9):.2f}x)",
+                file=sys.stderr,
             )
-        print(msg, file=sys.stderr)
-    except Exception as e:  # noqa: BLE001
-        print(f"[bench] pallas fast mode failed: {e}", file=sys.stderr)
 
-    if v_jax is not None and v_torch is not None:
-        print(
-            f"[bench] |value diff|={abs(v_jax - v_torch):.3e}  "
-            f"|grad diff|={np.abs(g_jax - g_torch).max():.3e}",
-            file=sys.stderr,
-        )
-
-    t_report = t_jax if t_jax is not None else t_pal
-    if t_report is None:
+    t_best = t_fused if t_fused is not None else t_f64
+    if t_best is None:
         print("[bench] no TPU timing succeeded", file=sys.stderr)
         raise SystemExit(1)
+    t_report = t_best["step"]
 
     print(
         json.dumps(

@@ -50,6 +50,14 @@ from pulser_diff_tpu.solvers import SolverType, TimeGrid, mesolve, sesolve
 _LINDBLAD_NOISES = {"dephasing", "relaxation", "depolarizing", "eff_noise"}
 _DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude", "leakage"}
 
+# solver options accepted by run(**options) — the JAX analogue of the
+# reference's opaque pass-through to pyqtorch (ref backend.py:430-451);
+# unknown keys (e.g. the dead reference-era `nsteps`) are rejected
+_RUN_OPTIONS = {
+    "substeps", "max_step", "krylov_dim", "krylov_tol",
+    "rtol", "atol", "max_iters", "fused",
+}
+
 
 class TpuEmulator:
     """Differentiable emulator of a sampled pulse sequence on TPU."""
@@ -384,6 +392,14 @@ class TpuEmulator:
         except Exception:
             return 1
 
+    _PALLAS_METHODS = {"RK4_PALLAS": "RK4", "DP5_PALLAS": "DP5"}
+
+    def _fused_eligible(self, ham_data) -> bool:
+        """Whether the fused Pallas kernel can take this solve: ising
+        (no dense XY terms) on an accelerator backend (on CPU the kernel
+        only runs interpreted, which is far slower than the XLA path)."""
+        return ham_data.dense_mats is None and jax.default_backend() != "cpu"
+
     def _solve_states(
         self,
         ham_data,
@@ -392,11 +408,25 @@ class TpuEmulator:
         substeps: int,
         krylov_dim: int,
         grid: TimeGrid,
+        solver_opts: Optional[Mapping[str, Any]] = None,
     ) -> Cplx:
         """Run the appropriate solver, returning (n_eval, dim, nb) kets or
         (n_eval, dim, dim) density matrices."""
         h = self._hamiltonian
         da, db = h.dim**h._a, h.dim**h._b
+        opts = dict(solver_opts or {})
+        fused = opts.pop("fused", None)
+        if (
+            solver == SolverType.DP5_SE
+            and fused is not False
+            and self._fused_eligible(ham_data)
+        ):
+            # TPU default: the DP5-stage fused kernel matches the f64
+            # XLA stepper to ~1e-6 (compensated f32 arithmetic) at
+            # kernel speed — the reference's default solver is DP5
+            # (reference backend.py:487-494).  Opt out with
+            # run(..., fused=False).
+            solver = SolverType.DP5_PALLAS
         if solver in (
             SolverType.DP5_SE,
             SolverType.RK4_SE,
@@ -411,6 +441,11 @@ class TpuEmulator:
             states = sesolve(
                 ham_data, p, grid, solver=solver, substeps=substeps,
                 krylov_dim=krylov_dim,
+                **{
+                    k: opts[k]
+                    for k in ("rtol", "atol", "max_iters", "krylov_tol")
+                    if k in opts
+                },
             )  # (n_eval, nb, da, db)
             n_eval = states.re.shape[0]
             dim = da * db
@@ -418,8 +453,8 @@ class TpuEmulator:
                 jnp.transpose(states.re.reshape(n_eval, nb, dim), (0, 2, 1)),
                 jnp.transpose(states.im.reshape(n_eval, nb, dim), (0, 2, 1)),
             )
-        elif solver == SolverType.RK4_PALLAS:
-            # fused single-kernel f32 fast mode — every evaluation-time
+        elif solver in self._PALLAS_METHODS:
+            # fused single-kernel f32 path — every evaluation-time
             # state, differentiable via the Pallas states-adjoint kernel
             from pulser_diff_tpu.ops.pallas_evolution import (
                 pallas_evolve_states,
@@ -433,7 +468,8 @@ class TpuEmulator:
                 psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
             )
             states = pallas_evolve_states(
-                ham_data, p, grid, interpret=interpret
+                ham_data, p, grid.refined(substeps),
+                method=self._PALLAS_METHODS[solver], interpret=interpret,
             )
             n_eval = states.re.shape[0]
             return Cplx(
@@ -449,7 +485,7 @@ class TpuEmulator:
             collapse = h._collapse_ops
             return mesolve(
                 ham_data, rho0, collapse, h._size, h.dim, grid,
-                solver=SolverType.DP5_ME, substeps=substeps,
+                solver=solver, substeps=substeps,
             )
         raise ValueError(f"Solver {solver} not available.")
 
@@ -514,7 +550,8 @@ class TpuEmulator:
             finally:
                 h._dist_override = {}
             states = self._solve_states(
-                hd, None, solver, substeps, krylov_dim, grid
+                hd, None, solver, substeps, krylov_dim, grid,
+                solver_opts=options,
             )
             return _expect(obs, states).re
 
@@ -546,8 +583,12 @@ class TpuEmulator:
 
         def fn(times):
             grid = grid0.with_values(times)
+            # fused=False: evaluation-time gradients flow through the
+            # grid's step sizes, which the fused kernel treats as
+            # structural constants — the XLA path differentiates them
             states = self._solve_states(
-                h._ham_data, None, solver, substeps, krylov_dim, grid
+                h._ham_data, None, solver, substeps, krylov_dim, grid,
+                solver_opts={**options, "fused": False},
             )
             return _expect(obs, states).re
 
@@ -558,7 +599,6 @@ class TpuEmulator:
         time_grad: bool = False,
         dist_grad: bool = False,
         solver: str = SolverType.DP5_SE,
-        nsteps: Any = None,
         **options: Any,
     ) -> SimulationResults:
         """Simulate the sequence (reference backend.py:430-611).
@@ -567,12 +607,36 @@ class TpuEmulator:
         JAX design gradients are obtained through derivative.deriv_time /
         deriv_param or jax.grad over QuantumModel losses — running with
         these flags exposes `qq_distances` for inspection.
+
+        Solver options (reference forwards opaque ``**options`` to
+        pyqtorch, backend.py:430-451): ``substeps``/``max_step``
+        (fixed-step refinement), ``krylov_dim``/``krylov_tol``,
+        ``rtol``/``atol``/``max_iters`` (adaptive DP5(4)), and
+        ``fused=False`` to opt out of the TPU fused-kernel default.
         """
+        import warnings
+
         cfg_nm = self._hamiltonian.config
         noise = set(cfg_nm.noise_types)
         h = self._hamiltonian
 
+        if time_grad:
+            warnings.warn(
+                "run(time_grad=True) only exposes metadata in the JAX "
+                "design: gradients w.r.t. evaluation times flow through "
+                "the pure function returned by expectation_fn_of_times() "
+                "(see derivative.deriv_time).",
+                UserWarning,
+                stacklevel=2,
+            )
         if dist_grad:
+            warnings.warn(
+                "run(dist_grad=True) only exposes qq_distances: gradients "
+                "w.r.t. inter-qubit distances flow through the pure "
+                "function returned by expectation_fn_of_dists().",
+                UserWarning,
+                stacklevel=2,
+            )
             for k, v in h._dist_dict.items():
                 self.dist_dict[k] = v
 
@@ -588,16 +652,59 @@ class TpuEmulator:
                     "state different from the ground."
                 )
 
-        if noise & _LINDBLAD_NOISES:
+        unknown = set(options) - _RUN_OPTIONS
+        if unknown:
+            raise TypeError(
+                f"Unknown run() option(s) {sorted(unknown)}; supported: "
+                f"{sorted(_RUN_OPTIONS)}."
+            )
+
+        if noise & _LINDBLAD_NOISES and solver not in (
+            SolverType.DP5_ME,
+            SolverType.RK4_ME,
+        ):
             solver = SolverType.DP5_ME
 
         substeps = self._auto_substeps(options)
         krylov_dim = int(options.get("krylov_dim", 12))
         grid = TimeGrid.make(h.sampling_times, self._eval_times_array)
 
+        # batched solves (vmapped over noise configs/draws) cannot route
+        # through vmap-of-pallas (does not lower on this backend); fused
+        # batches instead go through the MC kernel's run-axis grid
+        fused_mc = solver in self._PALLAS_METHODS or (
+            solver == SolverType.DP5_SE
+            and options.get("fused", None) is not False
+            and self._fused_eligible(h._ham_data)
+        )
+        fused_method = self._PALLAS_METHODS.get(solver, "DP5")
+
+        def _solve_mc_fused(hams) -> Cplx:
+            """(R, ...) ham stack -> (R, n_eval, dim, nb) via the fused
+            MC kernel (one launch, runs axis = kernel grid)."""
+            from pulser_diff_tpu.ops.pallas_evolution import pallas_evolve_mc
+
+            psi0 = self._initial_state
+            nb = psi0.shape[1]
+            da, db = h.dim**h._a, h.dim**h._b
+            dim = da * db
+            p = Cplx(
+                psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
+            )
+            st = pallas_evolve_mc(
+                hams, p, grid.refined(substeps), method=fused_method,
+                interpret=jax.default_backend() == "cpu",
+            )  # (R, n_eval, nb, da, db)
+            R, n_eval = st.re.shape[:2]
+            return Cplx(
+                jnp.transpose(st.re.reshape(R, n_eval, nb, dim), (0, 1, 3, 2)),
+                jnp.transpose(st.im.reshape(R, n_eval, nb, dim), (0, 1, 3, 2)),
+            )
+
         def _run_solver(ham_data) -> CoherentResults:
             states = self._solve_states(
-                ham_data, None, solver, substeps, krylov_dim, grid
+                ham_data, None, solver, substeps, krylov_dim, grid,
+                solver_opts=options,
             )
             return self._wrap_coherent(states, meas_errors)
 
@@ -625,16 +732,21 @@ class TpuEmulator:
             reps = [r for _, r in configs]
             n_slots = h._count_noise_slots()
 
-            def solve_one(bad):
+            def build_one(bad):
                 draws = zero_noise_draws(h._size, n_slots)._replace(
                     bad_atoms=bad
                 )
-                return self._solve_states(
-                    h.build_data(draws), None, solver, substeps, krylov_dim,
-                    grid,
-                )
+                return h.build_data(draws)
 
-            states_all = jax.vmap(solve_one)(bad_stack)
+            if fused_mc:
+                states_all = _solve_mc_fused(jax.vmap(build_one)(bad_stack))
+            else:
+                states_all = jax.vmap(
+                    lambda bad: self._solve_states(
+                        build_one(bad), None, solver, substeps, krylov_dim,
+                        grid, solver_opts={**options, "fused": False},
+                    )
+                )(bad_stack)
             return self._sample_noisy(
                 states_all, reps, cfg_nm.samples_per_run, cfg_nm.runs,
                 meas_errors,
@@ -647,33 +759,13 @@ class TpuEmulator:
             jax.random.PRNGKey(self._rng.integers(0, 2**31 - 1)), loop_runs
         )
 
-        if solver == SolverType.RK4_PALLAS:
-            # fused fast mode: the runs axis becomes the Pallas kernel
-            # grid (one launch for the whole Monte-Carlo batch —
-            # vmap-of-pallas does not lower on this backend)
-            from pulser_diff_tpu.ops.pallas_evolution import (
-                pallas_evolve_mc,
-            )
-
+        if fused_mc:
+            # fused path: the runs axis becomes the Pallas kernel grid
+            # (one launch for the whole Monte-Carlo batch)
             hams = jax.vmap(
                 lambda k: h.build_data(draw_noise(k, cfg_nm, h._size, n_slots))
             )(keys)
-            psi0 = self._initial_state
-            nb = psi0.shape[1]
-            da, db = h.dim**h._a, h.dim**h._b
-            dim = da * db
-            p = Cplx(
-                psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
-            )
-            st = pallas_evolve_mc(
-                hams, p, grid,
-                interpret=jax.default_backend() == "cpu",
-            )  # (R, n_eval, nb, da, db)
-            R, n_eval = st.re.shape[:2]
-            states_all = Cplx(
-                jnp.transpose(st.re.reshape(R, n_eval, nb, dim), (0, 1, 3, 2)),
-                jnp.transpose(st.im.reshape(R, n_eval, nb, dim), (0, 1, 3, 2)),
-            )
+            states_all = _solve_mc_fused(hams)
             return self._sample_noisy(
                 states_all, [1] * loop_runs, cfg_nm.samples_per_run,
                 cfg_nm.runs, meas_errors,
@@ -682,7 +774,8 @@ class TpuEmulator:
         def solve_one(key):
             draws = draw_noise(key, cfg_nm, h._size, n_slots)
             return self._solve_states(
-                h.build_data(draws), None, solver, substeps, krylov_dim, grid
+                h.build_data(draws), None, solver, substeps, krylov_dim,
+                grid, solver_opts={**options, "fused": False},
             )
 
         states_all = jax.vmap(solve_one)(keys)

@@ -12,6 +12,7 @@ from pulser_diff_tpu.core.waveforms import (
 from pulser_diff_tpu.core.register import Register
 from pulser_diff_tpu.core.devices import AnalogDevice, Device, MockDevice, VirtualDevice
 from pulser_diff_tpu.core.channels import Channel, Microwave, Raman, Rydberg
+from pulser_diff_tpu.core.eom import BLUE, RED, RydbergEOM
 from pulser_diff_tpu.core.pulse import Pulse
 from pulser_diff_tpu.core.sequence import Sequence
 from pulser_diff_tpu.core.sampler import ChannelSamples, SequenceSamples, sample
@@ -37,6 +38,9 @@ __all__ = [
     "Rydberg",
     "Raman",
     "Microwave",
+    "RydbergEOM",
+    "RED",
+    "BLUE",
     "Pulse",
     "Sequence",
     "ChannelSamples",

@@ -29,6 +29,11 @@ class Channel:
     min_duration: int = 1  # ns
     max_duration: Optional[int] = None  # ns
     mod_bandwidth: Optional[float] = None  # MHz
+    eom_config: Optional["RydbergEOM"] = None  # core.eom.RydbergEOM
+
+    @property
+    def supports_eom_mode(self) -> bool:
+        return self.eom_config is not None
 
     def validate_pulse(self, amp_max: float, det_max: float, duration: int) -> None:
         if self.max_amp is not None and amp_max > self.max_amp + 1e-9:

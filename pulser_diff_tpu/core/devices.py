@@ -18,6 +18,7 @@ import jax
 import numpy as np
 
 from pulser_diff_tpu.core.channels import Channel, Microwave, Raman, Rydberg
+from pulser_diff_tpu.core.eom import BLUE, RED, RydbergEOM
 from pulser_diff_tpu.core.register import Register
 
 # C6/hbar [rad/us um^6] per rydberg level (subset of pulser's table)
@@ -127,6 +128,14 @@ AnalogDevice = Device(
     supports_slm_mask=False,
     channels=(
         Rydberg.Global(max_abs_detuning=2 * np.pi * 20, max_amp=2 * np.pi * 2,
-                       clock_period=4, min_duration=16),
+                       clock_period=4, min_duration=16,
+                       mod_bandwidth=8.0,
+                       eom_config=RydbergEOM(
+                           mod_bandwidth=40.0,
+                           limiting_beam=RED,
+                           max_limiting_amp=2 * np.pi * 10.0,
+                           intermediate_detuning=2 * np.pi * 700.0,
+                           controlled_beams=(BLUE,),
+                       )),
     ),
 )

@@ -46,6 +46,9 @@ class ChannelSamples:
     slots: list[_PulseTargetSlot]
     addressing: str
     basis: str
+    # closed [ti, tf) EOM-mode intervals (ns) — drive modulated with the
+    # EOM's bandwidth instead of the channel's inside these windows
+    eom_blocks: list = None
 
     @property
     def duration(self) -> int:
@@ -261,6 +264,11 @@ def _sample_channel(
     else:
         amp = det = phase = jnp.zeros((total,), dt)
 
+    blocks = []
+    for blk in seq._eom_blocks.get(name, []):
+        ti, tf = blk
+        blocks.append((int(ti), int(tf) if tf is not None else total))
+
     return ChannelSamples(
         amp=amp,
         det=det,
@@ -268,6 +276,7 @@ def _sample_channel(
         slots=slots,
         addressing=ch.addressing,
         basis=ch.basis,
+        eom_blocks=blocks,
     )
 
 
@@ -277,7 +286,42 @@ def _modulate(cs: ChannelSamples, ch: Channel) -> ChannelSamples:
     programmed samples (Channel.apply_modulation).  Amplitude decays to
     zero past the programmed end (zero padding); detuning and phase hold
     their boundary values (edge padding, pulser's keep_ends).  The
-    modulated samples extend by the 2*rise_time fall time."""
+    modulated samples extend by the 2*rise_time fall time.
+
+    EOM blocks are modulated with the EOM's (much faster) bandwidth:
+    amp/det inside the block windows go through the EOM response, the
+    rest through the standard channel response, and the two outputs sum
+    (disjoint supports up to the respective rise tails)."""
+    eom = ch.eom_config
+    if cs.eom_blocks and eom is not None:
+        T = cs.duration
+        mask_np = np.zeros(T, dtype=bool)
+        for ti, tf in cs.eom_blocks:
+            mask_np[ti:tf] = True
+        mask = jnp.asarray(mask_np)
+        std_rise = ch.rise_time
+        eom_rise = eom.rise_time
+
+        def dual(x, keep_ends):
+            x_std = jnp.where(mask, 0.0, x)
+            x_eom = jnp.where(mask, x, 0.0)
+            a = Channel.apply_modulation(x_std, std_rise, keep_ends)
+            b = Channel.apply_modulation(x_eom, eom_rise, keep_ends=False)
+            n = max(a.shape[0], b.shape[0])
+            if a.shape[0] < n:
+                a = jnp.pad(a, (0, n - a.shape[0]), mode="edge" if keep_ends else "constant")
+            if b.shape[0] < n:
+                b = jnp.pad(b, (0, n - b.shape[0]))
+            return a + b
+
+        return replace(
+            cs,
+            amp=dual(cs.amp, False),
+            det=dual(cs.det, True),
+            phase=Channel.apply_modulation(cs.phase, std_rise, True)
+            if std_rise
+            else cs.phase,
+        )
     if ch.mod_bandwidth is None or ch.rise_time == 0:
         return cs
     return replace(

@@ -58,6 +58,10 @@ class Sequence:
         self._slm_mask_targets: frozenset = frozenset()
         self._magnetic_field = np.array([0.0, 0.0, 30.0])
         self._in_xy: bool = False
+        # EOM mode state: channel -> (amp_on, detuning_on, detuning_off)
+        self._eom_state: dict[str, tuple] = {}
+        # closed/open EOM intervals per channel: [ti, tf | None]
+        self._eom_blocks: dict[str, list[list]] = {}
 
     # ------------------------------------------------------------------
     # properties
@@ -180,20 +184,30 @@ class Sequence:
         return self._channels[channel]
 
     def add(
-        self, pulse: Pulse, channel: str, protocol: str = "min-delay"
+        self,
+        pulse: Pulse,
+        channel: str,
+        protocol: str = "min-delay",
+        _eom: bool = False,
     ) -> None:
         ch = self._check_channel(channel)
         if protocol not in ("min-delay", "no-delay", "wait-for-all"):
             raise ValueError(f"Invalid protocol '{protocol}'.")
         if not isinstance(pulse, Pulse):
             raise TypeError("add() requires a Pulse.")
-        if pulse.is_parametrized or self.is_parametrized():
-            self._to_build_calls.append(
-                _Call("add", (pulse, channel), {"protocol": protocol})
+        if channel in self._eom_state and not _eom:
+            raise RuntimeError(
+                f"Channel '{channel}' is in EOM mode: only add_eom_pulse() "
+                "and delay() are allowed until disable_eom_mode()."
             )
+        kwargs = {"protocol": protocol}
+        if _eom:
+            kwargs["_eom"] = True
+        if pulse.is_parametrized or self.is_parametrized():
+            self._to_build_calls.append(_Call("add", (pulse, channel), kwargs))
             return
         self._add_concrete(pulse, channel, protocol)
-        self._calls.append(_Call("add", (pulse, channel), {"protocol": protocol}))
+        self._calls.append(_Call("add", (pulse, channel), kwargs))
 
     def _add_concrete(self, pulse: Pulse, channel: str, protocol: str) -> None:
         import jax
@@ -242,11 +256,153 @@ class Sequence:
             self._to_build_calls.append(_Call("delay", (duration, channel), {}))
             return
         d = int(duration)
+        if channel in self._eom_state:
+            # in EOM mode the drive idles at the locked off-detuning:
+            # represent the wait as an amp=0 pulse at detuning_off
+            from pulser_diff_tpu.core.waveforms import ConstantWaveform
+
+            _, _, det_off = self._eom_state[channel]
+            self._add_concrete(
+                Pulse(
+                    ConstantWaveform(d, 0.0),
+                    ConstantWaveform(d, det_off),
+                    0.0,
+                ),
+                channel,
+                "no-delay",
+            )
+            self._calls.append(_Call("delay", (duration, channel), {}))
+            return
         t0 = self.get_duration(channel)
         self._schedule[channel].append(
             _TimeSlot("delay", t0, t0 + d, self._last_target[channel])
         )
         self._calls.append(_Call("delay", (duration, channel), {}))
+
+    # ------------------------------------------------------------------
+    # EOM mode (native equivalent of pulser's enable_eom_mode /
+    # add_eom_pulse / disable_eom_mode; the reference inherits these
+    # through pulser's with_modulation sampling, ref backend.py:695-705)
+    # ------------------------------------------------------------------
+    def is_in_eom_mode(self, channel: str) -> bool:
+        self._check_channel(channel)
+        return channel in self._eom_state
+
+    def enable_eom_mode(
+        self,
+        channel: str,
+        amp_on: float,
+        detuning_on: float,
+        optimal_detuning_off: float = 0.0,
+    ) -> None:
+        """Lock the channel into EOM mode: square pulses at
+        (amp_on, detuning_on); idle periods sit at the achievable
+        off-detuning closest to ``optimal_detuning_off`` (see
+        core.eom.RydbergEOM.calculate_detuning_off)."""
+        ch = self._check_channel(channel)
+        if ch.eom_config is None:
+            raise TypeError(
+                f"Channel '{channel}' does not have an EOM configuration."
+            )
+        if channel in self._eom_state:
+            raise RuntimeError(f"Channel '{channel}' is already in EOM mode.")
+        if self.is_parametrized():
+            self._to_build_calls.append(
+                _Call(
+                    "enable_eom_mode",
+                    (channel, amp_on, detuning_on, optimal_detuning_off),
+                    {},
+                )
+            )
+            return
+        det_off = ch.eom_config.calculate_detuning_off(
+            float(amp_on), float(detuning_on), float(optimal_detuning_off)
+        )
+        # switching buffer when the channel already carries output
+        if self._schedule[channel] and ch.eom_config.buffer_time > 0:
+            t0 = self.get_duration(channel)
+            self._schedule[channel].append(
+                _TimeSlot(
+                    "delay", t0, t0 + ch.eom_config.buffer_time,
+                    self._last_target[channel],
+                )
+            )
+        self._eom_state[channel] = (
+            float(amp_on), float(detuning_on), det_off
+        )
+        self._eom_blocks.setdefault(channel, []).append(
+            [self.get_duration(channel), None]
+        )
+        self._calls.append(
+            _Call(
+                "enable_eom_mode",
+                (channel, amp_on, detuning_on, optimal_detuning_off),
+                {},
+            )
+        )
+
+    def add_eom_pulse(
+        self,
+        channel: str,
+        duration: Any,
+        phase: Any,
+        post_phase_shift: Any = 0.0,
+        protocol: str = "min-delay",
+    ) -> None:
+        """Add a square pulse at the EOM operating point (pulser's
+        add_eom_pulse: duration + phase are the only free knobs)."""
+        from pulser_diff_tpu.core.waveforms import ConstantWaveform
+
+        if not self.is_in_eom_mode(channel):
+            if self.is_parametrized() and any(
+                c.name == "enable_eom_mode" and c.args[0] == channel
+                for c in self._to_build_calls
+            ):
+                self._to_build_calls.append(
+                    _Call(
+                        "add_eom_pulse",
+                        (channel, duration, phase, post_phase_shift),
+                        {"protocol": protocol},
+                    )
+                )
+                return
+            raise RuntimeError(
+                f"Channel '{channel}' must be in EOM mode (enable_eom_mode)."
+            )
+        amp_on, det_on, _ = self._eom_state[channel]
+        self.add(
+            Pulse(
+                ConstantWaveform(duration, amp_on),
+                ConstantWaveform(duration, det_on),
+                phase,
+                post_phase_shift,
+            ),
+            channel,
+            protocol=protocol,
+            _eom=True,
+        )
+
+    def disable_eom_mode(self, channel: str) -> None:
+        """Leave EOM mode (adds the switching buffer back out)."""
+        ch = self._check_channel(channel)
+        if self.is_parametrized():
+            self._to_build_calls.append(
+                _Call("disable_eom_mode", (channel,), {})
+            )
+            return
+        if channel not in self._eom_state:
+            raise RuntimeError(f"Channel '{channel}' is not in EOM mode.")
+        del self._eom_state[channel]
+        self._eom_blocks[channel][-1][1] = self.get_duration(channel)
+        if ch.eom_config.buffer_time > 0:
+            t0 = self.get_duration(channel)
+            self._schedule[channel].append(
+                _TimeSlot(
+                    "delay", t0, t0 + ch.eom_config.buffer_time,
+                    self._last_target[channel],
+                )
+            )
+        self._calls.append(_Call("disable_eom_mode", (channel,), {}))
 
     def target(self, qubits: QubitId | Iterable[QubitId], channel: str) -> None:
         ch = self._check_channel(channel)

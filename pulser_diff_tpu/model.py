@@ -402,13 +402,17 @@ class QuantumModel:
         solver = self.solver
         from pulser_diff_tpu.backend import _LINDBLAD_NOISES
 
-        if noise & _LINDBLAD_NOISES:
+        if noise & _LINDBLAD_NOISES and solver not in (
+            SolverType.DP5_ME,
+            SolverType.RK4_ME,
+        ):
             solver = SolverType.DP5_ME
         substeps = int(self.options.get("substeps", self._default_substeps()))
         krylov_dim = int(self.options.get("krylov_dim", 12))
         grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
         states = sim._solve_states(
-            h._ham_data, None, solver, substeps, krylov_dim, grid
+            h._ham_data, None, solver, substeps, krylov_dim, grid,
+            solver_opts=self.options,
         )
         return sim._eval_times_array, states
 

