@@ -378,10 +378,18 @@ class TpuEmulator:
             dmax = float(
                 np.max(np.abs(np.asarray(jax.device_get(hd.int_diag))))
             )
-            if hd.dense_mats is not None:
-                dm = np.asarray(jax.device_get(hd.dense_mats.re))
+            if hd.kron_row is not None:
+                kr = np.asarray(jax.device_get(hd.kron_row))
+                kc = np.asarray(jax.device_get(hd.kron_col))
+                zs = np.abs(
+                    np.asarray(jax.device_get(hd.kron_streams.re))
+                    + 1j * np.asarray(jax.device_get(hd.kron_streams.im))
+                ).max(axis=1)
                 zmax += 2 * float(
-                    sum(np.linalg.norm(m, 2) for m in dm)
+                    sum(
+                        z * np.linalg.norm(r, 2) * np.linalg.norm(c, 2)
+                        for z, r, c in zip(zs, kr, kc)
+                    )
                 )
             hnorm = zmax + dmax
             dt_grid = 0.001 / self._sampling_rate
@@ -395,10 +403,20 @@ class TpuEmulator:
     _PALLAS_METHODS = {"RK4_PALLAS": "RK4", "DP5_PALLAS": "DP5"}
 
     def _fused_eligible(self, ham_data) -> bool:
-        """Whether the fused Pallas kernel can take this solve: ising
-        (no dense XY terms) on an accelerator backend (on CPU the kernel
-        only runs interpreted, which is far slower than the XLA path)."""
-        return ham_data.dense_mats is None and jax.default_backend() != "cpu"
+        """Whether the fused Pallas kernel should take this solve by
+        DEFAULT: ising on an accelerator backend (on CPU the kernel only
+        runs interpreted, far slower than the XLA path).  XY sequences
+        run through the kernel's kron-pair terms when a fused solver is
+        requested explicitly — excluded from auto-routing because the
+        kron matrices are structural constants in the kernel, so
+        qubit-distance gradients need the XLA path (fused=False)."""
+        from pulser_diff_tpu.ops.pallas_evolution import _NB_MAX
+
+        return (
+            ham_data.kron_row is None
+            and jax.default_backend() != "cpu"
+            and int(self._initial_state.shape[1]) <= _NB_MAX
+        )
 
     def _solve_states(
         self,

@@ -656,8 +656,9 @@ class Hamiltonian:
 
         # --- interaction ------------------------------------------------
         int_diag = jnp.zeros((da, db), dt)
-        dense_mats: Optional[Cplx] = None
-        dense_streams: Optional[Cplx] = None
+        kron_row: Optional[jax.Array] = None
+        kron_col: Optional[jax.Array] = None
+        kron_streams: Optional[Cplx] = None
 
         eff_size_ok = n > 1 and self.basis_name != "digital"
         if eff_size_ok:
@@ -665,8 +666,8 @@ class Hamiltonian:
             if self._interaction == "ising":
                 int_diag = self._ising_diag(W)
             else:
-                dense_mats, dense_streams = self._xy_dense_terms(
-                    W, good, n_samples
+                kron_row, kron_col, kron_streams = self._xy_kron_terms(
+                    W, n_samples
                 )
 
         return FactoredHamiltonian(
@@ -675,8 +676,9 @@ class Hamiltonian:
             row_streams=rs,
             col_streams=cs,
             int_diag=int_diag,
-            dense_mats=dense_mats,
-            dense_streams=dense_streams,
+            kron_row=kron_row,
+            kron_col=kron_col,
+            kron_streams=kron_streams,
             sample_dt=sample_dt,
             n_samples=n_samples,
         )
@@ -715,61 +717,101 @@ class Hamiltonian:
         )
         return diag_r[:, None] + diag_c[None, :] + cross
 
-    # -- XY dense interaction terms (+ SLM time windowing) ----------------
-    def _xy_dense_terms(
-        self, W: jax.Array, good: jax.Array, n_samples: int
-    ) -> tuple[Cplx, Cplx]:
-        n, d = self._size, self.dim
-        dim = d**n
+    # -- XY interaction as kron-pair terms (+ SLM time windowing) ---------
+    def _xy_kron_terms(
+        self, W: jax.Array, n_samples: int
+    ) -> tuple[jax.Array, jax.Array, Cplx]:
+        """Factor the XY dipole flip-flop interaction
+        sum_{i<j} W_ij (sigma_ud^i sigma_du^j + h.c.)
+        (reference hamiltonian.py:346-366) into kron-pair terms
+        z_k(t) (R_k (x) C_k) + h.c. applied as R @ Psi @ C^T
+        (ops/apply.py) — no dim x dim matrix is ever built:
+
+          - within-row-group pairs  -> (sum_{i<j<a} W_ij s+_i s-_j, I_db)
+          - within-col-group pairs  -> (I_da, sum_{a<=i<j} W_ij s+_i s-_j)
+          - cross pairs, grouped by row site i -> (s+_i lift,
+            sum_{j>=a} W_ij s-_j lift)
+
+        W is traced (qubit-distance differentiable); the SLM mask
+        (hamiltonian.py reference :462-482) time-windows the terms with
+        on/off streams over full vs masked weight matrices.
+        """
+        n, d, a, b = self._size, self.dim, self._a, self._b
+        da, db = d**a, d**b
         dt = default_dtype()
-        qids = list(self._qdict)
         sig_ud = _local_op_np(d, self._basis_labels, "sigma_ud")
         sig_du = _local_op_np(d, self._basis_labels, "sigma_du")
 
-        def pair_mat(i: int, j: int) -> np.ndarray:
-            ops = [np.eye(d)] * n
-            ops[i] = sig_ud
-            ops[j] = sig_du
-            return reduce(np.kron, ops)
+        def lift(op: np.ndarray, loc: int, g: int) -> np.ndarray:
+            return np.kron(
+                np.kron(np.eye(d**loc), op), np.eye(d ** (g - loc - 1))
+            )
+
+        # static lift stacks
+        ud_row = np.stack([lift(sig_ud, i, a) for i in range(a)]) if a else None
+        du_row = np.stack([lift(sig_du, i, a) for i in range(a)]) if a else None
+        ud_col = np.stack([lift(sig_ud, j, b) for j in range(b)]) if b else None
+        du_col = np.stack([lift(sig_du, j, b) for j in range(b)]) if b else None
+        eye_a = jnp.eye(da, dtype=dt)
+        eye_b = jnp.eye(db, dtype=dt)
 
         masked_q = {
             self._qid_index[q] for q in self.samples_obj._slm_mask.targets
         }
-        full_re = jnp.zeros((dim, dim), dt)
-        masked_re = jnp.zeros((dim, dim), dt)
-        # dense terms are applied as M + M^H (ops/apply.py), so the full
-        # pair weight goes on the single sigma_ud sigma_du matrix: the
-        # hermitization supplies the conjugate flip-flop direction.
-        for i, j in itertools.combinations(range(n), 2):
-            pm = jnp.asarray(pair_mat(i, j), dt)
-            w = W[i, j]
-            full_re = full_re + w * pm
-            if i not in masked_q and j not in masked_q:
-                masked_re = masked_re + w * pm
+        unmask = np.ones(n)
+        for q in masked_q:
+            unmask[q] = 0.0
+
+        def build_set(Wset: jax.Array) -> tuple[list, list]:
+            rows, cols = [], []
+            # within-row pairs: sum_{i<j<a} W_ij (s+_i s-_j lifted)
+            if a >= 2:
+                m = jnp.zeros((da, da), dt)
+                for i in range(a):
+                    for j in range(i + 1, a):
+                        pm = jnp.asarray(ud_row[i] @ du_row[j], dt)
+                        m = m + Wset[i, j] * pm
+                rows.append(m)
+                cols.append(eye_b)
+            # within-col pairs
+            if b >= 2:
+                m = jnp.zeros((db, db), dt)
+                for i in range(b):
+                    for j in range(i + 1, b):
+                        pm = jnp.asarray(ud_col[i] @ du_col[j], dt)
+                        m = m + Wset[a + i, a + j] * pm
+                rows.append(eye_a)
+                cols.append(m)
+            # cross pairs grouped by row site
+            if a and b:
+                du_col_j = jnp.asarray(du_col, dt)  # (b, db, db)
+                for i in range(a):
+                    ct = jnp.einsum("j,jcd->cd", Wset[i, a:], du_col_j)
+                    rows.append(jnp.asarray(ud_row[i], dt))
+                    cols.append(ct)
+            return rows, cols
 
         mask_end = self.samples_obj._slm_mask.end
         if mask_end > 0:
-            # time-windowed: full interaction after the mask, reduced during
+            W_masked = W * jnp.asarray(np.outer(unmask, unmask), dt)
             coeff = np.ones(self._duration - 1)
             coeff[:mask_end] = 0.0
             on = self._adapt_to_sampling_rate(jnp.asarray(coeff, dt))
-            off = 1.0 - on
-            # pad/crop streams to n_samples
             on = on[:n_samples]
-            off = off[:n_samples]
-            mats = Cplx(
-                jnp.stack([full_re, masked_re]),
-                jnp.zeros((2, dim, dim), dt),
-            )
-            streams = Cplx(
-                jnp.stack([on, off]), jnp.zeros((2, n_samples), dt)
-            )
-            return mats, streams
-        mats = Cplx(full_re[None], jnp.zeros((1, dim, dim), dt))
-        streams = Cplx(
-            jnp.ones((1, n_samples), dt), jnp.zeros((1, n_samples), dt)
-        )
-        return mats, streams
+            off = 1.0 - on
+            rows_f, cols_f = build_set(W)
+            rows_m, cols_m = build_set(W_masked)
+            rows = rows_f + rows_m
+            cols = cols_f + cols_m
+            streams_re = [on] * len(rows_f) + [off] * len(rows_m)
+        else:
+            rows, cols = build_set(W)
+            streams_re = [jnp.ones((n_samples,), dt)] * len(rows)
+
+        kr = jnp.stack(rows)
+        kc = jnp.stack(cols)
+        zs = jnp.stack(streams_re)
+        return kr, kc, Cplx(zs, jnp.zeros_like(zs))
 
     # ------------------------------------------------------------------
     # dense H(t) for introspection (reference hamiltonian.py:499-548)

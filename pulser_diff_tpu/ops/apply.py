@@ -6,19 +6,22 @@ Design (replaces the reference's sparse-COO closure summation,
 The N-qudit state is stored as a (d^a, d^b) split-complex matrix Psi with
 a + b = N.  Every single-site term of the Rydberg/XY Hamiltonian lifts to
 either the row group or the column group, so the full time-dependent
-Hamiltonian in 'ising' mode is
+Hamiltonian is
 
     H(t) = Hrow(t) (x) I  +  I (x) Hcol(t)  +  diag(U)
+           + sum_k z_k(t) (R_k (x) C_k) + h.c.
 
 with Hrow (d^a, d^a), Hcol (d^b, d^b) hermitian matrices assembled per
 step from a static stack of *real* part matrices and complex coefficient
-streams (phases live in the coefficients), and U the static pairwise
-van-der-Waals diagonal.  Applying H then costs two small real-matrix
-multiplies per complex component — MXU-sized matmuls with the whole state
-resident on-chip — instead of a 2^N x 2^N sparse matvec.
-
-XY (dipole flip-flop) cross-group terms and any other dense leftovers go
-through an optional dense-term path.
+streams (phases live in the coefficients), U the static pairwise
+van-der-Waals diagonal, and the (R_k, C_k) *kron pairs* carrying
+cross-group two-site couplings (the XY dipole flip-flop terms,
+reference hamiltonian.py:346-366 — within-group XY terms fold into the
+row/col part stacks directly).  Applying H then costs a handful of
+small real-matrix multiplies per complex component — MXU-sized matmuls
+with the whole state resident on-chip — instead of a 2^N x 2^N sparse
+matvec; kron pairs apply as R @ Psi @ C^T, never materialising the
+dim x dim matrix.
 """
 
 from __future__ import annotations
@@ -34,9 +37,10 @@ from pulser_diff_tpu.cplx import Cplx
 class FactoredHamiltonian(NamedTuple):
     """Traced pytree holding the factorized Hamiltonian terms.
 
-    row_parts / col_parts are REAL (P, g, g) stacks: the physical operators
-    (sigma lifts, occupancy diagonals) are real; complex phases live in the
-    streams.  Each part enters H as  z_p(t) * P_p + h.c.
+    row_parts / col_parts / kron_row / kron_col are REAL stacks: the
+    physical operators (sigma lifts, occupancy diagonals) are real;
+    complex phases live in the streams.  Each part enters H as
+    z_p(t) * P_p + h.c.; each kron pair as z_k(t) * (R_k (x) C_k) + h.c.
     """
 
     row_parts: jax.Array  # (Pr, da, da) real
@@ -44,9 +48,10 @@ class FactoredHamiltonian(NamedTuple):
     row_streams: Cplx  # (Pr, Ts)
     col_streams: Cplx  # (Pc, Ts)
     int_diag: jax.Array  # (da, db) real static diagonal (vdW)
-    # optional dense extra terms (XY interaction, SLM-masked XY):
-    dense_mats: Optional[Cplx]  # (K, dim, dim) or None
-    dense_streams: Optional[Cplx]  # (K, Ts) or None
+    # cross-group two-site terms (XY flip-flop):
+    kron_row: Optional[jax.Array]  # (K, da, da) real or None
+    kron_col: Optional[jax.Array]  # (K, db, db) real or None
+    kron_streams: Optional[Cplx]  # (K, Ts) or None
     sample_dt: jax.Array  # scalar, us between stream samples
     n_samples: int  # static: Ts
 
@@ -73,7 +78,7 @@ def interp_streams(h: FactoredHamiltonian, t: jax.Array):
     holding H constant over the final interval (an O(dt)*|dH| error, below
     the reference's 1e-2 test tolerance but fatal at this framework's 1e-6
     bar).  Here the full grid is interpolated: idx2 = idx1 + 1 <= Ts-1.
-    Returns (zr, zc, zd) with leading axes = t.shape.
+    Returns (zr, zc, zk) with leading axes = t.shape.
     """
     Ts = h.n_samples
     dt = h.sample_dt
@@ -92,8 +97,8 @@ def interp_streams(h: FactoredHamiltonian, t: jax.Array):
 
     zr = _take(h.row_streams)
     zc = _take(h.col_streams)
-    zd = _take(h.dense_streams) if h.dense_streams is not None else None
-    return zr, zc, zd
+    zk = _take(h.kron_streams) if h.kron_streams is not None else None
+    return zr, zc, zk
 
 
 def assemble_side(parts: jax.Array, z: Cplx, transpose: bool = False) -> Cplx:
@@ -111,50 +116,54 @@ def assemble_side(parts: jax.Array, z: Cplx, transpose: bool = False) -> Cplx:
     return Cplx(h_re, h_im)
 
 
+def _kron_terms_batched(h: FactoredHamiltonian, zk: Cplx, x, y):
+    """Contribution of sum_k z_k (R_k (x) C_k) + h.c. to (H psi) for a
+    batched state (nb, da, db), in real/imag parts.
+
+    With T1_k(u) = R u C^T + R^T u C (self-adjoint) and
+    T2_k(u) = R u C^T - R^T u C (anti-self-adjoint), z = a + ib:
+      re += sum_k a_k T1_k(x) - b_k T2_k(y)
+      im += sum_k a_k T1_k(y) + b_k T2_k(x)
+    """
+    KR, KC = h.kron_row, h.kron_col
+    # R u C^T and R^T u C for both components (k, b, da, db)
+    x1 = jnp.einsum("kij,bjc,kdc->kbid", KR, x, KC)
+    x2 = jnp.einsum("kji,bjc,kcd->kbid", KR, x, KC)
+    y1 = jnp.einsum("kij,bjc,kdc->kbid", KR, y, KC)
+    y2 = jnp.einsum("kji,bjc,kcd->kbid", KR, y, KC)
+    a, b = zk.re, zk.im
+    add_re = jnp.einsum("k,kbid->bid", a, x1 + x2) - jnp.einsum(
+        "k,kbid->bid", b, y1 - y2
+    )
+    add_im = jnp.einsum("k,kbid->bid", a, y1 + y2) + jnp.einsum(
+        "k,kbid->bid", b, x1 - x2
+    )
+    return add_re, add_im
+
+
 def h_apply(
     h: FactoredHamiltonian,
     zr: Cplx,
     zc: Cplx,
-    zd: Optional[Cplx],
+    zk: Optional[Cplx],
     psi: Cplx,
 ) -> Cplx:
-    """H(t) @ psi for a (da, db) state (optionally batched on the left).
+    """H(t) @ psi for a (da, db) state.
 
-    8 small real matmuls + one diagonal FMA; everything VMEM-resident for
+    Small real matmuls + one diagonal FMA; everything VMEM-resident for
     N <= ~16 qubits.
     """
-    hr = assemble_side(h.row_parts, zr)  # (da, da)
-    gc = assemble_side(h.col_parts, zc, transpose=True)  # Hcol^T
-
-    x, y = psi.re, psi.im
-    out_re = hr.re @ x - hr.im @ y + x @ gc.re - y @ gc.im + h.int_diag * x
-    out_im = hr.re @ y + hr.im @ x + x @ gc.im + y @ gc.re + h.int_diag * y
-
-    if h.dense_mats is not None and zd is not None:
-        # dense extra terms: sum_k z_k M_k + h.c. applied to flat psi
-        m_re = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.re) - jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.im
-        )
-        m_im = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.im) + jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.re
-        )
-        # hermitize: Hd = M + M^H
-        hd_re = m_re + m_re.T
-        hd_im = m_im - m_im.T
-        flat = psi.reshape(h.dim)
-        add_re = hd_re @ flat.re - hd_im @ flat.im
-        add_im = hd_re @ flat.im + hd_im @ flat.re
-        out_re = out_re + add_re.reshape(h.da, h.db)
-        out_im = out_im + add_im.reshape(h.da, h.db)
-
-    return Cplx(out_re, out_im)
+    out = h_apply_batched(
+        h, zr, zc, zk, Cplx(psi.re[None], psi.im[None])
+    )
+    return Cplx(out.re[0], out.im[0])
 
 
 def h_apply_batched(
     h: FactoredHamiltonian,
     zr: Cplx,
     zc: Cplx,
-    zd: Optional[Cplx],
+    zk: Optional[Cplx],
     psi: Cplx,
 ) -> Cplx:
     """H(t) @ psi for a batched state (nb, da, db) — the solver hot path.
@@ -180,22 +189,10 @@ def h_apply_batched(
     out_re = rx + cx + h.int_diag * x
     out_im = ry + cy + h.int_diag * y
 
-    if h.dense_mats is not None and zd is not None:
-        m_re = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.re) - jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.im
-        )
-        m_im = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.im) + jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.re
-        )
-        hd_re = m_re + m_re.T
-        hd_im = m_im - m_im.T
-        nb = x.shape[0]
-        fx = x.reshape(nb, h.dim)
-        fy = y.reshape(nb, h.dim)
-        add_re = fx @ hd_re.T - fy @ hd_im.T
-        add_im = fy @ hd_re.T + fx @ hd_im.T
-        out_re = out_re + add_re.reshape(x.shape)
-        out_im = out_im + add_im.reshape(y.shape)
+    if h.kron_row is not None and zk is not None:
+        add_re, add_im = _kron_terms_batched(h, zk, x, y)
+        out_re = out_re + add_re
+        out_im = out_im + add_im
 
     return Cplx(out_re, out_im)
 
@@ -203,7 +200,7 @@ def h_apply_batched(
 def h_matrix(h: FactoredHamiltonian, t: jax.Array) -> Cplx:
     """Materialize the dense (dim, dim) H(t) — for introspection/tests
     (equivalent of reference backend.py:401 get_hamiltonian)."""
-    zr, zc, zd = interp_streams(h, t)
+    zr, zc, zk = interp_streams(h, t)
     hr = assemble_side(h.row_parts, zr)
     hc = assemble_side(h.col_parts, zc)
     da, db, dim = h.da, h.db, h.dim
@@ -212,13 +209,14 @@ def h_matrix(h: FactoredHamiltonian, t: jax.Array) -> Cplx:
     full_re = jnp.kron(hr.re, eye_b) + jnp.kron(eye_a, hc.re)
     full_im = jnp.kron(hr.im, eye_b) + jnp.kron(eye_a, hc.im)
     full_re = full_re + jnp.diag(h.int_diag.reshape(-1))
-    if h.dense_mats is not None and zd is not None:
-        m_re = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.re) - jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.im
+    if h.kron_row is not None and zk is not None:
+        # M = sum_k z_k R_k (x) C_k;  H += M + M^H
+        kr_full = jnp.stack(
+            [jnp.kron(h.kron_row[k], h.kron_col[k])
+             for k in range(h.kron_row.shape[0])]
         )
-        m_im = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.im) + jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.re
-        )
+        m_re = jnp.einsum("k,kij->ij", zk.re, kr_full)
+        m_im = jnp.einsum("k,kij->ij", zk.im, kr_full)
         full_re = full_re + m_re + m_re.T
         full_im = full_im + m_im - m_im.T
     return Cplx(full_re, full_im)
@@ -228,7 +226,7 @@ def h_matrix(h: FactoredHamiltonian, t: jax.Array) -> Cplx:
 # density-matrix application (mesolve path)
 # ----------------------------------------------------------------------
 def h_apply_rho_left(
-    h: FactoredHamiltonian, zr: Cplx, zc: Cplx, zd: Optional[Cplx], rho: Cplx
+    h: FactoredHamiltonian, zr: Cplx, zc: Cplx, zk: Optional[Cplx], rho: Cplx
 ) -> Cplx:
     """H(t) @ rho with rho of shape (dim, dim), applying the factorized H
     on rho's ROW index via batched small matmuls."""
@@ -255,22 +253,17 @@ def h_apply_rho_left(
     d = h.int_diag.reshape(da, db, 1)
     out_re = out_re + d * r4.re
     out_im = out_im + d * r4.im
-    out = Cplx(out_re.reshape(dim, dim), out_im.reshape(dim, dim))
 
-    if h.dense_mats is not None and zd is not None:
-        m_re = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.re) - jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.im
-        )
-        m_im = jnp.einsum("k,kij->ij", zd.re, h.dense_mats.im) + jnp.einsum(
-            "k,kij->ij", zd.im, h.dense_mats.re
-        )
-        hd_re = m_re + m_re.T
-        hd_im = m_im - m_im.T
-        out = Cplx(
-            out.re + hd_re @ rho.re - hd_im @ rho.im,
-            out.im + hd_re @ rho.im + hd_im @ rho.re,
-        )
-    return out
+    if h.kron_row is not None and zk is not None:
+        # kron pairs on the row index: (sum_k z_k R(x)C + h.c.) rho —
+        # treat rho's columns as the state batch: (da, db, M) -> (M, da, db)
+        xb = jnp.transpose(r4.re, (2, 0, 1))
+        yb = jnp.transpose(r4.im, (2, 0, 1))
+        add_re, add_im = _kron_terms_batched(h, zk, xb, yb)
+        out_re = out_re + jnp.transpose(add_re, (1, 2, 0))
+        out_im = out_im + jnp.transpose(add_im, (1, 2, 0))
+
+    return Cplx(out_re.reshape(dim, dim), out_im.reshape(dim, dim))
 
 
 def apply_local_left(op: Cplx, site: int, n: int, d: int, x: Cplx) -> Cplx:

@@ -13,7 +13,9 @@ Structure (round 3):
     backend.py:487-494).  ``method="DP5"`` is the accuracy path: on the
     driver workload RK4's truncation error (3.6e-5) dominated the f32
     rounding error (4e-7) a hundredfold, so DP5 stages alone bring the
-    fused kernel to the f64 solver's accuracy class at kernel speed.
+    fused kernel to the f64 solver's accuracy class at kernel speed
+    (measured on hardware: |dv| 2.8e-7, |dgrad| 4.8e-6, 88 ms vs the
+    f64 path's 554 ms on the 12-atom bench).
   - Compensated arithmetic keeps the f32 kernel's *systematic* rounding
     at the 1e-8 level: the interaction diagonal and the per-step b_i*h
     update weights are carried as two-word (hi, lo) f32 pairs split from
@@ -21,6 +23,13 @@ Structure (round 3):
     the state accumulates with Kahan summation.  Stochastic per-matmul
     rounding (~5e-7/dot at Precision.HIGHEST) random-walks well below
     the 1e-6 driver bar.
+  - XY (dipole flip-flop) interactions enter as KRON-PAIR terms
+    z_k(t) (R_k (x) C_k) + h.c. applied as R @ Psi @ C^T inside the
+    kernel (ops/apply.py holds the matching XLA form) — no dim x dim
+    matrix is ever materialised, so XY sequences run fused at any size
+    the ising path handles.  The kron part matrices are structural
+    constants to the kernel (stream cotangents flow; distance gradients
+    need the XLA path, backend._fused_eligible).
   - Every kernel carries a leading **runs axis R** mapped onto the Pallas
     grid: coefficient streams are (R, n_steps, S, P), states
     (R, nb, da, db).  This is the in-kernel Monte-Carlo batching that
@@ -46,10 +55,6 @@ Structure (round 3):
 
 Chaining to waveform parameters happens outside (the coefficient
 interpolation is ordinary differentiable JAX).
-
-Scope: float32 compute, 'ising' Hamiltonians (no dense XY terms), fixed
-steps.  The f64 XLA solver (solvers/solver.py) remains the reference
-path (validated in tests/test_pallas.py).
 
 See /opt/skills/guides/pallas_guide.md for the kernel-language rules
 followed here (VMEM residency, static shapes, i32 fori_loop bounds, no
@@ -96,9 +101,12 @@ _TABLEAUS = {
     "DP5": (_DP5_C, _DP5_A, _DP5_B),
 }
 
-# unrolled-batch threshold: above this the per-state matmuls run in a
-# fori_loop with dynamic slices instead of a Python-unrolled loop
-_NB_UNROLL = 8
+# state-batch cap for the fused kernels: the adjoint's per-state outer
+# products are Python-unrolled (Mosaic cannot lower dynamic_slice on
+# loop-carried values, and batch-contracted dot_generals fail
+# verification — probed on hardware); beyond this the XLA path is the
+# right tool anyway (full gate-matrix batches don't fit VMEM)
+_NB_MAX = 32
 
 # MXU f32 matmuls default to single-pass bf16 (~1e-3 relative error per
 # product); HIGHEST runs the multi-pass decomposition for true-f32
@@ -116,14 +124,14 @@ def _dot(a, b):
 def _precompute_stage_z(ham: FactoredHamiltonian, grid_times: jax.Array,
                         c_nodes: np.ndarray = _RK4_C):
     """Interpolate all coefficient streams at every (step, stage) time,
-    vectorised OUTSIDE the kernel.  Returns (zr, zc, hs) with z shapes
-    (n_steps, S, P)."""
+    vectorised OUTSIDE the kernel.  Returns (zr, zc, zk, hs) with z
+    shapes (n_steps, S, P)."""
     t0s = grid_times[:-1]
     t1s = grid_times[1:]
     hs = t1s - t0s
     ts = t0s[:, None] + hs[:, None] * jnp.asarray(c_nodes)[None, :]
-    zr, zc, _ = interp_streams(ham, ts)
-    return zr, zc, hs
+    zr, zc, zk = interp_streams(ham, ts)
+    return zr, zc, zk, hs
 
 
 def _split_hi_lo(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -157,83 +165,202 @@ def _assemble_hl(parts, partsT, zh_re, zh_im, zl_re, zl_im, p_count):
     return h_re + l_re, h_im + l_im
 
 
-def _batched_apply(fn, xs, ys, nb):
-    """Apply ``fn(xb, yb) -> (ox, oy)`` over the leading state-batch
-    axis: Python-unrolled for small nb, fori_loop of dynamic slices for
-    large nb (gate-matrix workloads)."""
-    if nb <= _NB_UNROLL:
+def _bdot_left(m, u):
+    """(g, g) @ (nb, g, k) batched matmul (probed: lowers on Mosaic)."""
+    return jnp.einsum(
+        "ij,bjk->bik", m, u,
+        preferred_element_type=jnp.float32, precision=_PRECISION,
+    )
+
+
+def _bdot_right(u, m):
+    """(nb, j, g) @ (g, g) batched matmul."""
+    return jnp.einsum(
+        "bij,jk->bik", u, m,
+        preferred_element_type=jnp.float32, precision=_PRECISION,
+    )
+
+
+class _Side:
+    """One stage's assembled Hamiltonian pieces (values, not refs).
+
+    hr_re symmetric / hr_im antisymmetric row matrices, gc_* the
+    transposed column matrices, diag two words, and the kron-pair data
+    (part stacks + per-stage scalars za/zb) when present.
+
+    The complex application uses the BLOCK-REAL form: the (2da, 2da)
+    matrix [[hr_re, -hr_im], [hr_im, hr_re]] acts on the stacked state
+    [x; y] in ONE batched MXU matmul (full 128-lane tiles at da=64)
+    instead of four small ones; same on the column side.
+    """
+
+    def __init__(self, hr_re, hr_im, gc_re, gc_im, diag, diag_lo, kron):
+        self.hr_re, self.hr_im = hr_re, hr_im
+        self.gc_re, self.gc_im = gc_re, gc_im
+        self.diag, self.diag_lo = diag, diag_lo
+        self.kron = kron  # None | (kr, krt, kc, kct, za[list], zb[list])
+        self._blocks = {}
+
+    def _block(self, name):
+        if name in self._blocks:
+            return self._blocks[name]
+        if name == "row":  # forward: (hre x - him y, him x + hre y)
+            m = jnp.concatenate(
+                [
+                    jnp.concatenate([self.hr_re, -self.hr_im], axis=1),
+                    jnp.concatenate([self.hr_im, self.hr_re], axis=1),
+                ],
+                axis=0,
+            )
+        elif name == "col":  # right side for [x | y] columns
+            m = jnp.concatenate(
+                [
+                    jnp.concatenate([self.gc_re, self.gc_im], axis=1),
+                    jnp.concatenate([-self.gc_im, self.gc_re], axis=1),
+                ],
+                axis=0,
+            )
+        elif name == "rowT":  # transpose map row piece
+            m = jnp.concatenate(
+                [
+                    jnp.concatenate([-self.hr_im, -self.hr_re], axis=1),
+                    jnp.concatenate([self.hr_re, -self.hr_im], axis=1),
+                ],
+                axis=0,
+            )
+        else:  # "colT"
+            m = jnp.concatenate(
+                [
+                    jnp.concatenate([-self.gc_im, self.gc_re], axis=1),
+                    jnp.concatenate([-self.gc_re, -self.gc_im], axis=1),
+                ],
+                axis=0,
+            )
+        self._blocks[name] = m
+        return m
+
+    def _kron_products(self, u):
+        """Per-pair two-sided products (R u C^T, R^T u C) for a batched
+        (nb, da, db) operand."""
+        kr, krt, kc, kct, _, _ = self.kron
+        out = []
+        for k in range(kr.shape[0]):
+            p1 = _bdot_right(_bdot_left(kr[k], u), kct[k])
+            p2 = _bdot_right(_bdot_left(krt[k], u), kc[k])
+            out.append((p1, p2))
+        return out
+
+    @property
+    def _use_blocks(self) -> bool:
+        # tiny side matrices break Mosaic's concat on sliced values
+        # ("offset mismatch on non-concat dimension", observed at
+        # da=db=2 on hardware) and gain nothing from 128-wide tiles —
+        # fall back to direct per-state matmuls there
+        return self.hr_re.shape[0] >= 8 and self.gc_re.shape[0] >= 8
+
+    def _apply_direct(self, x, y, nb):
+        """Per-state direct matmul form (small-dim fallback)."""
+        hxs, hys = [], []
+        for b in range(nb):
+            xb, yb = x[b], y[b]
+            h_re = (
+                _dot(self.hr_re, xb) - _dot(self.hr_im, yb)
+                + _dot(xb, self.gc_re) - _dot(yb, self.gc_im)
+                + self.diag * xb + self.diag_lo * xb
+            )
+            h_im = (
+                _dot(self.hr_re, yb) + _dot(self.hr_im, xb)
+                + _dot(xb, self.gc_im) + _dot(yb, self.gc_re)
+                + self.diag * yb + self.diag_lo * yb
+            )
+            hxs.append(h_re)
+            hys.append(h_im)
+        return jnp.stack(hxs), jnp.stack(hys)
+
+    def _transpose_direct(self, vx, vy, nb):
         oxs, oys = [], []
         for b in range(nb):
-            ox, oy = fn(xs[b], ys[b])
-            oxs.append(ox)
-            oys.append(oy)
+            xb, yb = vx[b], vy[b]
+
+            def sym(u):
+                return (
+                    _dot(self.hr_re, u) + _dot(u, self.gc_re)
+                    + self.diag * u + self.diag_lo * u
+                )
+
+            def asym(u):
+                return _dot(self.hr_im, u) + _dot(u, self.gc_im)
+
+            oxs.append(-asym(xb) - sym(yb))
+            oys.append(sym(xb) - asym(yb))
         return jnp.stack(oxs), jnp.stack(oys)
 
-    def body(b, carry):
-        ox_acc, oy_acc = carry
-        xb = jax.lax.dynamic_index_in_dim(xs, b, 0, keepdims=False)
-        yb = jax.lax.dynamic_index_in_dim(ys, b, 0, keepdims=False)
-        ox, oy = fn(xb, yb)
-        ox_acc = jax.lax.dynamic_update_index_in_dim(ox_acc, ox, b, 0)
-        oy_acc = jax.lax.dynamic_update_index_in_dim(oy_acc, oy, b, 0)
-        return ox_acc, oy_acc
-
-    init = (jnp.zeros_like(xs), jnp.zeros_like(ys))
-    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, init)
-
-
-def _apply_minus_iH(hr_re, hr_im, gc_re, gc_im, diag, diag_lo, xs, ys, nb):
-    """k = -i H psi for psi=(xs,ys) of shape (nb, da, db).
-
-    H psi = Hrow@psi + psi@Gc + (diag + diag_lo)*psi with Gc = Hcol^T."""
-
-    def one(xb, yb):
-        h_re = (
-            _dot(hr_re, xb)
-            - _dot(hr_im, yb)
-            + _dot(xb, gc_re)
-            - _dot(yb, gc_im)
-            + diag * xb
-            + diag_lo * xb
-        )
-        h_im = (
-            _dot(hr_re, yb)
-            + _dot(hr_im, xb)
-            + _dot(xb, gc_im)
-            + _dot(yb, gc_re)
-            + diag * yb
-            + diag_lo * yb
-        )
+    def apply_minus_iH(self, x, y, nb):
+        """k = -i H psi for psi=(x, y) of shape (nb, da, db)."""
+        da = self.hr_re.shape[0]
+        db = self.gc_re.shape[0]
+        if self._use_blocks:
+            XY = jnp.concatenate([x, y], axis=1)  # (nb, 2da, db)
+            R = _bdot_left(self._block("row"), XY)
+            XYc = jnp.concatenate([x, y], axis=2)  # (nb, da, 2db)
+            C = _bdot_right(XYc, self._block("col"))
+            h_re = (
+                R[:, :da] + C[:, :, :db]
+                + self.diag * x + self.diag_lo * x
+            )
+            h_im = (
+                R[:, da:] + C[:, :, db:]
+                + self.diag * y + self.diag_lo * y
+            )
+        else:
+            h_re, h_im = self._apply_direct(x, y, nb)
+        if self.kron is not None:
+            # sum_k z_k (R (x) C) + h.c. with T1 = RuC^T + R^TuC
+            # (self-adjoint), T2 = RuC^T - R^TuC (anti-self-adjoint):
+            #   re += za T1(x) - zb T2(y); im += za T1(y) + zb T2(x)
+            za, zb = self.kron[4], self.kron[5]
+            px = self._kron_products(x)
+            py = self._kron_products(y)
+            for k, ((x1, x2), (y1, y2)) in enumerate(zip(px, py)):
+                h_re += za[k] * (x1 + x2) - zb[k] * (y1 - y2)
+                h_im += za[k] * (y1 + y2) + zb[k] * (x1 - x2)
         return h_im, -h_re
 
-    return _batched_apply(one, xs, ys, nb)
-
-
-def _apply_iH_transpose(hr_re, hr_im, gc_re, gc_im, diag, diag_lo, vx, vy,
-                        nb):
-    """F^T v for the real linear map F = (-iH): the exact transpose used
-    by the costate recursion.
-      F^T(v)_x = -Him vx - (Hre + D) vy
-      F^T(v)_y =  (Hre + D) vx - Him vy
-    Row matrices act from the left (transposed), column matrices from the
-    right (transposed): Hre row-sym / Him row-antisym structure is already
-    encoded by passing hr_re (sym) and hr_im (antisym)."""
-
-    def one(xb, yb):
-        def hre_apply(u):
-            return (
-                _dot(hr_re, u) + _dot(u, gc_re) + diag * u + diag_lo * u
+    def apply_iH_transpose(self, vx, vy, nb):
+        """F^T v for the real linear map F = (-iH): the exact transpose
+        used by the costate recursion.
+          F^T(v)_x = -A(vx) - S(vy);  F^T(v)_y = S(vx) - A(vy)
+        with S the self-adjoint piece (Hre + D + kron T1 terms) and A
+        the anti-self-adjoint piece (Him + kron T2 terms)."""
+        da = self.hr_re.shape[0]
+        db = self.gc_re.shape[0]
+        if self._use_blocks:
+            XY = jnp.concatenate([vx, vy], axis=1)
+            R = _bdot_left(self._block("rowT"), XY)
+            XYc = jnp.concatenate([vx, vy], axis=2)
+            C = _bdot_right(XYc, self._block("colT"))
+            ox = (
+                R[:, :da] + C[:, :, :db]
+                - self.diag * vy - self.diag_lo * vy
             )
-
-        def him_apply(u):
-            return _dot(hr_im, u) + _dot(u, gc_im)
-
-        return (
-            -him_apply(xb) - hre_apply(yb),
-            hre_apply(xb) - him_apply(yb),
-        )
-
-    return _batched_apply(one, vx, vy, nb)
+            oy = (
+                R[:, da:] + C[:, :, db:]
+                + self.diag * vx + self.diag_lo * vx
+            )
+        else:
+            ox, oy = self._transpose_direct(vx, vy, nb)
+        if self.kron is not None:
+            za, zb = self.kron[4], self.kron[5]
+            px = self._kron_products(vx)
+            py = self._kron_products(vy)
+            for k in range(len(px)):
+                t1x = px[k][0] + px[k][1]
+                t2x = px[k][0] - px[k][1]
+                t1y = py[k][0] + py[k][1]
+                t2y = py[k][0] - py[k][1]
+                ox += -zb[k] * t2x - za[k] * t1y
+                oy += za[k] * t1x - zb[k] * t2y
+        return ox, oy
 
 
 def _kahan_add(x, c, dx):
@@ -281,120 +408,145 @@ def _erk_increment(stage, x, y, h, bh, bl, A, B_np, S):
 
 
 # ----------------------------------------------------------------------
+# ref schemas: the kernels take a *flat* ref list whose composition
+# depends on (K > 0, states-mode, fwd/bwd); _Refs unpacks it
+# ----------------------------------------------------------------------
+class _Refs:
+    def __init__(self, refs, *, K, bwd, states):
+        it = iter(refs)
+        if bwd:
+            self.in_re = next(it)
+            self.in_im = next(it)
+            self.lam_re = next(it)
+            self.lam_im = next(it)
+        else:
+            self.psi_re = next(it)
+            self.psi_im = next(it)
+        self.rp, self.rpt = next(it), next(it)
+        self.cp, self.cpt = next(it), next(it)
+        self.zf = [next(it) for _ in range(8)]  # fwd-node hi/lo streams
+        if bwd:
+            self.zb = [next(it) for _ in range(4)]  # mirror-node streams
+        if K:
+            self.kr, self.krt = next(it), next(it)
+            self.kc, self.kct = next(it), next(it)
+            self.zkf = [next(it) for _ in range(4)]
+            if bwd:
+                self.zkb = [next(it) for _ in range(2)]
+        self.hb_hi, self.hb_lo, self.hs = next(it), next(it), next(it)
+        self.diag, self.diag_lo = next(it), next(it)
+        if states:
+            self.slots = next(it)
+        # outputs
+        if bwd:
+            self.lam0_re, self.lam0_im = next(it), next(it)
+            self.zbar, self.dbar = next(it), next(it)
+        else:
+            self.out_re, self.out_im = next(it), next(it)
+        rest = list(it)
+        assert not rest, f"unconsumed refs: {len(rest)}"
+
+    def side(self, k, s, *, K, pr, pc, mirror=False):
+        """Assemble one stage's _Side from the streams at (step k,
+        stage s); ``mirror=True`` uses the reverse-time reconstruction
+        node streams (hi-word only)."""
+        if mirror:
+            hr_re, hr_im = _assemble(
+                self.rp, self.rpt, self.zb[0][k, s], self.zb[1][k, s], pr
+            )
+            gc_re, gim = _assemble(
+                self.cp, self.cpt, self.zb[2][k, s], self.zb[3][k, s], pc
+            )
+        else:
+            hr_re, hr_im = _assemble_hl(
+                self.rp, self.rpt,
+                self.zf[0][k, s], self.zf[1][k, s],
+                self.zf[2][k, s], self.zf[3][k, s], pr,
+            )
+            gc_re, gim = _assemble_hl(
+                self.cp, self.cpt,
+                self.zf[4][k, s], self.zf[5][k, s],
+                self.zf[6][k, s], self.zf[7][k, s], pc,
+            )
+        kron = None
+        if K:
+            if mirror:
+                za = [self.zkb[0][k, s, j] for j in range(K)]
+                zb_ = [self.zkb[1][k, s, j] for j in range(K)]
+            else:
+                za = [
+                    self.zkf[0][k, s, j] + self.zkf[2][k, s, j]
+                    for j in range(K)
+                ]
+                zb_ = [
+                    self.zkf[1][k, s, j] + self.zkf[3][k, s, j]
+                    for j in range(K)
+                ]
+            kron = (self.kr, self.krt, self.kc, self.kct, za, zb_)
+        return _Side(
+            hr_re, hr_im, gc_re, -gim,
+            self.diag[...], self.diag_lo[...], kron,
+        )
+
+
+def _load_consts(r: _Refs):
+    """Materialise the shared VMEM operands once per program."""
+    r.rp, r.rpt = r.rp[...], r.rpt[...]
+    r.cp, r.cpt = r.cp[...], r.cpt[...]
+    if hasattr(r, "kr"):
+        r.kr, r.krt = r.kr[...], r.krt[...]
+        r.kc, r.kct = r.kc[...], r.kct[...]
+
+
+# ----------------------------------------------------------------------
 # forward kernels (leading grid axis = run)
 # ----------------------------------------------------------------------
-def _fwd_kernel(
-    psi_re_ref, psi_im_ref,
-    rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
-    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
-    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref,
-    out_re_ref, out_im_ref,
-    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
-):
-    diag = diag_ref[...]
-    diag_lo = diag_lo_ref[...]
-    rp, rpt = rp_ref[...], rpt_ref[...]
-    cp, cpt = cp_ref[...], cpt_ref[...]
+def _fwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
+                n_eval=0):
+    from jax.experimental import pallas as pl
+
+    r = _Refs(refs, K=K, bwd=False, states=states)
+    _load_consts(r)
+
+    def write(gridpoint, x, y):
+        slot = r.slots[gridpoint]
+
+        @pl.when(slot < n_eval)
+        def _():
+            r.out_re[slot] = x
+            r.out_im[slot] = y
 
     def body(k, carry):
         x, y, cx, cy = carry
-        h = hs_ref[k, 0]
-        bh = [hb_hi_ref[k, s] for s in range(S)]
-        bl = [hb_lo_ref[k, s] for s in range(S)]
+        h = r.hs[k, 0]
+        bh = [r.hb_hi[k, s] for s in range(S)]
+        bl = [r.hb_lo[k, s] for s in range(S)]
 
         def stage(s, xs, ys):
-            hr_re, hr_im = _assemble_hl(
-                rp, rpt, zrh_re_ref[k, s], zrh_im_ref[k, s],
-                zrl_re_ref[k, s], zrl_im_ref[k, s], pr,
-            )
-            gc_re, gim = _assemble_hl(
-                cp, cpt, zch_re_ref[k, s], zch_im_ref[k, s],
-                zcl_re_ref[k, s], zcl_im_ref[k, s], pc,
-            )
-            return _apply_minus_iH(
-                hr_re, hr_im, gc_re, -gim, diag, diag_lo, xs, ys, nb
+            return r.side(k, s, K=K, pr=pr, pc=pc).apply_minus_iH(
+                xs, ys, nb
             )
 
         dx, dy = _erk_increment(stage, x, y, h, bh, bl, A, B_np, S)
         x, cx = _kahan_add(x, cx, dx)
         y, cy = _kahan_add(y, cy, dy)
+        if states:
+            write(k + 1, x, y)
         return (x, y, cx, cy)
 
     # i32 loop bounds: under jax_enable_x64 fori_loop counters default to
     # i64, which Mosaic cannot convert for (SMEM) store indices
-    x0 = psi_re_ref[...]
-    y0 = psi_im_ref[...]
+    x0 = r.psi_re[...]
+    y0 = r.psi_im[...]
+    if states:
+        write(jnp.int32(0), x0, y0)
     x, y, _, _ = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n_steps), body,
         (x0, y0, jnp.zeros_like(x0), jnp.zeros_like(y0)),
     )
-    out_re_ref[...] = x
-    out_im_ref[...] = y
-
-
-def _fwd_states_kernel(
-    psi_re_ref, psi_im_ref,
-    rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
-    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
-    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref, slots_ref,
-    out_re_ref, out_im_ref,
-    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
-):
-    """Forward ERK evolution emitting states at evaluation slots.
-
-    slots_ref: (n_steps + 1,) i32 in SMEM — eval-slot index per grid
-    point (n_eval = dropped).  out: (1, n_eval, nb, da, db) per program.
-    """
-    from jax.experimental import pallas as pl
-
-    diag = diag_ref[...]
-    diag_lo = diag_lo_ref[...]
-    rp, rpt = rp_ref[...], rpt_ref[...]
-    cp, cpt = cp_ref[...], cpt_ref[...]
-    n_eval = out_re_ref.shape[0]
-
-    def write(gridpoint, x, y):
-        slot = slots_ref[gridpoint]
-
-        @pl.when(slot < n_eval)
-        def _():
-            out_re_ref[slot] = x
-            out_im_ref[slot] = y
-
-    def body(k, carry):
-        x, y, cx, cy = carry
-        h = hs_ref[k, 0]
-        bh = [hb_hi_ref[k, s] for s in range(S)]
-        bl = [hb_lo_ref[k, s] for s in range(S)]
-
-        def stage(s, xs, ys):
-            hr_re, hr_im = _assemble_hl(
-                rp, rpt, zrh_re_ref[k, s], zrh_im_ref[k, s],
-                zrl_re_ref[k, s], zrl_im_ref[k, s], pr,
-            )
-            gc_re, gim = _assemble_hl(
-                cp, cpt, zch_re_ref[k, s], zch_im_ref[k, s],
-                zcl_re_ref[k, s], zcl_im_ref[k, s], pc,
-            )
-            return _apply_minus_iH(
-                hr_re, hr_im, gc_re, -gim, diag, diag_lo, xs, ys, nb
-            )
-
-        dx, dy = _erk_increment(stage, x, y, h, bh, bl, A, B_np, S)
-        x, cx = _kahan_add(x, cx, dx)
-        y, cy = _kahan_add(y, cy, dy)
-        write(k + 1, x, y)
-        return (x, y, cx, cy)
-
-    x0 = psi_re_ref[...]
-    y0 = psi_im_ref[...]
-    write(jnp.int32(0), x0, y0)
-    jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(n_steps), body,
-        (x0, y0, jnp.zeros_like(x0), jnp.zeros_like(y0)),
-    )
+    if not states:
+        r.out_re[...] = x
+        r.out_im[...] = y
 
 
 # ----------------------------------------------------------------------
@@ -407,114 +559,64 @@ def _outer_accumulate(kbx, kby, ux, uy, nb, like_row, like_col):
       col side:  Wc = sum_b uy_b^T kbx_b - ux_b^T kby_b  (db, db)
                  Vc = sum_b ux_b^T kbx_b + uy_b^T kby_b
     """
-    if nb <= _NB_UNROLL:
-        W = jnp.zeros_like(like_row)
-        V = jnp.zeros_like(like_row)
-        Wc = jnp.zeros_like(like_col)
-        Vc = jnp.zeros_like(like_col)
-        for b in range(nb):
-            W += _dot(kbx[b], uy[b].T) - _dot(kby[b], ux[b].T)
-            V += _dot(kbx[b], ux[b].T) + _dot(kby[b], uy[b].T)
-            Wc += _dot(uy[b].T, kbx[b]) - _dot(ux[b].T, kby[b])
-            Vc += _dot(ux[b].T, kbx[b]) + _dot(uy[b].T, kby[b])
-        return W, V, Wc, Vc
-
-    def body(b, carry):
-        W, V, Wc, Vc = carry
-        kx = jax.lax.dynamic_index_in_dim(kbx, b, 0, keepdims=False)
-        ky = jax.lax.dynamic_index_in_dim(kby, b, 0, keepdims=False)
-        x = jax.lax.dynamic_index_in_dim(ux, b, 0, keepdims=False)
-        y = jax.lax.dynamic_index_in_dim(uy, b, 0, keepdims=False)
-        W = W + _dot(kx, y.T) - _dot(ky, x.T)
-        V = V + _dot(kx, x.T) + _dot(ky, y.T)
-        Wc = Wc + _dot(y.T, kx) - _dot(x.T, ky)
-        Vc = Vc + _dot(x.T, kx) + _dot(y.T, ky)
-        return W, V, Wc, Vc
-
-    init = (
-        jnp.zeros_like(like_row), jnp.zeros_like(like_row),
-        jnp.zeros_like(like_col), jnp.zeros_like(like_col),
-    )
-    return jax.lax.fori_loop(jnp.int32(0), jnp.int32(nb), body, init)
+    # Python-unrolled over the (capped) state batch: Mosaic can lower
+    # neither dynamic slices of loop-carried values nor batch-contracted
+    # dot_generals (probed on hardware)
+    W = jnp.zeros_like(like_row)
+    V = jnp.zeros_like(like_row)
+    Wc = jnp.zeros_like(like_col)
+    Vc = jnp.zeros_like(like_col)
+    for b in range(nb):
+        W += _dot(kbx[b], uy[b].T) - _dot(kby[b], ux[b].T)
+        V += _dot(kbx[b], ux[b].T) + _dot(kby[b], uy[b].T)
+        Wc += _dot(uy[b].T, kbx[b]) - _dot(ux[b].T, kby[b])
+        Vc += _dot(ux[b].T, kbx[b]) + _dot(uy[b].T, kby[b])
+    return W, V, Wc, Vc
 
 
-def _diag_cotangent(kbx, kby, ux, uy, nb, like):
+def _diag_cotangent(kbx, kby, ux, uy):
     """dbar contribution: sum_b kbx_b * uy_b - kby_b * ux_b (elementwise
-    on the (da, db) grid)."""
-    if nb <= _NB_UNROLL:
-        d = jnp.zeros_like(like)
-        for b in range(nb):
-            d += kbx[b] * uy[b] - kby[b] * ux[b]
-        return d
-
-    def body(b, d):
-        kx = jax.lax.dynamic_index_in_dim(kbx, b, 0, keepdims=False)
-        ky = jax.lax.dynamic_index_in_dim(kby, b, 0, keepdims=False)
-        x = jax.lax.dynamic_index_in_dim(ux, b, 0, keepdims=False)
-        y = jax.lax.dynamic_index_in_dim(uy, b, 0, keepdims=False)
-        return d + kx * y - ky * x
-
-    return jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(nb), body, jnp.zeros_like(like)
-    )
+    on the (da, db) grid, reduced over the batch)."""
+    return jnp.sum(kbx * uy - kby * ux, axis=0)
 
 
-def _bwd_interval(
-    k, x1, y1, lx, ly, dbar,
-    rp, rpt, cp, cpt, diag, diag_lo,
-    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
-    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
-    zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
-    hb_hi_ref, hb_lo_ref, hs_ref,
-    pr, pc, nb, A, B_np, S, zbar_ref,
-):
+def _kron_cotangents(side: _Side, kbx, kby, ux, uy):
+    """Stream cotangents of the kron pairs at one stage (full batched
+    reductions):
+      za_bar_k = sum_b <T1_k(kbx), uy> - <T1_k(kby), ux>
+      zb_bar_k = sum_b <T2_k(kbx), ux> + <T2_k(kby), uy>
+    """
+    px = side._kron_products(kbx)
+    py = side._kron_products(kby)
+    za_bar, zb_bar = [], []
+    for (x1, x2), (y1, y2) in zip(px, py):
+        za_bar.append(
+            jnp.sum((x1 + x2) * uy) - jnp.sum((y1 + y2) * ux)
+        )
+        zb_bar.append(
+            jnp.sum((x1 - x2) * ux) + jnp.sum((y1 - y2) * uy)
+        )
+    return za_bar, zb_bar
+
+
+def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar,
+                  *, pr, pc, nb, A, B_np, S, K):
     """Reverse one ERK interval: reconstruct the start state from the
     mirror-node streams, run the exact transpose of the stage recursion
     on the costate, and write the packed per-step coefficient cotangents.
     Returns (x0, y0, lx', ly', dbar')."""
-    h = hs_ref[k, 0]
-    bh = [hb_hi_ref[k, s] for s in range(S)]
-    bl = [hb_lo_ref[k, s] for s in range(S)]
+    h = r.hs[k, 0]
+    bh = [r.hb_hi[k, s] for s in range(S)]
+    bl = [r.hb_lo[k, s] for s in range(S)]
     bhl = [bh[s] + bl[s] for s in range(S)]
 
-    sides_f = []
-    for s in range(S):
-        hr_re, hr_im = _assemble_hl(
-            rp, rpt, zrh_re_ref[k, s], zrh_im_ref[k, s],
-            zrl_re_ref[k, s], zrl_im_ref[k, s], pr,
-        )
-        gc_re, gim = _assemble_hl(
-            cp, cpt, zch_re_ref[k, s], zch_im_ref[k, s],
-            zcl_re_ref[k, s], zcl_im_ref[k, s], pc,
-        )
-        sides_f.append((hr_re, hr_im, gc_re, -gim))
-
-    def f(s, xs, ys):
-        hr_re, hr_im, gc_re, gc_im = sides_f[s]
-        return _apply_minus_iH(
-            hr_re, hr_im, gc_re, gc_im, diag, diag_lo, xs, ys, nb
-        )
-
-    def fT(s, vx, vy):
-        hr_re, hr_im, gc_re, gc_im = sides_f[s]
-        return _apply_iH_transpose(
-            hr_re, hr_im, gc_re, gc_im, diag, diag_lo, vx, vy, nb
-        )
-
-    def fb(s, xs, ys):
-        hr_re, hr_im = _assemble(
-            rp, rpt, zbr_re_ref[k, s], zbr_im_ref[k, s], pr
-        )
-        gc_re, gim = _assemble(
-            cp, cpt, zbc_re_ref[k, s], zbc_im_ref[k, s], pc
-        )
-        return _apply_minus_iH(
-            hr_re, hr_im, gc_re, -gim, diag, diag_lo, xs, ys, nb
-        )
+    sides = [r.side(k, s, K=K, pr=pr, pc=pc) for s in range(S)]
+    sides_b = [r.side(k, s, K=K, pr=pr, pc=pc, mirror=True)
+               for s in range(S)]
 
     # --- reconstruct y_k by reverse-time ERK from y_{k+1}: same tableau
     # with step -h, stages at the mirror nodes t1 - c_s h (dedicated
-    # zb streams); O(h^{p+1}) local reconstruction error ---------------
+    # mirror streams); O(h^{p+1}) local reconstruction error -----------
     rkx, rky = [], []
     for s in range(S):
         xs_, ys_ = x1, y1
@@ -524,7 +626,7 @@ def _bwd_interval(
                 c = a * h
                 xs_ = xs_ - c * rkx[j]
                 ys_ = ys_ - c * rky[j]
-        kx, ky = fb(s, xs_, ys_)
+        kx, ky = sides_b[s].apply_minus_iH(xs_, ys_, nb)
         rkx.append(kx)
         rky.append(ky)
     x0, y0 = x1, y1
@@ -546,7 +648,7 @@ def _bwd_interval(
                 xs_ = xs_ + c * fkx[j]
                 ys_ = ys_ + c * fky[j]
         us.append((xs_, ys_))
-        kx, ky = f(s, xs_, ys_)
+        kx, ky = sides[s].apply_minus_iH(xs_, ys_, nb)
         fkx.append(kx)
         fky.append(ky)
 
@@ -562,14 +664,14 @@ def _bwd_interval(
         else:
             gx = jnp.zeros_like(lx)
             gy = jnp.zeros_like(ly)
-        for r in range(s + 1, S):
-            a = A[r][s]
+        for rr in range(s + 1, S):
+            a = A[rr][s]
             if a != 0.0:
                 c = a * h
-                gx = gx + c * w[r][0]
-                gy = gy + c * w[r][1]
+                gx = gx + c * w[rr][0]
+                gy = gy + c * w[rr][1]
         kb[s] = (gx, gy)
-        w[s] = fT(s, gx, gy)
+        w[s] = sides[s].apply_iH_transpose(gx, gy, nb)
     lx_new, ly_new = lx, ly
     for s in range(S):
         lx_new = lx_new + w[s][0]
@@ -584,145 +686,81 @@ def _bwd_interval(
         kbx, kby = kb[s]
         ux, uy = us[s]
         W, V, Wc, Vc = _outer_accumulate(
-            kbx, kby, ux, uy, nb, rp[0], cp[0]
+            kbx, kby, ux, uy, nb, r.rp[0], r.cp[0]
         )
         for p in range(pr):
-            g_sym = rp[p] + rpt[p]
-            g_asym = rp[p] - rpt[p]
+            g_sym = r.rp[p] + r.rpt[p]
+            g_asym = r.rp[p] - r.rpt[p]
             rows.append(jnp.broadcast_to(jnp.sum(g_sym * W), (1, 128)))
             rows.append(jnp.broadcast_to(jnp.sum(g_asym * V), (1, 128)))
         for p in range(pc):
-            g_sym_t = cpt[p] + cp[p]  # (P + P^T)^T layout for Gc
-            g_asym_t = cpt[p] - cp[p]
+            g_sym_t = r.cpt[p] + r.cp[p]  # (P + P^T)^T layout for Gc
+            g_asym_t = r.cpt[p] - r.cp[p]
             rows.append(jnp.broadcast_to(jnp.sum(g_sym_t * Wc), (1, 128)))
             rows.append(jnp.broadcast_to(jnp.sum(g_asym_t * Vc), (1, 128)))
-        dbar = dbar + _diag_cotangent(kbx, kby, ux, uy, nb, diag)
+        if K:
+            za_bar, zb_bar = _kron_cotangents(sides[s], kbx, kby, ux, uy)
+            for k_ in range(K):
+                rows.append(jnp.broadcast_to(za_bar[k_], (1, 128)))
+                rows.append(jnp.broadcast_to(zb_bar[k_], (1, 128)))
+        dbar = dbar + _diag_cotangent(kbx, kby, ux, uy)
 
     r_used = len(rows)
-    r_pad = zbar_ref.shape[1]
+    r_pad = r.zbar.shape[1]
     if r_used < r_pad:
         rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
-    zbar_ref[k] = jnp.concatenate(rows, axis=0)
+    r.zbar[k] = jnp.concatenate(rows, axis=0)
 
     return x0, y0, lx_new, ly_new, dbar
 
 
-def _bwd_kernel(
-    psiF_re_ref, psiF_im_ref,  # final state (forward output)
-    lamF_re_ref, lamF_im_ref,  # incoming cotangent of the final state
-    rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
-    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
-    zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
-    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref,
-    # outputs
-    lam0_re_ref, lam0_im_ref,  # cotangent of psi0
-    zbar_ref,  # (1, n_steps, R_pad, 128): packed scalar rows
-    dbar_ref,  # (1, da, db)
-    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
-):
-    diag = diag_ref[...]
-    diag_lo = diag_lo_ref[...]
-    rp, rpt = rp_ref[...], rpt_ref[...]
-    cp, cpt = cp_ref[...], cpt_ref[...]
-
-    def body(i, carry):
-        x1, y1, lx, ly, dbar = carry
-        k = jnp.asarray(n_steps - 1, jnp.int32) - i
-        return _bwd_interval(
-            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag, diag_lo,
-            zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
-            zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
-            zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
-            hb_hi_ref, hb_lo_ref, hs_ref,
-            pr, pc, nb, A, B_np, S, zbar_ref,
-        )
-
-    x0, y0, lx, ly, dbar = jax.lax.fori_loop(
-        jnp.int32(0),
-        jnp.int32(n_steps),
-        body,
-        (
-            psiF_re_ref[...],
-            psiF_im_ref[...],
-            lamF_re_ref[...],
-            lamF_im_ref[...],
-            jnp.zeros_like(diag),
-        ),
-    )
-    lam0_re_ref[...] = lx
-    lam0_im_ref[...] = ly
-    dbar_ref[...] = dbar
-
-
-def _bwd_states_kernel(
-    states_re_ref, states_im_ref,  # (1, n_eval, nb, da, db) fwd outputs
-    lam_re_ref, lam_im_ref,  # (1, n_eval, nb, da, db) incoming cotangents
-    rp_ref, rpt_ref, cp_ref, cpt_ref,
-    zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
-    zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
-    zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
-    hb_hi_ref, hb_lo_ref, hs_ref, diag_ref, diag_lo_ref, slots_ref,
-    # outputs
-    lam0_re_ref, lam0_im_ref,
-    zbar_ref,
-    dbar_ref,
-    *, n_steps: int, pr: int, pc: int, nb: int, A, B_np, S: int,
-    last_slot: int,
-):
-    """Adjoint of the states kernel.
-
-    Walks the grid in reverse from the final state (= states[last_slot]:
-    the last grid point is always an evaluation time, the emulator unions
-    {0, T} into eval times, reference backend.py:363-375).  At every grid
-    point k with an eval slot the *stored* forward state replaces the
-    reconstruction (resetting drift) and the slot's cotangent is added to
-    the costate.
-    """
-    n_eval = states_re_ref.shape[0]
-    diag = diag_ref[...]
-    diag_lo = diag_lo_ref[...]
-    rp, rpt = rp_ref[...], rpt_ref[...]
-    cp, cpt = cp_ref[...], cpt_ref[...]
+def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
+                n_eval=0, last_slot=0):
+    r = _Refs(refs, K=K, bwd=True, states=states)
+    _load_consts(r)
 
     def body(i, carry):
         x1, y1, lx, ly, dbar = carry
         k = jnp.asarray(n_steps - 1, jnp.int32) - i
         x0, y0, lx, ly, dbar = _bwd_interval(
-            k, x1, y1, lx, ly, dbar, rp, rpt, cp, cpt, diag, diag_lo,
-            zrh_re_ref, zrh_im_ref, zrl_re_ref, zrl_im_ref,
-            zch_re_ref, zch_im_ref, zcl_re_ref, zcl_im_ref,
-            zbr_re_ref, zbr_im_ref, zbc_re_ref, zbc_im_ref,
-            hb_hi_ref, hb_lo_ref, hs_ref,
-            pr, pc, nb, A, B_np, S, zbar_ref,
+            r, k, x1, y1, lx, ly, dbar,
+            pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K,
         )
-        # grid point k: reload the stored state / add the slot cotangent
-        slot = slots_ref[k]
-        valid = slot < n_eval
-        safe = jnp.where(valid, slot, jnp.int32(0))
-        x0 = jnp.where(valid, states_re_ref[safe], x0)
-        y0 = jnp.where(valid, states_im_ref[safe], y0)
-        addx = jnp.where(valid, lam_re_ref[safe], jnp.zeros_like(lx))
-        addy = jnp.where(valid, lam_im_ref[safe], jnp.zeros_like(ly))
-        return (x0, y0, lx + addx, ly + addy, dbar)
+        if states:
+            # grid point k: reload the stored state / add slot cotangent
+            slot = r.slots[k]
+            valid = slot < n_eval
+            safe = jnp.where(valid, slot, jnp.int32(0))
+            x0 = jnp.where(valid, r.in_re[safe], x0)
+            y0 = jnp.where(valid, r.in_im[safe], y0)
+            lx = lx + jnp.where(valid, r.lam_re[safe], jnp.zeros_like(lx))
+            ly = ly + jnp.where(valid, r.lam_im[safe], jnp.zeros_like(ly))
+        return (x0, y0, lx, ly, dbar)
 
+    if states:
+        # i32 indices: python ints become i64 under x64, which Mosaic's
+        # convert helper cannot lower (infinite recursion)
+        init = (
+            r.in_re[jnp.int32(last_slot)],
+            r.in_im[jnp.int32(last_slot)],
+            r.lam_re[jnp.int32(last_slot)],
+            r.lam_im[jnp.int32(last_slot)],
+            jnp.zeros_like(r.diag[...]),
+        )
+    else:
+        init = (
+            r.in_re[...],
+            r.in_im[...],
+            r.lam_re[...],
+            r.lam_im[...],
+            jnp.zeros_like(r.diag[...]),
+        )
     x0, y0, lx, ly, dbar = jax.lax.fori_loop(
-        jnp.int32(0),
-        jnp.int32(n_steps),
-        body,
-        (
-            # i32 indices: python ints become i64 under x64, which
-            # Mosaic's convert helper cannot lower (infinite recursion)
-            states_re_ref[jnp.int32(last_slot)],
-            states_im_ref[jnp.int32(last_slot)],
-            lam_re_ref[jnp.int32(last_slot)],
-            lam_im_ref[jnp.int32(last_slot)],
-            jnp.zeros_like(diag),
-        ),
+        jnp.int32(0), jnp.int32(n_steps), body, init
     )
-    lam0_re_ref[...] = lx
-    lam0_im_ref[...] = ly
-    dbar_ref[...] = dbar
+    r.lam0_re[...] = lx
+    r.lam0_im[...] = ly
+    r.dbar[...] = dbar
 
 
 # ----------------------------------------------------------------------
@@ -770,25 +808,33 @@ def _specs(n_runs: int):
     return run_block, shared_block, smem_shared
 
 
-def _unpack_zbar(zbar_packed, n_steps, pr, pc, S):
+def _unpack_zbar(zbar_packed, n_steps, pr, pc, K, S):
     """(R, n_steps, r_pad, 128) packed rows -> per-stream cotangents."""
-    r_used = S * (2 * pr + 2 * pc)
+    width = 2 * pr + 2 * pc + 2 * K
+    r_used = S * width
     flat = zbar_packed[:, :, :r_used, 0].reshape(
-        zbar_packed.shape[0], n_steps, S, 2 * pr + 2 * pc
+        zbar_packed.shape[0], n_steps, S, width
     )
     zbar_rr = flat[..., 0 : 2 * pr : 2]
     zbar_ri = flat[..., 1 : 2 * pr : 2]
-    zbar_cr = flat[..., 2 * pr :: 2]
-    zbar_ci = flat[..., 2 * pr + 1 :: 2]
-    return zbar_rr, zbar_ri, zbar_cr, zbar_ci
+    zbar_cr = flat[..., 2 * pr : 2 * pr + 2 * pc : 2]
+    zbar_ci = flat[..., 2 * pr + 1 : 2 * pr + 2 * pc : 2]
+    if K:
+        zbar_kr = flat[..., 2 * pr + 2 * pc :: 2]
+        zbar_ki = flat[..., 2 * pr + 2 * pc + 1 :: 2]
+    else:
+        zbar_kr = zbar_ki = None
+    return zbar_rr, zbar_ri, zbar_cr, zbar_ci, zbar_kr, zbar_ki
 
 
-# data-dict keys, in the order the kernels receive them after psi/parts
-_Z_KEYS = (
+# data-dict keys for the staged streams, in kernel order
+_ZF_KEYS = (
     "zrh_re", "zrh_im", "zrl_re", "zrl_im",
     "zch_re", "zch_im", "zcl_re", "zcl_im",
-    "zbr_re", "zbr_im", "zbc_re", "zbc_im",
 )
+_ZB_KEYS = ("zbr_re", "zbr_im", "zbc_re", "zbc_im")
+_ZKF_KEYS = ("zkh_re", "zkh_im", "zkl_re", "zkl_im")
+_ZKB_KEYS = ("zkb_re", "zkb_im")
 
 
 def _dims(data):
@@ -797,7 +843,8 @@ def _dims(data):
     pr = int(data["rp"].shape[0])
     pc = int(data["cp"].shape[0])
     nb = int(data["psi_re"].shape[1])
-    return R, n_steps, pr, pc, nb
+    K = int(data["kr"].shape[1]) if "kr" in data else 0
+    return R, n_steps, pr, pc, nb, K
 
 
 def _tableau(method: str):
@@ -805,50 +852,107 @@ def _tableau(method: str):
     return tuple(tuple(row) for row in A), tuple(float(b) for b in B), len(C)
 
 
-def _fused_core(method, interpret, data):
-    """Final-state forward launch.  Run-major operands: z* (R, n_steps,
-    S, P), diag (R, da, db), psi (R, nb, da, db)."""
+def _build_call(data, method, interpret, *, bwd, states, slots=None,
+                n_eval=0, last_slot=0, extra_in=()):
+    """Assemble the pallas_call for any of the four kernel variants."""
     from jax.experimental import pallas as pl
 
-    R, n_steps, pr, pc, nb = _dims(data)
+    R, n_steps, pr, pc, nb, K = _dims(data)
     A, B_np, S = _tableau(method)
     rp, cp = data["rp"], data["cp"]
     rpt = jnp.swapaxes(rp, -1, -2)
     cpt = jnp.swapaxes(cp, -1, -2)
-    psi_re, psi_im = data["psi_re"], data["psi_im"]
+    run_block, shared, smem = _specs(R)
+    f32 = jnp.float32
+    psi_shape = data["psi_re"].shape  # (R, nb, da, db)
+
+    args = []
+    specs = []
+
+    def add(x, spec):
+        args.append(x)
+        specs.append(spec)
+
+    if bwd:
+        in_re, in_im, lam_re, lam_im = extra_in
+        for x in (in_re, in_im, lam_re, lam_im):
+            add(x, run_block(x.shape))
+    else:
+        add(data["psi_re"], run_block(psi_shape))
+        add(data["psi_im"], run_block(psi_shape))
+    for x in (rp, rpt, cp, cpt):
+        add(x, shared(x.shape))
+    for k in _ZF_KEYS:
+        add(data[k], run_block(data[k].shape))
+    if bwd:
+        for k in _ZB_KEYS:
+            add(data[k], run_block(data[k].shape))
+    if K:
+        kr, kc = data["kr"], data["kc"]
+        krt = jnp.swapaxes(kr, -1, -2)
+        kct = jnp.swapaxes(kc, -1, -2)
+        for x in (kr, krt, kc, kct):
+            add(x, run_block(x.shape))
+        for k in _ZKF_KEYS:
+            add(data[k], run_block(data[k].shape))
+        if bwd:
+            for k in _ZKB_KEYS:
+                add(data[k], run_block(data[k].shape))
+    add(data["hb_hi"], shared((n_steps, S)))
+    add(data["hb_lo"], shared((n_steps, S)))
+    add(data["hs"].reshape(n_steps, 1), shared((n_steps, 1)))
+    add(data["diag"], run_block(data["diag"].shape))
+    add(data["diag_lo"], run_block(data["diag_lo"].shape))
+    if states:
+        slots_arr = jnp.asarray(slots, jnp.int32)
+        add(slots_arr, smem(slots_arr.shape))
+
     kern = partial(
-        _fwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
-        A=A, B_np=B_np, S=S,
+        _bwd_kernel if bwd else _fwd_kernel,
+        n_steps=n_steps, pr=pr, pc=pc, nb=nb,
+        A=A, B_np=B_np, S=S, K=K, states=states, n_eval=n_eval,
+        **({"last_slot": int(last_slot)} if bwd else {}),
     )
-    run_block, shared, _ = _specs(R)
-    zf = [data[k] for k in _Z_KEYS[:8]]
+
+    if bwd:
+        r_used = S * (2 * pr + 2 * pc + 2 * K)
+        r_pad = int(np.ceil(r_used / 8) * 8)  # (8, 128) f32 tiling
+        zbar_shape = (R, n_steps, r_pad, 128)
+        out_shape = (
+            jax.ShapeDtypeStruct(psi_shape, f32),
+            jax.ShapeDtypeStruct(psi_shape, f32),
+            jax.ShapeDtypeStruct(zbar_shape, f32),
+            jax.ShapeDtypeStruct(data["diag"].shape, f32),
+        )
+        out_specs = (
+            run_block(psi_shape), run_block(psi_shape),
+            run_block(zbar_shape), run_block(data["diag"].shape),
+        )
+    else:
+        oshape = (
+            (R, n_eval) + tuple(psi_shape[1:]) if states else psi_shape
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct(oshape, f32),
+            jax.ShapeDtypeStruct(oshape, f32),
+        )
+        out_specs = (run_block(oshape), run_block(oshape))
+
     return pl.pallas_call(
         kern,
         grid=(R,),
-        out_shape=(
-            jax.ShapeDtypeStruct(psi_re.shape, jnp.float32),
-            jax.ShapeDtypeStruct(psi_im.shape, jnp.float32),
-        ),
-        in_specs=[
-            run_block(psi_re.shape), run_block(psi_im.shape),
-            shared(rp.shape), shared(rpt.shape),
-            shared(cp.shape), shared(cpt.shape),
-            *[run_block(z.shape) for z in zf],
-            shared((n_steps, S)), shared((n_steps, S)),
-            shared((n_steps, 1)),
-            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
-        ],
-        out_specs=(run_block(psi_re.shape), run_block(psi_im.shape)),
+        out_shape=out_shape,
+        in_specs=specs,
+        out_specs=out_specs,
         interpret=interpret,
-    )(psi_re, psi_im, rp, rpt, cp, cpt, *zf,
-      data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
-      data["diag"], data["diag_lo"])
+    )(*args)
 
 
 def _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im):
     """Assemble the cotangent dict: streams/diag/psi carry gradients,
-    everything structural (parts, step sizes, mirror streams) is zero."""
-    zbar_rr, zbar_ri, zbar_cr, zbar_ci = zbar
+    everything structural (parts, step sizes, mirror streams, kron part
+    matrices) is zero."""
+    zbar_rr, zbar_ri, zbar_cr, zbar_ci, zbar_kr, zbar_ki = zbar
     out = {k: jnp.zeros_like(v) for k, v in data.items()}
     # hi and lo words are summed in-kernel -> identical cotangents; the
     # linear hi/lo split recombines them exactly under autodiff
@@ -856,6 +960,9 @@ def _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im):
     out["zrl_re"], out["zrl_im"] = zbar_rr, zbar_ri
     out["zch_re"], out["zch_im"] = zbar_cr, zbar_ci
     out["zcl_re"], out["zcl_im"] = zbar_cr, zbar_ci
+    if zbar_kr is not None:
+        out["zkh_re"], out["zkh_im"] = zbar_kr, zbar_ki
+        out["zkl_re"], out["zkl_im"] = zbar_kr, zbar_ki
     out["diag"] = dbar
     out["diag_lo"] = dbar
     out["psi_re"], out["psi_im"] = lam0_re, lam0_im
@@ -870,117 +977,30 @@ def fused_evolve(method, interpret, data):
     z*/diag*/psi* carry a leading Monte-Carlo runs axis mapped onto the
     kernel grid.  Differentiable in the stage coefficients (hi+lo), the
     interaction diagonal and the initial state; step sizes / part stacks
-    / mirror-node streams are constant.
+    / kron matrices / mirror-node streams are constant.
     """
-    return _fused_core(method, interpret, data)
+    return _build_call(data, method, interpret, bwd=False, states=False)
 
 
 def _fused_fwd(method, interpret, data):
-    out = _fused_core(method, interpret, data)
+    out = _build_call(data, method, interpret, bwd=False, states=False)
     return out, (data, out[0], out[1])
 
 
 def _fused_bwd(method, interpret, res, cot):
-    from jax.experimental import pallas as pl
-
     data, outF_re, outF_im = res
     lamF_re, lamF_im = cot
-    R, n_steps, pr, pc, nb = _dims(data)
-    A, B_np, S = _tableau(method)
-    rp, cp = data["rp"], data["cp"]
-    rpt = jnp.swapaxes(rp, -1, -2)
-    cpt = jnp.swapaxes(cp, -1, -2)
-    kern = partial(
-        _bwd_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
-        A=A, B_np=B_np, S=S,
+    R, n_steps, pr, pc, nb, K = _dims(data)
+    _, _, S = _tableau(method)
+    (lam0_re, lam0_im, zbar_packed, dbar) = _build_call(
+        data, method, interpret, bwd=True, states=False,
+        extra_in=(outF_re, outF_im, lamF_re, lamF_im),
     )
-    run_block, shared, _ = _specs(R)
-    f32 = jnp.float32
-    r_used = S * (2 * pr + 2 * pc)
-    r_pad = int(np.ceil(r_used / 8) * 8)  # (8, 128) f32 tiling
-    zbar_shape = (R, n_steps, r_pad, 128)
-    zall = [data[k] for k in _Z_KEYS]
-    (lam0_re, lam0_im, zbar_packed, dbar) = pl.pallas_call(
-        kern,
-        grid=(R,),
-        out_shape=(
-            jax.ShapeDtypeStruct(outF_re.shape, f32),
-            jax.ShapeDtypeStruct(outF_im.shape, f32),
-            jax.ShapeDtypeStruct(zbar_shape, f32),
-            jax.ShapeDtypeStruct(data["diag"].shape, f32),
-        ),
-        in_specs=[
-            run_block(outF_re.shape), run_block(outF_im.shape),
-            run_block(lamF_re.shape), run_block(lamF_im.shape),
-            shared(rp.shape), shared(rpt.shape),
-            shared(cp.shape), shared(cpt.shape),
-            *[run_block(z.shape) for z in zall],
-            shared((n_steps, S)), shared((n_steps, S)),
-            shared((n_steps, 1)),
-            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
-        ],
-        out_specs=(
-            run_block(outF_re.shape), run_block(outF_im.shape),
-            run_block(zbar_shape), run_block(data["diag"].shape),
-        ),
-        interpret=interpret,
-    )(
-        outF_re, outF_im, lamF_re, lamF_im,
-        rp, rpt, cp, cpt, *zall,
-        data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
-        data["diag"], data["diag_lo"],
-    )
-    zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, S)
+    zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, K, S)
     return (_zero_like_aux(data, zbar, dbar, lam0_re, lam0_im),)
 
 
 fused_evolve.defvjp(_fused_fwd, _fused_bwd)
-
-
-# ----------------------------------------------------------------------
-# eval-time states with adjoint
-# ----------------------------------------------------------------------
-def _fused_states_core(method, interpret, slots, n_eval, data):
-    from jax.experimental import pallas as pl
-
-    R, n_steps, pr, pc, nb = _dims(data)
-    A, B_np, S = _tableau(method)
-    rp, cp = data["rp"], data["cp"]
-    rpt = jnp.swapaxes(rp, -1, -2)
-    cpt = jnp.swapaxes(cp, -1, -2)
-    psi_re, psi_im = data["psi_re"], data["psi_im"]
-    kern = partial(
-        _fwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
-        A=A, B_np=B_np, S=S,
-    )
-    run_block, shared, smem = _specs(R)
-    out_shape = (R, n_eval) + tuple(psi_re.shape[1:])
-    slots_arr = jnp.asarray(slots, jnp.int32)
-    zf = [data[k] for k in _Z_KEYS[:8]]
-    return pl.pallas_call(
-        kern,
-        grid=(R,),
-        out_shape=(
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        ),
-        in_specs=[
-            run_block(psi_re.shape), run_block(psi_im.shape),
-            shared(rp.shape), shared(rpt.shape),
-            shared(cp.shape), shared(cpt.shape),
-            *[run_block(z.shape) for z in zf],
-            shared((n_steps, S)), shared((n_steps, S)),
-            shared((n_steps, 1)),
-            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
-            smem(slots_arr.shape),
-        ],
-        out_specs=(run_block(out_shape), run_block(out_shape)),
-        interpret=interpret,
-    )(
-        psi_re, psi_im, rp, rpt, cp, cpt, *zf,
-        data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
-        data["diag"], data["diag_lo"], slots_arr,
-    )
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -993,68 +1013,31 @@ def fused_evolve_states(method, interpret, slots, n_eval, last_slot, data):
     slot (always valid — T is an eval time).
     Returns (R, n_eval, nb, da, db) re/im.
     """
-    return _fused_states_core(method, interpret, slots, n_eval, data)
+    return _build_call(
+        data, method, interpret, bwd=False, states=True,
+        slots=slots, n_eval=n_eval,
+    )
 
 
 def _fused_states_fwd(method, interpret, slots, n_eval, last_slot, data):
-    out = _fused_states_core(method, interpret, slots, n_eval, data)
+    out = _build_call(
+        data, method, interpret, bwd=False, states=True,
+        slots=slots, n_eval=n_eval,
+    )
     return out, (data, out[0], out[1])
 
 
 def _fused_states_bwd(method, interpret, slots, n_eval, last_slot, res, cot):
-    from jax.experimental import pallas as pl
-
     data, states_re, states_im = res
     lam_re, lam_im = cot
-    R, n_steps, pr, pc, nb = _dims(data)
-    A, B_np, S = _tableau(method)
-    rp, cp = data["rp"], data["cp"]
-    rpt = jnp.swapaxes(rp, -1, -2)
-    cpt = jnp.swapaxes(cp, -1, -2)
-    kern = partial(
-        _bwd_states_kernel, n_steps=n_steps, pr=pr, pc=pc, nb=nb,
-        A=A, B_np=B_np, S=S, last_slot=int(last_slot),
+    R, n_steps, pr, pc, nb, K = _dims(data)
+    _, _, S = _tableau(method)
+    (lam0_re, lam0_im, zbar_packed, dbar) = _build_call(
+        data, method, interpret, bwd=True, states=True,
+        slots=slots, n_eval=n_eval, last_slot=last_slot,
+        extra_in=(states_re, states_im, lam_re, lam_im),
     )
-    run_block, shared, smem = _specs(R)
-    f32 = jnp.float32
-    r_used = S * (2 * pr + 2 * pc)
-    r_pad = int(np.ceil(r_used / 8) * 8)
-    zbar_shape = (R, n_steps, r_pad, 128)
-    psi_shape = (R,) + tuple(states_re.shape[2:])
-    slots_arr = jnp.asarray(slots, jnp.int32)
-    zall = [data[k] for k in _Z_KEYS]
-    (lam0_re, lam0_im, zbar_packed, dbar) = pl.pallas_call(
-        kern,
-        grid=(R,),
-        out_shape=(
-            jax.ShapeDtypeStruct(psi_shape, f32),
-            jax.ShapeDtypeStruct(psi_shape, f32),
-            jax.ShapeDtypeStruct(zbar_shape, f32),
-            jax.ShapeDtypeStruct(data["diag"].shape, f32),
-        ),
-        in_specs=[
-            run_block(states_re.shape), run_block(states_im.shape),
-            run_block(lam_re.shape), run_block(lam_im.shape),
-            shared(rp.shape), shared(rpt.shape),
-            shared(cp.shape), shared(cpt.shape),
-            *[run_block(z.shape) for z in zall],
-            shared((n_steps, S)), shared((n_steps, S)),
-            shared((n_steps, 1)),
-            run_block(data["diag"].shape), run_block(data["diag_lo"].shape),
-            smem(slots_arr.shape),
-        ],
-        out_specs=(
-            run_block(psi_shape), run_block(psi_shape),
-            run_block(zbar_shape), run_block(data["diag"].shape),
-        ),
-        interpret=interpret,
-    )(
-        states_re, states_im, lam_re, lam_im,
-        rp, rpt, cp, cpt, *zall,
-        data["hb_hi"], data["hb_lo"], data["hs"].reshape(n_steps, 1),
-        data["diag"], data["diag_lo"], slots_arr,
-    )
-    zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, S)
+    zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, K, S)
     return (_zero_like_aux(data, zbar, dbar, lam0_re, lam0_im),)
 
 
@@ -1064,12 +1047,36 @@ fused_evolve_states.defvjp(_fused_states_fwd, _fused_states_bwd)
 # ----------------------------------------------------------------------
 # public entry points
 # ----------------------------------------------------------------------
-def _check_ising(ham: FactoredHamiltonian) -> None:
-    if ham.dense_mats is not None:
-        raise NotImplementedError(
-            "pallas kernels support diagonal-interaction (ising) "
-            "Hamiltonians only."
-        )
+def _stage_all(ham: FactoredHamiltonian, grid_times, method: str):
+    """Forward-node (hi/lo split) + mirror-node staged streams."""
+    C, _, B = _TABLEAUS[method]
+    zr, zc, zk, hs = _precompute_stage_z(ham, grid_times, C)
+    zbr, zbc, zbk, _ = _precompute_stage_z(ham, grid_times, 1.0 - C)
+    hb = hs[:, None] * jnp.asarray(B, hs.dtype)[None, :]
+    f32 = jnp.float32
+    out = {}
+    for key_hi, key_lo, arr in (
+        ("zrh_re", "zrl_re", zr.re), ("zrh_im", "zrl_im", zr.im),
+        ("zch_re", "zcl_re", zc.re), ("zch_im", "zcl_im", zc.im),
+    ):
+        hi, lo = _split_hi_lo(arr)
+        out[key_hi], out[key_lo] = hi, lo
+    out["zbr_re"] = zbr.re.astype(f32)
+    out["zbr_im"] = zbr.im.astype(f32)
+    out["zbc_re"] = zbc.re.astype(f32)
+    out["zbc_im"] = zbc.im.astype(f32)
+    if zk is not None:
+        for key_hi, key_lo, arr in (
+            ("zkh_re", "zkl_re", zk.re), ("zkh_im", "zkl_im", zk.im),
+        ):
+            hi, lo = _split_hi_lo(arr)
+            out[key_hi], out[key_lo] = hi, lo
+        out["zkb_re"] = zbk.re.astype(f32)
+        out["zkb_im"] = zbk.im.astype(f32)
+    hb_hi, hb_lo = _split_hi_lo(hb)
+    out["hb_hi"], out["hb_lo"] = hb_hi, hb_lo
+    out["hs"] = hs.astype(f32)
+    return out
 
 
 def prepare_fused_inputs(
@@ -1082,32 +1089,34 @@ def prepare_fused_inputs(
 
     Builds everything the fused kernels consume: forward-node stream
     values split hi/lo, mirror-node (1-c) stream values for the adjoint's
-    reverse-time reconstruction, two-word h*b_s update weights, and the
-    two-word interaction diagonal.
+    reverse-time reconstruction, two-word h*b_s update weights, the
+    two-word interaction diagonal, and the kron-pair term data (XY).
     """
-    C, _, B = _TABLEAUS[method]
-    zr, zc, hs = _precompute_stage_z(ham, grid_times, C)
-    zbr, zbc, _ = _precompute_stage_z(ham, grid_times, 1.0 - C)
-    hb = hs[:, None] * jnp.asarray(B, hs.dtype)[None, :]
+    if int(psi0.re.shape[0]) > _NB_MAX:
+        raise ValueError(
+            f"Fused kernels support state batches up to nb={_NB_MAX} "
+            "(the adjoint unrolls per-state outer products); use the XLA "
+            "path (fused=False) for full gate-matrix batches."
+        )
     f32 = jnp.float32
-    zrh_re, zrl_re = _split_hi_lo(zr.re)
-    zrh_im, zrl_im = _split_hi_lo(zr.im)
-    zch_re, zcl_re = _split_hi_lo(zc.re)
-    zch_im, zcl_im = _split_hi_lo(zc.im)
-    hb_hi, hb_lo = _split_hi_lo(hb)
+    staged = _stage_all(ham, grid_times, method)
+    data = {}
+    for k, v in staged.items():
+        if k in ("hb_hi", "hb_lo", "hs"):
+            data[k] = v
+        else:
+            data[k] = v[None]
     diag, diag_lo = _split_hi_lo(ham.int_diag)
-    return dict(
-        zrh_re=zrh_re[None], zrh_im=zrh_im[None],
-        zrl_re=zrl_re[None], zrl_im=zrl_im[None],
-        zch_re=zch_re[None], zch_im=zch_im[None],
-        zcl_re=zcl_re[None], zcl_im=zcl_im[None],
-        zbr_re=zbr.re.astype(f32)[None], zbr_im=zbr.im.astype(f32)[None],
-        zbc_re=zbc.re.astype(f32)[None], zbc_im=zbc.im.astype(f32)[None],
-        hb_hi=hb_hi, hb_lo=hb_lo, hs=hs.astype(f32),
-        rp=ham.row_parts.astype(f32), cp=ham.col_parts.astype(f32),
-        diag=diag[None], diag_lo=diag_lo[None],
-        psi_re=psi0.re.astype(f32)[None], psi_im=psi0.im.astype(f32)[None],
-    )
+    data["rp"] = ham.row_parts.astype(f32)
+    data["cp"] = ham.col_parts.astype(f32)
+    data["diag"] = diag[None]
+    data["diag_lo"] = diag_lo[None]
+    data["psi_re"] = psi0.re.astype(f32)[None]
+    data["psi_im"] = psi0.im.astype(f32)[None]
+    if ham.kron_row is not None:
+        data["kr"] = ham.kron_row.astype(f32)[None]
+        data["kc"] = ham.kron_col.astype(f32)[None]
+    return data
 
 
 def pallas_evolve(
@@ -1121,9 +1130,8 @@ def pallas_evolve(
 
     Returns the FINAL state only (f32), differentiable w.r.t. the
     Hamiltonian coefficient streams / interaction diagonal / psi0 via the
-    Pallas adjoint kernel.  ising Hamiltonians only.
+    Pallas adjoint kernel.
     """
-    _check_ising(ham)
     data = prepare_fused_inputs(ham, psi0, grid_times, method)
     out_re, out_im = fused_evolve(method, interpret, data)
     return Cplx(out_re[0], out_im[0])
@@ -1140,7 +1148,6 @@ def pallas_evolve_states(
     (n_eval, nb, da, db), f32 — DIFFERENTIABLE via the states-adjoint
     kernel (the backward sweep reloads stored eval states, so with dense
     evaluation times the reconstruction is exact)."""
-    _check_ising(ham)
     data = prepare_fused_inputs(ham, psi0, grid.times, method)
     slots = tuple(int(s) for s in np.asarray(grid.write_slots))
     last_slot = slots[-1]
@@ -1168,13 +1175,7 @@ def pallas_evolve_mc(
     (R, nb, da, db) per-run.  Returns (R, n_eval, nb, da, db) states,
     differentiable.  The runs axis is the kernel grid — one launch for
     the whole Monte-Carlo batch."""
-    if hams.dense_mats is not None:
-        raise NotImplementedError(
-            "pallas kernels support diagonal-interaction (ising) "
-            "Hamiltonians only."
-        )
     f32 = jnp.float32
-    C, _, B = _TABLEAUS[method]
     R = int(hams.row_streams.re.shape[0])
     rp = hams.row_parts[0] if hams.row_parts.ndim == 4 else hams.row_parts
     cp = hams.col_parts[0] if hams.col_parts.ndim == 4 else hams.col_parts
@@ -1182,12 +1183,19 @@ def pallas_evolve_mc(
         hams.sample_dt.reshape(-1)[0] if hams.sample_dt.ndim
         else hams.sample_dt
     )
+    has_kron = hams.kron_row is not None
 
-    def stage_one(rs_re, rs_im, cs_re, cs_im, diag):
+    def stage_one(leaves):
         h1 = hams._replace(
-            row_streams=Cplx(rs_re, rs_im),
-            col_streams=Cplx(cs_re, cs_im),
-            int_diag=diag,
+            row_streams=Cplx(leaves["rs_re"], leaves["rs_im"]),
+            col_streams=Cplx(leaves["cs_re"], leaves["cs_im"]),
+            int_diag=leaves["diag"],
+            kron_row=leaves.get("kron_row"),
+            kron_col=leaves.get("kron_col"),
+            kron_streams=(
+                Cplx(leaves["ks_re"], leaves["ks_im"])
+                if has_kron else None
+            ),
             row_parts=rp,
             col_parts=cp,
             sample_dt=sdt,
@@ -1195,19 +1203,25 @@ def pallas_evolve_mc(
             # static value is just the stream length
             n_samples=int(hams.row_streams.re.shape[-1]),
         )
-        zr, zc, hs = _precompute_stage_z(h1, grid.times, C)
-        zbr, zbc, _ = _precompute_stage_z(h1, grid.times, 1.0 - C)
-        return zr.re, zr.im, zc.re, zc.im, zbr.re, zbr.im, zbc.re, zbc.im, hs
+        return _stage_all(h1, grid.times, method)
 
-    (zr_re, zr_im, zc_re, zc_im, zbr_re, zbr_im, zbc_re, zbc_im,
-     hs_all) = jax.vmap(stage_one)(
-        hams.row_streams.re, hams.row_streams.im,
-        hams.col_streams.re, hams.col_streams.im,
-        hams.int_diag,
+    leaves = dict(
+        rs_re=hams.row_streams.re, rs_im=hams.row_streams.im,
+        cs_re=hams.col_streams.re, cs_im=hams.col_streams.im,
+        diag=hams.int_diag,
     )
-    hs = hs_all[0]
-    hb = hs[:, None] * jnp.asarray(B, hs.dtype)[None, :]
-    hb_hi, hb_lo = _split_hi_lo(hb)
+    if has_kron:
+        leaves["kron_row"] = hams.kron_row
+        leaves["kron_col"] = hams.kron_col
+        leaves["ks_re"] = hams.kron_streams.re
+        leaves["ks_im"] = hams.kron_streams.im
+    staged = jax.vmap(stage_one)(leaves)
+    data = {}
+    for k, v in staged.items():
+        if k in ("hb_hi", "hb_lo", "hs"):
+            data[k] = v[0]
+        else:
+            data[k] = v
     if psi0.re.ndim == 3:
         psi_re = jnp.broadcast_to(
             psi0.re.astype(f32)[None], (R,) + tuple(psi0.re.shape)
@@ -1219,20 +1233,20 @@ def pallas_evolve_mc(
         psi_re = psi0.re.astype(f32)
         psi_im = psi0.im.astype(f32)
     diag, diag_lo = _split_hi_lo(hams.int_diag)
-    zrh_re, zrl_re = _split_hi_lo(zr_re)
-    zrh_im, zrl_im = _split_hi_lo(zr_im)
-    zch_re, zcl_re = _split_hi_lo(zc_re)
-    zch_im, zcl_im = _split_hi_lo(zc_im)
-    data = dict(
-        zrh_re=zrh_re, zrh_im=zrh_im, zrl_re=zrl_re, zrl_im=zrl_im,
-        zch_re=zch_re, zch_im=zch_im, zcl_re=zcl_re, zcl_im=zcl_im,
-        zbr_re=zbr_re.astype(f32), zbr_im=zbr_im.astype(f32),
-        zbc_re=zbc_re.astype(f32), zbc_im=zbc_im.astype(f32),
-        hb_hi=hb_hi, hb_lo=hb_lo, hs=hs.astype(f32),
-        rp=rp.astype(f32), cp=cp.astype(f32),
-        diag=diag, diag_lo=diag_lo,
-        psi_re=psi_re, psi_im=psi_im,
-    )
+    data["rp"] = rp.astype(f32)
+    data["cp"] = cp.astype(f32)
+    data["diag"] = diag
+    data["diag_lo"] = diag_lo
+    data["psi_re"] = psi_re
+    data["psi_im"] = psi_im
+    if has_kron:
+        kr = hams.kron_row
+        kc = hams.kron_col
+        if kr.ndim == 3:  # shared across runs
+            kr = jnp.broadcast_to(kr[None], (R,) + tuple(kr.shape))
+            kc = jnp.broadcast_to(kc[None], (R,) + tuple(kc.shape))
+        data["kr"] = kr.astype(f32)
+        data["kc"] = kc.astype(f32)
     slots = tuple(int(s) for s in np.asarray(grid.write_slots))
     last_slot = slots[-1]
     out_re, out_im = fused_evolve_states(

@@ -50,7 +50,13 @@ def make_mesh(
 def _solve_states_from_draws(sim, draws, solver, substeps, krylov_dim, grid):
     h = sim._hamiltonian
     hd = h.build_data(draws)
-    return sim._solve_states(hd, None, solver, substeps, krylov_dim, grid)
+    # fused=False: these paths vmap/shard the solve through XLA's SPMD
+    # partitioner; vmap-of-pallas does not lower on this backend (the
+    # single-launch MC batching lives in ops.pallas_evolution instead)
+    return sim._solve_states(
+        hd, None, solver, substeps, krylov_dim, grid,
+        solver_opts={"fused": False},
+    )
 
 
 def sharded_noise_states(

@@ -351,15 +351,17 @@ def _adaptive_dp5_pytree(rhs, y0, span, h0, rtol, atol, max_iters):
 
 def _rebuild_ham(parts, streams, n_samples: int) -> FactoredHamiltonian:
     row_parts, col_parts, sample_dt = parts
-    row_streams, col_streams, int_diag, dense_mats, dense_streams = streams
+    (row_streams, col_streams, int_diag, kron_row, kron_col,
+     kron_streams) = streams
     return FactoredHamiltonian(
         row_parts=row_parts,
         col_parts=col_parts,
         row_streams=row_streams,
         col_streams=col_streams,
         int_diag=int_diag,
-        dense_mats=dense_mats,
-        dense_streams=dense_streams,
+        kron_row=kron_row,
+        kron_col=kron_col,
+        kron_streams=kron_streams,
         sample_dt=sample_dt,
         n_samples=n_samples,
     )
@@ -442,8 +444,9 @@ def _make_se_step_adaptive(ham, substeps: int, rtol: float = 1e-8,
         ham.row_streams,
         ham.col_streams,
         ham.int_diag,
-        ham.dense_mats,
-        ham.dense_streams,
+        ham.kron_row,
+        ham.kron_col,
+        ham.kron_streams,
     )
 
     def step(psi: Cplx, t0, t1):

@@ -154,21 +154,84 @@ def test_pallas_batched_states_large_nb(two_atom_register):
     assert np.abs(np.asarray(g)).max() > 1e-6
 
 
-def test_pallas_rejects_xy():
+def _xy_setup(n_atoms=3, duration=100):
     from pulser_diff_tpu.core import Pulse, Register, Sequence
 
-    reg = Register({"a": jnp.array([0.0, 0.0]), "b": jnp.array([8.0, 0.0])})
+    reg = Register(
+        {
+            f"a{i}": jnp.array([8.0 * i, 0.0 + 2.0 * (i % 2)])
+            for i in range(n_atoms)
+        }
+    )
     seq = Sequence(reg, MockDevice)
     seq.declare_channel("mw", "microwave_global")
-    seq.add(Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "mw")
+    seq.add(Pulse.ConstantPulse(duration, 1.2, -0.4, 0.3), "mw")
     sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
     h = sim._hamiltonian
     grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
     da, db = h.dim**h._a, h.dim**h._b
     psi0 = sim.initial_state
     p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
-    with pytest.raises(NotImplementedError):
-        pallas_evolve(h._ham_data, p0, grid.times, interpret=True)
+    return sim, h, grid, p0
+
+
+def test_pallas_xy_matches_xla():
+    """XY (dipole flip-flop) sequences run fused through the kernel's
+    kron-pair terms (VERDICT.md round-2 next-step #3): forward states
+    match the f64 XLA solver."""
+    sim, h, grid, p0 = _xy_setup()
+    hd = h._ham_data
+    assert hd.kron_row is not None
+    ref = sesolve(hd, p0, grid, solver=SolverType.DP5_SE)
+    out = pallas_evolve_states(hd, p0, grid, method="DP5", interpret=True)
+    err = np.abs(out.to_numpy() - ref.to_numpy()).max()
+    assert err < 1e-5
+
+
+def test_pallas_xy_adjoint_grad_matches_fd():
+    """Stream gradients through the kron-pair adjoint terms vs finite
+    differences."""
+    sim, h, grid, p0 = _xy_setup(n_atoms=2, duration=60)
+    hd = h._ham_data
+
+    def loss(streams_re):
+        hd2 = hd._replace(row_streams=Cplx(streams_re, hd.row_streams.im))
+        out = pallas_evolve(hd2, p0, grid.times, "DP5", interpret=True)
+        return jnp.sum(out.re**2 - out.im)
+
+    s0 = hd.row_streams.re
+    g = jax.grad(loss)(s0)
+    eps = 1e-3
+    for idx in [(0, 10), (0, 40)]:
+        lp = float(loss(s0.at[idx].add(eps)))
+        lm = float(loss(s0.at[idx].add(-eps)))
+        fd = (lp - lm) / (2 * eps)
+        assert abs(float(g[idx]) - fd) < max(5e-3, 0.05 * abs(fd) + 1e-4)
+
+    # the kron window-stream cotangent path is exercised too
+    def loss_k(ks_re):
+        hd2 = hd._replace(
+            kron_streams=Cplx(ks_re, hd.kron_streams.im)
+        )
+        out = pallas_evolve(hd2, p0, grid.times, "DP5", interpret=True)
+        return jnp.sum(out.re**2)
+
+    k0 = hd.kron_streams.re
+    gk = jax.grad(loss_k)(k0)
+    lp = float(loss_k(k0.at[(0, 20)].add(eps)))
+    lm = float(loss_k(k0.at[(0, 20)].add(-eps)))
+    fd = (lp - lm) / (2 * eps)
+    assert abs(float(gk[(0, 20)]) - fd) < max(5e-3, 0.05 * abs(fd) + 1e-4)
+
+
+def test_run_xy_with_pallas_solver():
+    """run(solver=DP5_PALLAS) on an XY sequence goes through the fused
+    kron path end-to-end; the DP5_SE default stays on the XLA path
+    (distance gradients need it)."""
+    sim, h, grid, p0 = _xy_setup()
+    ref = sim.run(solver=SolverType.DP5_SE).states.to_numpy()
+    fast = sim.run(solver=SolverType.DP5_PALLAS).states.to_numpy()
+    assert np.abs(ref - fast).max() < 1e-5
 
 
 @pytest.mark.parametrize("method", ["RK4", "DP5"])

@@ -78,6 +78,10 @@ def test_time_dist_grad_warnings(two_atom_register):
     with pytest.warns(UserWarning, match="expectation_fn_of_dists"):
         sim.run(dist_grad=True)
     assert len(sim.dist_dict) == 1  # qq distance exposed
+    # drop-in import alias (reference exports TorchEmulator)
+    from pulser_diff_tpu import TorchEmulator, TpuEmulator
+
+    assert TorchEmulator is TpuEmulator
 
 
 def test_fused_optout_matches_f64_on_cpu(two_atom_register):
