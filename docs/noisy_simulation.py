@@ -24,7 +24,7 @@ from pulser_diff_tpu.core import MockDevice, Pulse, Register, Sequence
 from pulser_diff_tpu.ops import total_magnetization
 
 CI = bool(int(os.environ.get("PDT_DOCS_CI", "0")))
-DUR = 120 if CI else 400
+DUR = 80 if CI else 400
 
 reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
 
@@ -100,7 +100,7 @@ print("leaked population (diagonal x-terms):", x_pop)
 
 # %%
 cfg_mc = SimConfig(noise=("doppler", "SPAM"), temperature=50.0,
-                   runs=8 if CI else 50, samples_per_run=30,
+                   runs=4 if CI else 50, samples_per_run=30,
                    eta=0.0, epsilon=0.03, epsilon_prime=0.01)
 sim_mc = TpuEmulator.from_sequence(make_seq(), config=cfg_mc,
                                    evaluation_times="Minimal")

@@ -404,17 +404,17 @@ class TpuEmulator:
 
     def _fused_eligible(self, ham_data) -> bool:
         """Whether the fused Pallas kernel should take this solve by
-        DEFAULT: ising on an accelerator backend (on CPU the kernel only
-        runs interpreted, far slower than the XLA path).  XY sequences
-        run through the kernel's kron-pair terms when a fused solver is
-        requested explicitly — excluded from auto-routing because the
-        kron matrices are structural constants in the kernel, so
-        qubit-distance gradients need the XLA path (fused=False)."""
+        DEFAULT: any interaction kind on an accelerator backend (on CPU
+        the kernel only runs interpreted, far slower than the XLA path).
+        XY sequences route through the kernel's kron-pair terms; since
+        round 3 the adjoint also emits kron PART-MATRIX cotangents, so
+        qubit-distance gradients flow through the fused path too
+        (tests/test_pallas.py::test_pallas_xy_distance_grad_end_to_end).
+        Opt out with run(..., fused=False)."""
         from pulser_diff_tpu.ops.pallas_evolution import _NB_MAX
 
         return (
-            ham_data.kron_row is None
-            and jax.default_backend() != "cpu"
+            jax.default_backend() != "cpu"
             and int(self._initial_state.shape[1]) <= _NB_MAX
         )
 

@@ -407,10 +407,14 @@ class Hamiltonian:
                     )
                     mag_norm = jnp.linalg.norm(mag)
                     diffv = self._qdict[q1] - self._qdict[q2]
+                    # double-where: a plain where still propagates the
+                    # unselected branch's NaN through the GRADIENT when
+                    # mag_norm == 0 (the default out-of-plane field),
+                    # poisoning every distance/coordinate gradient
+                    degenerate = mag_norm < 1e-8
+                    safe_denom = jnp.where(degenerate, 1.0, dist * mag_norm)
                     cosine = jnp.where(
-                        mag_norm < 1e-8,
-                        0.0,
-                        jnp.dot(diffv, mag) / (dist * mag_norm),
+                        degenerate, 0.0, jnp.dot(diffv, mag) / safe_denom
                     )
                     w = (
                         self._device.interaction_coeff_xy

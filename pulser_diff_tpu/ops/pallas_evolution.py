@@ -27,9 +27,10 @@ Structure (round 3):
     z_k(t) (R_k (x) C_k) + h.c. applied as R @ Psi @ C^T inside the
     kernel (ops/apply.py holds the matching XLA form) — no dim x dim
     matrix is ever materialised, so XY sequences run fused at any size
-    the ising path handles.  The kron part matrices are structural
-    constants to the kernel (stream cotangents flow; distance gradients
-    need the XLA path, backend._fused_eligible).
+    the ising path handles.  The adjoint kernel emits cotangents for the
+    kron PART MATRICES as well as the streams (_kron_matrix_cotangents),
+    so qubit-distance gradients — the W_ij weights are folded into
+    R_k/C_k at build time — flow through the fused path.
   - Every kernel carries a leading **runs axis R** mapped onto the Pallas
     grid: coefficient streams are (R, n_steps, S, P), states
     (R, nb, da, db).  This is the in-kernel Monte-Carlo batching that
@@ -112,6 +113,11 @@ _NB_MAX = 32
 # product); HIGHEST runs the multi-pass decomposition for true-f32
 # accuracy — together with the compensated accumulation this keeps the
 # fused kernel's state error at the ~1e-6 bar (BASELINE.md).
+# Hardware probes (round 3): DEFAULT vs HIGHEST is timing-neutral on the
+# 12-atom workload (the kernel is latency-bound, not MXU-bound), so
+# HIGHEST costs nothing; Precision.HIGH does not lower in Mosaic; and
+# SMEM-resident coefficient streams OOM (each scalar pads to a full SMEM
+# line: 5.4 MB > the 1 MB budget), so streams stay in VMEM.
 _PRECISION = jax.lax.Precision.HIGHEST
 
 
@@ -441,6 +447,8 @@ class _Refs:
         if bwd:
             self.lam0_re, self.lam0_im = next(it), next(it)
             self.zbar, self.dbar = next(it), next(it)
+            if K:
+                self.krbar, self.kcbar = next(it), next(it)
         else:
             self.out_re, self.out_im = next(it), next(it)
         rest = list(it)
@@ -599,12 +607,60 @@ def _kron_cotangents(side: _Side, kbx, kby, ux, uy):
     return za_bar, zb_bar
 
 
-def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar,
+def _kron_matrix_cotangents(side: _Side, kbx, kby, ux, uy, nb,
+                            krbar, kcbar):
+    """Accumulate cotangents of the kron PART MATRICES (R_k, C_k) at one
+    stage — this is what makes qubit-distance gradients flow through the
+    fused XY path (the interaction weights W_ij are folded into the kron
+    matrices at build time, hamiltonian._xy_kron_terms).
+
+    The kron term maps u -> za (R u C^T + R^T u C) + zb (R u C^T - R^T u C)
+    split over re/im as in apply_minus_iH; with the stage-output cotangent
+    (kbx, kby) of (h_im, -h_re) the coefficient fields are
+        B1 = zb kbx - za kby   (of R ux C^T)   D1 = za kbx + zb kby
+        B2 = -zb kbx - za kby  (of R^T ux C)   D2 = za kbx - zb kby
+    and the matrix-calculus identities
+        d/dR <B, R u C^T> = B C u^T      d/dC <B, R u C^T> = B^T R u
+        d/dR <B, R^T u C> = u C B^T      d/dC <B, R^T u C> = u^T R B
+    give per-batch accumulations of small matmul chains.
+    """
+    kr, _, kc, _, za, zb = side.kron
+    Kn = kr.shape[0]
+    krbar_new, kcbar_new = list(krbar), list(kcbar)
+    for k in range(Kn):
+        R_, C_ = kr[k], kc[k]
+        dR = krbar[k]
+        dC = kcbar[k]
+        for b in range(nb):
+            B1 = zb[k] * kbx[b] - za[k] * kby[b]
+            B2 = -zb[k] * kbx[b] - za[k] * kby[b]
+            D1 = za[k] * kbx[b] + zb[k] * kby[b]
+            D2 = za[k] * kbx[b] - zb[k] * kby[b]
+            uxC = _dot(ux[b], C_)
+            uyC = _dot(uy[b], C_)
+            dR = (
+                dR
+                + _dot(_dot(B1, C_), ux[b].T) + _dot(uxC, B2.T)
+                + _dot(_dot(D1, C_), uy[b].T) + _dot(uyC, D2.T)
+            )
+            Rux = _dot(R_, ux[b])
+            Ruy = _dot(R_, uy[b])
+            dC = (
+                dC
+                + _dot(B1.T, Rux) + _dot(ux[b].T, _dot(R_, B2))
+                + _dot(D1.T, Ruy) + _dot(uy[b].T, _dot(R_, D2))
+            )
+        krbar_new[k] = dR
+        kcbar_new[k] = dC
+    return tuple(krbar_new), tuple(kcbar_new)
+
+
+def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
                   *, pr, pc, nb, A, B_np, S, K):
     """Reverse one ERK interval: reconstruct the start state from the
     mirror-node streams, run the exact transpose of the stage recursion
     on the costate, and write the packed per-step coefficient cotangents.
-    Returns (x0, y0, lx', ly', dbar')."""
+    Returns (x0, y0, lx', ly', dbar', krbar', kcbar')."""
     h = r.hs[k, 0]
     bh = [r.hb_hi[k, s] for s in range(S)]
     bl = [r.hb_lo[k, s] for s in range(S)]
@@ -703,6 +759,9 @@ def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar,
             for k_ in range(K):
                 rows.append(jnp.broadcast_to(za_bar[k_], (1, 128)))
                 rows.append(jnp.broadcast_to(zb_bar[k_], (1, 128)))
+            krbar, kcbar = _kron_matrix_cotangents(
+                sides[s], kbx, kby, ux, uy, nb, krbar, kcbar
+            )
         dbar = dbar + _diag_cotangent(kbx, kby, ux, uy)
 
     r_used = len(rows)
@@ -711,7 +770,7 @@ def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar,
         rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
     r.zbar[k] = jnp.concatenate(rows, axis=0)
 
-    return x0, y0, lx_new, ly_new, dbar
+    return x0, y0, lx_new, ly_new, dbar, krbar, kcbar
 
 
 def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
@@ -719,11 +778,23 @@ def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
     r = _Refs(refs, K=K, bwd=True, states=states)
     _load_consts(r)
 
+    # kron-matrix cotangent accumulators (tuples of per-term matrices:
+    # Mosaic cannot lower dynamic slices of loop-carried values, so the
+    # K axis is a static pytree, not an array dimension)
+    def _kron_zero():
+        if not K:
+            return ((), ())
+        da_, db_ = r.kr.shape[1], r.kc.shape[1]
+        return (
+            tuple(jnp.zeros((da_, da_), jnp.float32) for _ in range(K)),
+            tuple(jnp.zeros((db_, db_), jnp.float32) for _ in range(K)),
+        )
+
     def body(i, carry):
-        x1, y1, lx, ly, dbar = carry
+        x1, y1, lx, ly, dbar, krbar, kcbar = carry
         k = jnp.asarray(n_steps - 1, jnp.int32) - i
-        x0, y0, lx, ly, dbar = _bwd_interval(
-            r, k, x1, y1, lx, ly, dbar,
+        x0, y0, lx, ly, dbar, krbar, kcbar = _bwd_interval(
+            r, k, x1, y1, lx, ly, dbar, krbar, kcbar,
             pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K,
         )
         if states:
@@ -735,7 +806,7 @@ def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
             y0 = jnp.where(valid, r.in_im[safe], y0)
             lx = lx + jnp.where(valid, r.lam_re[safe], jnp.zeros_like(lx))
             ly = ly + jnp.where(valid, r.lam_im[safe], jnp.zeros_like(ly))
-        return (x0, y0, lx, ly, dbar)
+        return (x0, y0, lx, ly, dbar, krbar, kcbar)
 
     if states:
         # i32 indices: python ints become i64 under x64, which Mosaic's
@@ -746,7 +817,7 @@ def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
             r.lam_re[jnp.int32(last_slot)],
             r.lam_im[jnp.int32(last_slot)],
             jnp.zeros_like(r.diag[...]),
-        )
+        ) + _kron_zero()
     else:
         init = (
             r.in_re[...],
@@ -754,13 +825,17 @@ def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
             r.lam_re[...],
             r.lam_im[...],
             jnp.zeros_like(r.diag[...]),
-        )
-    x0, y0, lx, ly, dbar = jax.lax.fori_loop(
+        ) + _kron_zero()
+    x0, y0, lx, ly, dbar, krbar, kcbar = jax.lax.fori_loop(
         jnp.int32(0), jnp.int32(n_steps), body, init
     )
     r.lam0_re[...] = lx
     r.lam0_im[...] = ly
     r.dbar[...] = dbar
+    if K:
+        for k_ in range(K):
+            r.krbar[k_] = krbar[k_]
+            r.kcbar[k_] = kcbar[k_]
 
 
 # ----------------------------------------------------------------------
@@ -928,6 +1003,16 @@ def _build_call(data, method, interpret, *, bwd, states, slots=None,
             run_block(psi_shape), run_block(psi_shape),
             run_block(zbar_shape), run_block(data["diag"].shape),
         )
+        if K:
+            kr_shape = data["kr"].shape  # (R, K, da, da)
+            kc_shape = data["kc"].shape
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct(kr_shape, f32),
+                jax.ShapeDtypeStruct(kc_shape, f32),
+            )
+            out_specs = out_specs + (
+                run_block(kr_shape), run_block(kc_shape),
+            )
     else:
         oshape = (
             (R, n_eval) + tuple(psi_shape[1:]) if states else psi_shape
@@ -948,10 +1033,11 @@ def _build_call(data, method, interpret, *, bwd, states, slots=None,
     )(*args)
 
 
-def _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im):
-    """Assemble the cotangent dict: streams/diag/psi carry gradients,
-    everything structural (parts, step sizes, mirror streams, kron part
-    matrices) is zero."""
+def _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im,
+                   krbar=None, kcbar=None):
+    """Assemble the cotangent dict: streams/diag/psi/kron-matrices carry
+    gradients, everything structural (parts, step sizes, mirror streams)
+    is zero."""
     zbar_rr, zbar_ri, zbar_cr, zbar_ci, zbar_kr, zbar_ki = zbar
     out = {k: jnp.zeros_like(v) for k, v in data.items()}
     # hi and lo words are summed in-kernel -> identical cotangents; the
@@ -963,6 +1049,8 @@ def _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im):
     if zbar_kr is not None:
         out["zkh_re"], out["zkh_im"] = zbar_kr, zbar_ki
         out["zkl_re"], out["zkl_im"] = zbar_kr, zbar_ki
+    if krbar is not None:
+        out["kr"], out["kc"] = krbar, kcbar
     out["diag"] = dbar
     out["diag_lo"] = dbar
     out["psi_re"], out["psi_im"] = lam0_re, lam0_im
@@ -976,8 +1064,9 @@ def fused_evolve(method, interpret, data):
     ``data`` is the dict built by :func:`prepare_fused_inputs` — all of
     z*/diag*/psi* carry a leading Monte-Carlo runs axis mapped onto the
     kernel grid.  Differentiable in the stage coefficients (hi+lo), the
-    interaction diagonal and the initial state; step sizes / part stacks
-    / kron matrices / mirror-node streams are constant.
+    interaction diagonal, the initial state and the kron part matrices
+    (XY qubit-distance gradients); step sizes / row-col part stacks /
+    mirror-node streams are constant.
     """
     return _build_call(data, method, interpret, bwd=False, states=False)
 
@@ -992,12 +1081,16 @@ def _fused_bwd(method, interpret, res, cot):
     lamF_re, lamF_im = cot
     R, n_steps, pr, pc, nb, K = _dims(data)
     _, _, S = _tableau(method)
-    (lam0_re, lam0_im, zbar_packed, dbar) = _build_call(
+    outs = _build_call(
         data, method, interpret, bwd=True, states=False,
         extra_in=(outF_re, outF_im, lamF_re, lamF_im),
     )
+    lam0_re, lam0_im, zbar_packed, dbar = outs[:4]
+    krbar, kcbar = (outs[4], outs[5]) if K else (None, None)
     zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, K, S)
-    return (_zero_like_aux(data, zbar, dbar, lam0_re, lam0_im),)
+    return (
+        _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im, krbar, kcbar),
+    )
 
 
 fused_evolve.defvjp(_fused_fwd, _fused_bwd)
@@ -1032,13 +1125,17 @@ def _fused_states_bwd(method, interpret, slots, n_eval, last_slot, res, cot):
     lam_re, lam_im = cot
     R, n_steps, pr, pc, nb, K = _dims(data)
     _, _, S = _tableau(method)
-    (lam0_re, lam0_im, zbar_packed, dbar) = _build_call(
+    outs = _build_call(
         data, method, interpret, bwd=True, states=True,
         slots=slots, n_eval=n_eval, last_slot=last_slot,
         extra_in=(states_re, states_im, lam_re, lam_im),
     )
+    lam0_re, lam0_im, zbar_packed, dbar = outs[:4]
+    krbar, kcbar = (outs[4], outs[5]) if K else (None, None)
     zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, K, S)
-    return (_zero_like_aux(data, zbar, dbar, lam0_re, lam0_im),)
+    return (
+        _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im, krbar, kcbar),
+    )
 
 
 fused_evolve_states.defvjp(_fused_states_fwd, _fused_states_bwd)

@@ -15,6 +15,17 @@ os.environ["XLA_FLAGS"] = (
     + " --xla_force_host_platform_device_count=8"
 )
 
+# Persistent compilation cache: the suite is XLA-CPU-compile-bound (the
+# big grad-of-scan programs take 10-60 s each to compile), and the
+# `run_isolated` subprocess guards recompile from scratch every run.
+# Caching compiled executables on disk makes reruns and the subprocess
+# tests skip those compiles entirely.  Set via env vars (not
+# jax.config.update) so run_isolated children inherit them.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 # XLA's CPU backend compiles large grad-of-scan programs with deep
 # recursion on the calling thread; with the default 8 MB stack rlimit the
 # compiler overflows the MAIN-thread stack when invoked late in the suite

@@ -178,7 +178,7 @@ def test_spam_state_prep_errors(two_atom_register):
 def test_noise_param_gradient(two_atom_register):
     """Differentiability through a Lindblad noise parameter
     (BASELINE.json config #5)."""
-    seq = make_simple_sequence(two_atom_register, duration=150)
+    seq = make_simple_sequence(two_atom_register, duration=60)
     obs = total_magnetization(2)
 
     def f(rate):

@@ -122,7 +122,7 @@ def test_sharded_mesolve_matches_unsharded(two_atom_register, mesh8):
     }
     from pulser_diff_tpu.core import Register
 
-    seq = make_simple_sequence(Register(reg_d), duration=80)
+    seq = make_simple_sequence(Register(reg_d), duration=48)
     cfg = SimConfig(noise="dephasing", dephasing_rate=0.3)
     sim = TpuEmulator.from_sequence(
         seq, config=cfg, evaluation_times="Minimal"

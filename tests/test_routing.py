@@ -15,7 +15,7 @@ from .conftest import make_simple_sequence
 
 
 def _sim(two_atom_register, **kw):
-    seq = make_simple_sequence(two_atom_register, duration=80)
+    seq = make_simple_sequence(two_atom_register, duration=48)
     return TpuEmulator.from_sequence(
         seq, evaluation_times="Minimal", **kw
     )
