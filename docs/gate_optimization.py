@@ -67,22 +67,78 @@ def gate_fidelity(params):
     return (ov_re**2 + ov_im**2) / 16.0
 
 
-if __name__ == "__main__":
-    params = (
-        jnp.full((N_PARAMS,), 3.0),
-        jnp.full((N_PARAMS,), 3.0),
+# %% [markdown]
+# ## 4-qubit global Hadamard (the reference's second anchor)
+#
+# The reference reaches 99.84 % with a 20-parameter sine-interpolated
+# waveform over 1100 ns (gate_optimization.ipynb cell 29).  Same
+# parametrization here; the nb=16 gate-matrix batch evolves through the
+# fused kernel's batched-state path on TPU.
+
+N_PARAMS4 = 20
+DURATION4 = 1100
+REG4 = Register(
+    {f"q{i}": jnp.array([20.0 * (i % 2) - 10.0, 20.0 * (i // 2) - 10.0])
+     for i in range(4)}
+)
+TARGET4 = H1
+for _ in range(3):
+    TARGET4 = np.kron(TARGET4, H1)
+M4 = interpolate_sine(N_PARAMS4, DURATION4)
+
+
+def gate_fidelity_4q(params):
+    amp_p, det_p = params
+    seq = Sequence(REG4, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp = jax.nn.relu(M4 @ amp_p)
+    det = M4 @ det_p
+    seq.add(Pulse(CustomWaveform(amp), CustomWaveform(det), 0.0), "ryd")
+    sim = TpuEmulator.from_sequence(
+        seq, sampling_rate=SAMPLING_RATE, evaluation_times="Minimal"
     )
-    loss_fn = lambda p: 1.0 - gate_fidelity(p)
+    eye = jnp.eye(16)
+    sim.set_initial_state(Cplx(eye, jnp.zeros_like(eye)))
+    states = sim.run().states  # (n_t, 16, 16)
+    U = states[states.re.shape[0] - 1]
+    tgt = jnp.asarray(TARGET4)
+    ov_re = jnp.sum(tgt * U.re)
+    ov_im = jnp.sum(tgt * U.im)
+    return (ov_re**2 + ov_im**2) / 256.0
+
+
+def optimize(loss_fn, params, epochs, lr=5e-2, label=""):
     vag = jax.jit(jax.value_and_grad(loss_fn))
-    opt = optax.adam(5e-2)
+    opt = optax.adam(lr)
     state = opt.init(params)
     best = (1.0, params)
-    for ep in range(300):
+    for ep in range(epochs):
         loss, g = vag(params)
         upd, state = opt.update(g, state, params)
         params = optax.apply_updates(params, upd)
         if float(loss) < best[0]:
             best = (float(loss), params)
         if ep % 25 == 0:
-            print(f"epoch {ep}: infidelity {float(loss):.6f}")
+            print(f"{label}epoch {ep}: infidelity {float(loss):.6f}")
+    return best
+
+
+if __name__ == "__main__":
+    import os
+
+    params = (
+        jnp.full((N_PARAMS,), 3.0),
+        jnp.full((N_PARAMS,), 3.0),
+    )
+    best = optimize(lambda p: 1.0 - gate_fidelity(p), params, 300)
     print(f"final gate fidelity: {100 * (1 - best[0]):.3f}%")
+
+    if not bool(int(os.environ.get("PDT_DOCS_CI", "0"))):
+        params4 = (
+            jnp.full((N_PARAMS4,), 2.0),
+            jnp.full((N_PARAMS4,), 1.0),
+        )
+        best4 = optimize(
+            lambda p: 1.0 - gate_fidelity_4q(p), params4, 400, label="4q "
+        )
+        print(f"final 4-qubit gate fidelity: {100 * (1 - best4[0]):.3f}%")

@@ -392,6 +392,28 @@ def test_run_spam_eta_with_pallas_solver(two_atom_register):
     assert tot == 6 * 20 * len(res_fast._sim_times)
 
 
+def test_run_spam_eta_xy_with_pallas_solver():
+    """XY + SPAM eta>0 through the MC kernel: the bad-atom config stack
+    carries PER-RUN kron matrices (bad atoms zero W_ij, so R_k/C_k
+    differ per run — data['kr'] ndim 4) and the round-3 kron-cotangent
+    adjoint outputs are run-major too."""
+    from pulser_diff_tpu import SimConfig
+    from pulser_diff_tpu.core import Pulse, Register, Sequence
+
+    reg = Register({f"a{i}": jnp.array([8.0 * i, 0.0]) for i in range(2)})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("mw", "microwave_global")
+    seq.add(Pulse.ConstantPulse(48, 1.2, -0.4, 0.3), "mw")
+    cfg = SimConfig(noise="SPAM", eta=0.4, runs=4, samples_per_run=20)
+    sim = TpuEmulator.from_sequence(
+        seq, config=cfg, evaluation_times="Minimal"
+    )
+    res = sim.run(solver=SolverType.DP5_PALLAS)
+    assert type(res).__name__ == "NoisyResults"
+    tot = sum(sum(r.bitstring_counts.values()) for r in res._results)
+    assert tot == 4 * 20 * len(res._sim_times)
+
+
 def test_pallas_mc_noisy_gradient_matches_xla(two_atom_register):
     """Gradient of a noisy Monte-Carlo loss (doppler draws, fixed keys)
     through the fused MC kernel matches the vmapped XLA solver path."""
