@@ -193,7 +193,26 @@ def jax_tpu(params0: np.ndarray, fused: bool, n_timings: int = 3):
     Returns (times_dict, value, grad): times_dict has 'compile',
     'forward', 'step' (forward+grad) wall-clock seconds.
     """
+    import os
+
     import jax
+
+    # explicit config update: the axon sitecustomize may import jax
+    # before main() exports the env vars, in which case the env route
+    # is a no-op
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "JAX_COMPILATION_CACHE_DIR",
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"
+                ),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
     import jax.numpy as jnp
 
     from pulser_diff_tpu.core import (
@@ -290,6 +309,17 @@ def _with_retries(fn, what: str, attempts: int = 4, backoffs=(15, 45, 90)):
 
 
 def main():
+    # Persistent compilation cache: the TPU compiles (2-3 min each for
+    # the fused + f64 programs) hit the disk cache on driver re-runs,
+    # making the recorded timing reflect execution, not compile jitter.
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
     params0 = np.linspace(1.0, 3.0, N_PARAMS)
 
     # 1. torch baseline FIRST (isolated: a baseline failure must never
