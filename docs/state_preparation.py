@@ -56,17 +56,41 @@ if __name__ == "__main__":
 
     loss_fn = lambda a, d: 1.0 - fidelity(a, d)
     vag = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1)))
-    schedule = optax.exponential_decay(5e-2, 400, 0.3)
-    opt = optax.adam(schedule)
-    params = (amp_p, det_p)
-    state = opt.init(params)
-    best = (1.0, params)
-    for ep in range(2500):
-        loss, grads = vag(*params)
-        upd, state = opt.update(grads, state, params)
-        params = optax.apply_updates(params, upd)
-        if float(loss) < best[0]:
-            best = (float(loss), params)
-        if ep % 100 == 0:
-            print(f"epoch {ep}: infidelity {float(loss):.6f}")
-    print(f"final state fidelity: {100 * (1 - best[0]):.3f}%")
+
+    def adam_phase(params, epochs, lr, label):
+        opt = optax.adam(lr)
+        state = opt.init(params)
+        best = (1.0, params)
+        for ep in range(epochs):
+            loss, grads = vag(*params)
+            upd, state = opt.update(grads, state, params)
+            params = optax.apply_updates(params, upd)
+            if float(loss) < best[0]:
+                best = (float(loss), params)
+            if ep % 250 == 0:
+                print(f"{label} epoch {ep}: infidelity {float(loss):.7f}")
+        return best
+
+    # staged Adam: explore at 1e-2, settle at 1e-3
+    best = adam_phase((amp_p, det_p), 1500, 1e-2, "adam-1")
+    best = adam_phase(best[1], 2500, 1e-3, "adam-2")
+
+    # L-BFGS polish: the 30-dim landscape near the optimum is smooth and
+    # locally quadratic — quasi-Newton converges far past where Adam stalls
+    loss_flat = lambda p: 1.0 - fidelity(p["a"], p["d"])
+    vg = jax.jit(jax.value_and_grad(loss_flat))
+    p = {"a": best[1][0], "d": best[1][1]}
+    opt = optax.lbfgs()
+    state = opt.init(p)
+    best_l = (best[0], p)
+    for ep in range(120):
+        loss, grads = vg(p)
+        upd, state = opt.update(
+            grads, state, p, value=loss, grad=grads, value_fn=loss_flat
+        )
+        p = optax.apply_updates(p, upd)
+        if float(loss) < best_l[0]:
+            best_l = (float(loss), p)
+        if ep % 20 == 0:
+            print(f"lbfgs epoch {ep}: infidelity {float(loss):.8f}")
+    print(f"final state fidelity: {100 * (1 - best_l[0]):.4f}%")
