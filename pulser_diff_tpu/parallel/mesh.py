@@ -154,6 +154,58 @@ def sharded_expectation_step(
     return step
 
 
+def sharded_sesolve(
+    ham_data,
+    psi0: Cplx,
+    grid: TimeGrid,
+    mesh: Mesh,
+    axis: str = "state",
+    solver: str = SolverType.DP5_SE,
+    substeps: int = 1,
+    **solver_kwargs: Any,
+) -> Cplx:
+    """Schrodinger evolution with ONE large statevector sharded over the
+    mesh (the scaling axis for N beyond a single chip's memory).
+
+    The state is stored (nb, da, db) with da = d^(n//2); its row-group
+    axis is split across ``mesh[axis]`` (``P(None, axis, None)``).  The
+    factorized H application (ops/apply.py h_apply_batched) is row-matmul
+    + col-matmul + diagonal FMA: the row contraction ``hr @ psi`` crosses
+    the shard boundary, and XLA's SPMD partitioner lowers it to a
+    distributed matmul over ICI; the column matmul and the vdW diagonal
+    stay shard-local.  No bespoke collectives (SURVEY.md §2.4 stance).
+    Extension beyond the single-device reference (backend.py:485-494).
+
+    ``da`` must be divisible by the mesh axis size.
+    """
+    from pulser_diff_tpu.solvers import sesolve as _sesolve
+
+    n_shards = mesh.shape[axis]
+    da = psi0.re.shape[-2]
+    if da % n_shards != 0:
+        raise ValueError(
+            f"state row dim {da} not divisible by mesh axis "
+            f"'{axis}' of size {n_shards}"
+        )
+    psi_sh = NamedSharding(mesh, P(None, axis, None))
+    out_sh = NamedSharding(mesh, P(None, None, axis, None))
+
+    def run(hd, p0):
+        p0 = Cplx(
+            jax.lax.with_sharding_constraint(p0.re, psi_sh),
+            jax.lax.with_sharding_constraint(p0.im, psi_sh),
+        )
+        return _sesolve(
+            hd, p0, grid, solver=solver, substeps=substeps, **solver_kwargs
+        )
+
+    fn = jax.jit(run, out_shardings=out_sh)
+    psi0 = Cplx(
+        jax.device_put(psi0.re, psi_sh), jax.device_put(psi0.im, psi_sh)
+    )
+    return fn(ham_data, psi0)
+
+
 def sharded_mesolve(
     ham_data,
     rho0: Cplx,
