@@ -279,6 +279,54 @@ def jax_tpu(params0: np.ndarray, fused: bool, n_timings: int = 3):
     return times, float(v), np.asarray(jax.device_get(g))
 
 
+def jax_tpu_subprocess(params0: np.ndarray, fused: bool, n_timings: int):
+    """Run jax_tpu in a FRESH interpreter and parse its one-line JSON.
+
+    Necessary for retry semantics: jax caches a failed backend init
+    per-process (xla_bridge records the platform error), so when the
+    remote TPU tunnel is transiently unavailable an in-process retry can
+    never succeed — observed during round 3 as a ~30 min UNAVAILABLE
+    window.  A subprocess per attempt re-initializes the backend from
+    scratch."""
+    import os
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--child",
+        "fused" if fused else "f64",
+        str(n_timings),
+        json.dumps(list(np.asarray(params0, dtype=float))),
+    ]
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=3600,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"TPU child exited rc={proc.returncode}: "
+            f"{proc.stdout[-400:]} {proc.stderr[-400:]}"
+        )
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    return out["times"], out["value"], np.asarray(out["grad"])
+
+
+def _child_main(which: str, n_timings: int, params_json: str) -> None:
+    import os
+
+    if os.environ.get("PDT_BENCH_CPU"):  # mechanism test without a TPU
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    params0 = np.asarray(json.loads(params_json), dtype=float)
+    times, v, g = jax_tpu(
+        params0, fused=(which == "fused"), n_timings=n_timings
+    )
+    print(json.dumps({"times": times, "value": v, "grad": list(map(float, g))}))
+
+
 # torch-CPU baseline recorded from full runs of torch_baseline() on this
 # container (rounds 1-2: 136.6-175 s; the host is shared, so live runs
 # jitter).  The reported denominator is min(live, recorded): conservative
@@ -287,10 +335,13 @@ def jax_tpu(params0: np.ndarray, fused: bool, n_timings: int = 3):
 _RECORDED_TORCH_BASELINE_S = 136.6
 
 
-def _with_retries(fn, what: str, attempts: int = 4, backoffs=(15, 45, 90)):
-    """Bounded retries with backoff for transient remote-compile / HTTP
-    errors (the round-1 artifact died on a single
-    'response body closed before all bytes were read')."""
+def _with_retries(fn, what: str, attempts: int = 6,
+                  backoffs=(15, 45, 90, 180, 360)):
+    """Bounded retries with backoff for transient remote-compile / HTTP /
+    tunnel-unavailable errors (round 1: a single 'response body closed
+    before all bytes were read'; round 3: a ~30 min backend-init
+    UNAVAILABLE window).  Worst case ~12 min of waiting; each attempt is
+    a fresh subprocess so backend init is actually re-tried."""
     last = None
     for i in range(attempts):
         try:
@@ -346,7 +397,7 @@ def main():
     t_fused = v_fused = g_fused = None
     try:
         t_fused, v_fused, g_fused = _with_retries(
-            lambda: jax_tpu(params0, fused=True, n_timings=5),
+            lambda: jax_tpu_subprocess(params0, fused=True, n_timings=5),
             "jax/TPU fused",
         )
         print(
@@ -365,8 +416,8 @@ def main():
     t_f64 = v_f64 = g_f64 = None
     try:
         t_f64, v_f64, g_f64 = _with_retries(
-            lambda: jax_tpu(params0, fused=False), "jax/TPU f64",
-            attempts=2, backoffs=(20,),
+            lambda: jax_tpu_subprocess(params0, fused=False, n_timings=3),
+            "jax/TPU f64", attempts=3, backoffs=(20, 120),
         )
         print(
             f"[bench] jax/TPU f64 XLA path: {t_f64['step']*1e3:.1f} ms  "
@@ -419,4 +470,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        _child_main(sys.argv[2], int(sys.argv[3]), sys.argv[4])
+    else:
+        main()

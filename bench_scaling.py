@@ -1,0 +1,132 @@
+"""Scaling probe: fused-kernel evolution + adjoint grad beyond the
+12-atom headline (bench.py).
+
+Runs the bench.py workload shape at N atoms (default 16 -> 65,536-dim
+state, da=db=256 factor matrices) through the fused DP5 Pallas kernel
+and the f64 XLA path, reporting wall-clock and fused-vs-f64 accuracy.
+The torch-CPU reference architecture is architecturally unable to touch
+this size (the 12-atom workload already costs it 137+ s; the sparse
+term-list closure scales ~16x per added atom pair) — so this probe has
+no live baseline column, it demonstrates headroom.
+
+Not part of the driver bench contract (bench.py stays the ONE-json-line
+artifact); run manually: python bench_scaling.py [N].
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+DURATION = 660
+N_PARAMS = 8
+SAMPLING_RATE = 0.25
+DET0 = -2.0
+SPACING = 10.0
+
+
+def run(n_qubits: int, fused: bool, n_timings: int = 3):
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    import jax
+    import jax.numpy as jnp
+
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        CustomWaveform,
+        MockDevice,
+        Pulse,
+        Register,
+        Sequence,
+    )
+    from pulser_diff_tpu.model import QuantumModel
+    from pulser_diff_tpu.ops import total_magnetization
+    from pulser_diff_tpu.ops.linalg import _interpolate_sine_np
+
+    coords = [
+        (SPACING * (i % 4), SPACING * (i // 4)) for i in range(n_qubits)
+    ]
+    reg = Register.from_coordinates(coords, prefix="q")
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    amp_var = seq.declare_variable("amp_samples", size=DURATION)
+    seq.add(
+        Pulse(
+            CustomWaveform(amp_var, duration=DURATION),
+            ConstantWaveform(DURATION, DET0),
+            0.0,
+        ),
+        "ryd",
+    )
+    M = jnp.asarray(_interpolate_sine_np(N_PARAMS, DURATION))
+    model = QuantumModel(
+        seq,
+        {"amp_samples": ((jnp.linspace(1.0, 3.0, N_PARAMS),), lambda v: M @ v)},
+        sampling_rate=SAMPLING_RATE,
+        evaluation_times="Minimal",
+        fused=fused,
+    )
+    obs = total_magnetization(n_qubits)
+    exp_fn = model.expectation_fn(obs)
+
+    def loss(p):
+        _, vals = exp_fn({"amp_samples_0": p})
+        return vals[-1]
+
+    vag = jax.jit(jax.value_and_grad(loss))
+    p = jnp.linspace(1.0, 3.0, N_PARAMS)
+    t0 = time.perf_counter()
+    v, g = vag(p)
+    jax.block_until_ready((v, g))
+    t_compile = time.perf_counter() - t0
+    ts = []
+    for _ in range(n_timings):
+        t0 = time.perf_counter()
+        out = vag(p)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    return (
+        t_compile,
+        min(ts),
+        float(v),
+        np.asarray(jax.device_get(g)),
+    )
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    c1, t_fused, v_fused, g_fused = run(n, fused=True)
+    print(
+        f"[scaling] N={n} fused: compile={c1:.1f}s step={t_fused*1e3:.2f}ms "
+        f"value={v_fused:.9f}",
+        file=sys.stderr,
+    )
+    c2, t_f64, v_f64, g_f64 = run(n, fused=False)
+    print(
+        f"[scaling] N={n} f64:   compile={c2:.1f}s step={t_f64*1e3:.2f}ms "
+        f"value={v_f64:.9f}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "n_qubits": n,
+                "dim": 2**n,
+                "fused_step_s": round(t_fused, 6),
+                "f64_step_s": round(t_f64, 6),
+                "value_diff": float(abs(v_fused - v_f64)),
+                "grad_diff": float(np.abs(g_fused - g_f64).max()),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
