@@ -152,3 +152,26 @@ def test_plotting_smoke(tmp_path):
         ln.get_linestyle() == "--" for ln in ax_amp.lines
     )  # phase-shift marker
     plt.close("all")
+
+
+def test_bench_tpu_child_subprocess():
+    """The bench driver artifact's per-attempt TPU subprocess: the child
+    must emit one parseable JSON line (mechanism-tested on CPU via
+    PDT_BENCH_CPU; on hardware the same child runs against the TPU)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PDT_BENCH_CPU="1")
+    proc = subprocess.run(
+        [
+            sys.executable, "/root/repo/bench.py", "--child", "f64", "1",
+            json.dumps(list(np.linspace(1.0, 3.0, 8))),
+        ],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(out) == {"times", "value", "grad"}
+    assert len(out["grad"]) == 8
+    assert np.isfinite(out["value"])
