@@ -168,6 +168,40 @@ def test_sharded_sesolve_matches_unsharded(mesh8):
         sharded_sesolve(hd, Cplx(psi0.re[:, :4], psi0.im[:, :4]), grid, mesh)
 
 
+def test_sharded_sesolve_xy_kron_terms(mesh8):
+    """Sharded statevector solve with XY kron-pair terms: the
+    R @ Psi @ C^T einsums must partition correctly too."""
+    from pulser_diff_tpu.core import MockDevice, Pulse, Register, Sequence
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.parallel import sharded_sesolve
+    from pulser_diff_tpu.solvers import TimeGrid, sesolve
+
+    reg = Register(
+        {
+            f"q{i}": jnp.array([7.0 * np.cos(a), 7.0 * np.sin(a)])
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 6, endpoint=False))
+        }
+    )
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("mw", "microwave_global")
+    seq.add(Pulse.ConstantPulse(60, 1.5, 0.4, 0.3), "mw")
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    h = sim._hamiltonian
+    assert h._ham_data.kron_row is not None  # XY cross-group pairs exist
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    p0 = sim.initial_state
+    psi0 = Cplx(p0.re.T.reshape(1, 8, 8), p0.im.T.reshape(1, 8, 8))
+    mesh = make_mesh({"state": 8})
+    plain = sesolve(h._ham_data, psi0, grid)
+    shard = sharded_sesolve(h._ham_data, psi0, grid, mesh)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(plain.re)),
+        np.asarray(jax.device_get(shard.re)),
+        atol=1e-12,
+    )
+    assert len({s.device for s in shard.re.addressable_shards}) == 8
+
+
 def test_sharded_mesolve_matches_unsharded(two_atom_register, mesh8):
     """Density-matrix row sharding over the mesh: same states, and the
     noise-rate gradient survives the sharded path."""
