@@ -1,0 +1,113 @@
+"""Seeded fuzz parity: random sequences over the waveform zoo vs the
+scipy golden model.
+
+The reference's test strategy uses random fixtures + flaky retries
+(SURVEY.md §4, conftest.py:25-87); here the randomness is SEEDED so every
+failure is reproducible, and each draw mixes waveform families, phases,
+delays and local-target switches — the sampler/assembly edge cases one
+fixed sequence per test never covers."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from pulser_diff_tpu import TpuEmulator
+from pulser_diff_tpu.core import (
+    BlackmanWaveform,
+    CompositeWaveform,
+    ConstantWaveform,
+    CustomWaveform,
+    InterpolatedWaveform,
+    KaiserWaveform,
+    MockDevice,
+    Pulse,
+    RampWaveform,
+    Sequence,
+)
+
+from .golden import golden_sesolve
+from .metrics import ATOL_WF
+from .test_solvers import states_matrix
+
+
+def _random_amp_wf(rng: np.random.Generator, dur: int):
+    kind = rng.integers(0, 6)
+    if kind == 0:
+        return ConstantWaveform(dur, float(rng.uniform(0.5, 3.0)))
+    if kind == 1:
+        return RampWaveform(
+            dur, float(rng.uniform(0.0, 2.0)), float(rng.uniform(0.0, 2.0))
+        )
+    if kind == 2:
+        return BlackmanWaveform(dur, float(rng.uniform(1.0, 4.0)))
+    if kind == 3:
+        return KaiserWaveform(dur, float(rng.uniform(1.0, 4.0)))
+    if kind == 4:
+        return CustomWaveform(
+            np.abs(rng.normal(1.5, 0.5, dur)).astype(float)
+        )
+    return InterpolatedWaveform(
+        dur, np.abs(rng.normal(1.5, 0.6, 5)).astype(float)
+    )
+
+
+def _random_det_wf(rng: np.random.Generator, dur: int):
+    kind = rng.integers(0, 3)
+    if kind == 0:
+        return ConstantWaveform(dur, float(rng.uniform(-2.0, 2.0)))
+    if kind == 1:
+        return RampWaveform(
+            dur, float(rng.uniform(-2.0, 0.0)), float(rng.uniform(0.0, 2.0))
+        )
+    half = dur // 2
+    return CompositeWaveform(
+        ConstantWaveform(half, float(rng.uniform(-1.0, 1.0))),
+        RampWaveform(dur - half, 0.0, float(rng.uniform(-1.0, 1.0))),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_random_sequence_vs_golden(seed):
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    reg_d = {
+        "q0": jnp.asarray(rng.uniform(-6, -3, 2)),
+        "q1": jnp.asarray(rng.uniform(3, 6, 2)),
+    }
+    from pulser_diff_tpu.core import Register
+
+    seq = Sequence(Register(reg_d), MockDevice)
+    seq.declare_channel("glob", "rydberg_global")
+    seq.declare_channel("loc", "rydberg_local", initial_target="q0")
+    for _ in range(int(rng.integers(1, 3))):
+        dur = int(rng.integers(40, 120))
+        seq.add(
+            Pulse(
+                _random_amp_wf(rng, dur),
+                _random_det_wf(rng, dur),
+                float(rng.uniform(0, 2 * np.pi)),
+            ),
+            "glob",
+        )
+        if rng.random() < 0.5:
+            seq.delay(int(rng.integers(8, 30)), "glob")
+    if rng.random() < 0.7:
+        seq.target("q1", "loc")
+    dur = int(rng.integers(40, 100))
+    seq.add(
+        Pulse(
+            _random_amp_wf(rng, dur),
+            _random_det_wf(rng, dur),
+            float(rng.uniform(0, 2 * np.pi)),
+        ),
+        "loc",
+    )
+
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.25)
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)
+    assert np.abs(psi - ref).max() < ATOL_WF
