@@ -67,6 +67,109 @@ def _random_det_wf(rng: np.random.Generator, dur: int):
     )
 
 
+@pytest.mark.parametrize("seed", [10, 11])
+def test_random_xy_sequence_vs_golden(seed):
+    """XY (microwave) fuzz: random in-plane magnetic field angle, random
+    coords, random drive — the C3(1-3cos^2)/r^3 kron-pair terms vs the
+    golden dense H."""
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    from pulser_diff_tpu.core import Register
+
+    reg_d = {
+        f"q{i}": jnp.asarray(rng.uniform(-8, 8, 2))
+        for i in range(3)
+    }
+    seq = Sequence(Register(reg_d), MockDevice)
+    seq.set_magnetic_field(
+        float(rng.uniform(-20, 20)), float(rng.uniform(-20, 20)),
+        float(rng.uniform(5, 30)),
+    )
+    seq.declare_channel("mw", "microwave_global")
+    for _ in range(int(rng.integers(1, 3))):
+        dur = int(rng.integers(40, 100))
+        seq.add(
+            Pulse(
+                _random_amp_wf(rng, dur),
+                _random_det_wf(rng, dur),
+                float(rng.uniform(0, 2 * np.pi)),
+            ),
+            "mw",
+        )
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.25)
+    res = sim.run()
+    psi = states_matrix(res)[:, :, 0]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_sesolve(seq, MockDevice, t)
+    assert np.abs(psi - ref).max() < ATOL_WF
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_random_lindblad_mix_vs_golden(seed):
+    """Mixed Lindblad channels with random rates vs golden mesolve."""
+    from pulser_diff_tpu import SimConfig
+
+    from .golden import golden_mesolve
+    from .metrics import ATOL_NOISE
+
+    rng = np.random.default_rng(seed)
+    import jax.numpy as jnp
+
+    from pulser_diff_tpu.core import Register
+
+    reg_d = {
+        "q0": jnp.asarray(rng.uniform(-6, -3, 2)),
+        "q1": jnp.asarray(rng.uniform(3, 6, 2)),
+    }
+    seq = Sequence(Register(reg_d), MockDevice)
+    seq.declare_channel("glob", "rydberg_global")
+    dur = int(rng.integers(80, 160))
+    seq.add(
+        Pulse(
+            _random_amp_wf(rng, dur),
+            _random_det_wf(rng, dur),
+            float(rng.uniform(0, 2 * np.pi)),
+        ),
+        "glob",
+    )
+    chans = ["dephasing", "depolarizing", "relaxation"]
+    picks = [c for c in chans if rng.random() < 0.7] or ["dephasing"]
+    rates = {c: float(rng.uniform(0.03, 0.2)) for c in picks}
+    cfg = SimConfig(
+        noise=tuple(picks),
+        **{f"{c}_rate": r for c, r in rates.items()},
+    )
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times=0.25)
+    res = sim.run()
+    rho = np.asarray(jax.device_get(res.states.re)) + 1j * np.asarray(
+        jax.device_get(res.states.im)
+    )
+
+    Z = np.diag([1.0, -1.0]).astype(complex)
+    X = np.array([[0, 1.0], [1, 0]], dtype=complex)
+    Y = np.array([[0, -1j], [1j, 0]])
+    SGR = np.array([[0, 0], [1.0, 0]], dtype=complex)  # |g><r|
+
+    def lift(op, site):
+        out = np.array([[1.0 + 0j]])
+        for k in range(2):
+            out = np.kron(out, op if k == site else np.eye(2))
+        return out
+
+    locs = []
+    if "dephasing" in picks:
+        locs.append(np.sqrt(rates["dephasing"] / 2) * Z)
+    if "depolarizing" in picks:
+        locs += [np.sqrt(rates["depolarizing"] / 4) * m for m in (X, Y, Z)]
+    if "relaxation" in picks:
+        locs.append(np.sqrt(rates["relaxation"]) * SGR)
+    collapse = [lift(m, i) for m in locs for i in range(2)]
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = golden_mesolve(seq, MockDevice, t, collapse)
+    assert np.abs(rho - ref).max() < ATOL_NOISE
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 def test_random_sequence_vs_golden(seed):
     rng = np.random.default_rng(seed)
