@@ -300,7 +300,7 @@ def jax_tpu_subprocess(params0: np.ndarray, fused: bool, n_timings: int):
         json.dumps(list(np.asarray(params0, dtype=float))),
     ]
     proc = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=3600,
+        cmd, capture_output=True, text=True, timeout=1800,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     sys.stderr.write(proc.stderr)
