@@ -152,8 +152,17 @@ def main(n_qubits: int = 12) -> None:
     tA = timed("A full model step   ", loss_full, p)
     tB = timed("B solve-only (kernel)", loss_solve, streams0)
     tC = timed("C prep-only (sampler)", loss_prep, p)
+
+    # D: trivial program — measures the fixed per-execution cost of this
+    # backend (dispatch + any remote-tunnel round trip), the floor every
+    # jitted step pays regardless of its content.
+    def loss_trivial(pp):
+        return jnp.sum(jnp.sin(pp))
+
+    tD = timed("D trivial jitted fn  ", loss_trivial, p)
     print(
-        f"[profile] residual A-(B+C) = {(tA - tB - tC)*1e3:.2f} ms",
+        f"[profile] residual A-(B+C) = {(tA - tB - tC)*1e3:.2f} ms; "
+        f"dispatch floor D = {tD*1e3:.2f} ms",
         file=sys.stderr,
     )
 
