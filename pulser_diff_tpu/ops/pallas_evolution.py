@@ -454,46 +454,77 @@ class _Refs:
         rest = list(it)
         assert not rest, f"unconsumed refs: {len(rest)}"
 
-    def side(self, k, s, *, K, pr, pc, mirror=False):
+    def load_step(self, k, *, K, bwd=False):
+        """Hoisted per-step loads (one dynamic slice per stream array per
+        STEP instead of per stage; stages then index the loaded values at
+        static positions).  Enabled by _HOIST_STEP_LOADS."""
+        d = {"zf": [z[k] for z in self.zf]}
+        if bwd:
+            d["zb"] = [z[k] for z in self.zb]
+        if K:
+            d["zkf"] = [z[k] for z in self.zkf]
+            if bwd:
+                d["zkb"] = [z[k] for z in self.zkb]
+        return d
+
+    def side(self, k, s, *, K, pr, pc, mirror=False, zstep=None):
         """Assemble one stage's _Side from the streams at (step k,
         stage s); ``mirror=True`` uses the reverse-time reconstruction
-        node streams (hi-word only)."""
+        node streams (hi-word only).  With ``zstep`` (from load_step),
+        stream values come from the hoisted per-step loads and ``k`` is
+        unused."""
+        if zstep is not None:
+            zf = zstep["zf"]
+            zb = zstep.get("zb")
+            zkf = zstep.get("zkf")
+            zkb = zstep.get("zkb")
+
+            def f(i):
+                return zf[i][s]
+
+            def b(i):
+                return zb[i][s]
+
+            def kf(i, j):
+                return zkf[i][s, j]
+
+            def kb_(i, j):
+                return zkb[i][s, j]
+        else:
+            def f(i):
+                return self.zf[i][k, s]
+
+            def b(i):
+                return self.zb[i][k, s]
+
+            def kf(i, j):
+                return self.zkf[i][k, s, j]
+
+            def kb_(i, j):
+                return self.zkb[i][k, s, j]
+
         if mirror:
-            hr_re, hr_im = _assemble(
-                self.rp, self.rpt, self.zb[0][k, s], self.zb[1][k, s], pr
-            )
-            gc_re, gim = _assemble(
-                self.cp, self.cpt, self.zb[2][k, s], self.zb[3][k, s], pc
-            )
+            hr_re, hr_im = _assemble(self.rp, self.rpt, b(0), b(1), pr)
+            gc_re, gim = _assemble(self.cp, self.cpt, b(2), b(3), pc)
         else:
             hr_re, hr_im = _assemble_hl(
-                self.rp, self.rpt,
-                self.zf[0][k, s], self.zf[1][k, s],
-                self.zf[2][k, s], self.zf[3][k, s], pr,
+                self.rp, self.rpt, f(0), f(1), f(2), f(3), pr
             )
             gc_re, gim = _assemble_hl(
-                self.cp, self.cpt,
-                self.zf[4][k, s], self.zf[5][k, s],
-                self.zf[6][k, s], self.zf[7][k, s], pc,
+                self.cp, self.cpt, f(4), f(5), f(6), f(7), pc
             )
         kron = None
         if K:
             if mirror:
-                za = [self.zkb[0][k, s, j] for j in range(K)]
-                zb_ = [self.zkb[1][k, s, j] for j in range(K)]
+                za = [kb_(0, j) for j in range(K)]
+                zb_ = [kb_(1, j) for j in range(K)]
             else:
-                za = [
-                    self.zkf[0][k, s, j] + self.zkf[2][k, s, j]
-                    for j in range(K)
-                ]
-                zb_ = [
-                    self.zkf[1][k, s, j] + self.zkf[3][k, s, j]
-                    for j in range(K)
-                ]
+                za = [kf(0, j) + kf(2, j) for j in range(K)]
+                zb_ = [kf(1, j) + kf(3, j) for j in range(K)]
             kron = (self.kr, self.krt, self.kc, self.kct, za, zb_)
         return _Side(
             hr_re, hr_im, gc_re, -gim,
-            self.diag[...], self.diag_lo[...], kron,
+            self.diag_v, self.diag_lo_v, kron,
         )
 
 
@@ -501,9 +532,18 @@ def _load_consts(r: _Refs):
     """Materialise the shared VMEM operands once per program."""
     r.rp, r.rpt = r.rp[...], r.rpt[...]
     r.cp, r.cpt = r.cp[...], r.cpt[...]
+    # one load per program instead of two per stage
+    r.diag_v, r.diag_lo_v = r.diag[...], r.diag_lo[...]
     if hasattr(r, "kr"):
         r.kr, r.krt = r.kr[...], r.krt[...]
         r.kc, r.kct = r.kc[...], r.kct[...]
+
+
+# Hoist the per-step stream loads out of the stage loop (one dynamic
+# VMEM slice per array per STEP; stages index the loaded block
+# statically).  Flag-gated until hardware-validated: static slicing of
+# VALUES is a different Mosaic lowering path than slicing refs.
+_HOIST_STEP_LOADS = bool(int(__import__("os").environ.get("PDT_KERNEL_HOIST", "0")))
 
 
 # ----------------------------------------------------------------------
@@ -527,13 +567,20 @@ def _fwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
     def body(k, carry):
         x, y, cx, cy = carry
         h = r.hs[k, 0]
-        bh = [r.hb_hi[k, s] for s in range(S)]
-        bl = [r.hb_lo[k, s] for s in range(S)]
+        if _HOIST_STEP_LOADS:
+            hbk, blk = r.hb_hi[k], r.hb_lo[k]
+            bh = [hbk[s] for s in range(S)]
+            bl = [blk[s] for s in range(S)]
+            zstep = r.load_step(k, K=K)
+        else:
+            bh = [r.hb_hi[k, s] for s in range(S)]
+            bl = [r.hb_lo[k, s] for s in range(S)]
+            zstep = None
 
         def stage(s, xs, ys):
-            return r.side(k, s, K=K, pr=pr, pc=pc).apply_minus_iH(
-                xs, ys, nb
-            )
+            return r.side(
+                k, s, K=K, pr=pr, pc=pc, zstep=zstep
+            ).apply_minus_iH(xs, ys, nb)
 
         dx, dy = _erk_increment(stage, x, y, h, bh, bl, A, B_np, S)
         x, cx = _kahan_add(x, cx, dx)
@@ -662,12 +709,20 @@ def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
     on the costate, and write the packed per-step coefficient cotangents.
     Returns (x0, y0, lx', ly', dbar', krbar', kcbar')."""
     h = r.hs[k, 0]
-    bh = [r.hb_hi[k, s] for s in range(S)]
-    bl = [r.hb_lo[k, s] for s in range(S)]
+    if _HOIST_STEP_LOADS:
+        hbk, blk = r.hb_hi[k], r.hb_lo[k]
+        bh = [hbk[s] for s in range(S)]
+        bl = [blk[s] for s in range(S)]
+        zstep = r.load_step(k, K=K, bwd=True)
+    else:
+        bh = [r.hb_hi[k, s] for s in range(S)]
+        bl = [r.hb_lo[k, s] for s in range(S)]
+        zstep = None
     bhl = [bh[s] + bl[s] for s in range(S)]
 
-    sides = [r.side(k, s, K=K, pr=pr, pc=pc) for s in range(S)]
-    sides_b = [r.side(k, s, K=K, pr=pr, pc=pc, mirror=True)
+    sides = [r.side(k, s, K=K, pr=pr, pc=pc, zstep=zstep)
+             for s in range(S)]
+    sides_b = [r.side(k, s, K=K, pr=pr, pc=pc, mirror=True, zstep=zstep)
                for s in range(S)]
 
     # --- reconstruct y_k by reverse-time ERK from y_{k+1}: same tableau
