@@ -490,3 +490,61 @@ def test_timegrid_refined(two_atom_register):
     out1 = pallas_evolve_states(hd, p0, grid, "DP5", interpret=True)
     out2 = pallas_evolve_states(hd, p0, g2, "DP5", interpret=True)
     assert np.abs(out1.to_numpy() - out2.to_numpy()).max() < 5e-6
+
+
+def test_pallas_hoisted_loads_parity(two_atom_register):
+    """PDT_KERNEL_HOIST=1 (per-STEP stream loads, static per-stage
+    indexing) must reproduce the default per-stage-load kernel exactly:
+    the hoist only reorders VMEM loads, not arithmetic.  The flag is
+    read at module import, so the variant runs in a fresh interpreter."""
+    import json
+
+    from .conftest import run_isolated
+
+    sim, h, grid, p0 = _setup(two_atom_register)
+    hd = h._ham_data
+
+    def loss(streams_re):
+        hd2 = hd._replace(row_streams=Cplx(streams_re, hd.row_streams.im))
+        out = pallas_evolve(hd2, p0, grid.times, "DP5", interpret=True)
+        return jnp.sum(out.re**2 - out.im)
+
+    s0 = hd.row_streams.re
+    v_ref, g_ref = jax.value_and_grad(loss)(s0)
+
+    child = """
+import json
+import os
+os.environ["PDT_KERNEL_HOIST"] = "1"
+import numpy as np
+import jax.numpy as jnp
+from pulser_diff_tpu import TpuEmulator
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.ops import pallas_evolution as pe
+assert pe._HOIST_STEP_LOADS
+from pulser_diff_tpu.solvers import TimeGrid
+from tests.conftest import make_rich_sequence
+from pulser_diff_tpu.core import Register
+reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+seq = make_rich_sequence(reg)
+sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+h = sim._hamiltonian
+grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+da, db = h.dim**h._a, h.dim**h._b
+psi0 = sim.initial_state
+p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+hd = h._ham_data
+
+def loss(streams_re):
+    hd2 = hd._replace(row_streams=Cplx(streams_re, hd.row_streams.im))
+    out = pe.pallas_evolve(hd2, p0, grid.times, "DP5", interpret=True)
+    return jnp.sum(out.re**2 - out.im)
+
+v, g = jax.value_and_grad(loss)(hd.row_streams.re)
+print(json.dumps({"v": float(v), "g00": float(g[0, 10]),
+                  "g01": float(g[0, 50])}))
+"""
+    out = json.loads(run_isolated(child).strip().splitlines()[-1])
+    assert abs(out["v"] - float(v_ref)) < 1e-6
+    assert abs(out["g00"] - float(g_ref[0, 10])) < 1e-5
+    assert abs(out["g01"] - float(g_ref[0, 50])) < 1e-5
