@@ -175,3 +175,57 @@ def test_bench_tpu_child_subprocess():
     assert set(out) == {"times", "value", "grad"}
     assert len(out["grad"]) == 8
     assert np.isfinite(out["value"])
+
+
+def test_export_step_roundtrip(tmp_path, two_atom_register):
+    """AOT export of a compiled value_and_grad step: serialize ->
+    deserialize -> identical value and gradient, no Python front-end."""
+    import optax  # noqa: F401  (ensures model deps present)
+
+    from pulser_diff_tpu.model import QuantumModel
+    from pulser_diff_tpu.ops import total_magnetization
+    from pulser_diff_tpu.utils import export_step, load_meta, load_step
+    from .conftest import make_simple_sequence
+    from pulser_diff_tpu.core import Sequence, Pulse, MockDevice
+
+    seq = Sequence(two_atom_register, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    om = seq.declare_variable("om")
+    seq.add(Pulse.ConstantPulse(200, om, -1.0, 0.0), "ryd")
+    model = QuantumModel(seq, {"om": jnp.asarray(1.8)})
+    obs = total_magnetization(2)
+    exp_fn = model.expectation_fn(obs)
+
+    def loss(p):
+        _, vals = exp_fn(p)
+        return vals[-1].real
+
+    step = jax.jit(jax.value_and_grad(loss))
+    p0 = {"om": jnp.asarray(1.8)}
+    v_ref, g_ref = step(p0)
+
+    path = export_step(step, (p0,), str(tmp_path / "step.bin"))
+    meta = load_meta(path)
+    assert meta["platforms"] and meta["nr_args"] == 1
+    loaded = load_step(path)
+    v2, g2 = loaded(p0)
+    assert abs(float(v2) - float(v_ref)) < 1e-12
+    assert abs(float(g2["om"]) - float(g_ref["om"])) < 1e-12
+
+
+def test_load_step_platform_check(tmp_path):
+    from pulser_diff_tpu.utils import export_step, load_step
+
+    def f(x):
+        return (x * x).sum()
+
+    path = export_step(f, (jnp.ones((4,)),), str(tmp_path / "f.bin"))
+    fn = load_step(path)  # same platform: fine
+    assert float(fn(jnp.ones((4,)))) == 4.0
+    with pytest.raises(ValueError):
+        # doctor the sidecar/platforms by exporting for another platform
+        path2 = export_step(
+            f, (jnp.ones((4,)),), str(tmp_path / "g.bin"),
+            platforms=["tpu"],
+        )
+        load_step(path2)
