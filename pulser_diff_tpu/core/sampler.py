@@ -247,7 +247,9 @@ def _sample_channel(
         else:
             if n > 0:
                 segments_amp.append(jnp.zeros((n,), dt))
-                segments_det.append(jnp.zeros((n,), dt))
+                # EOM-mode waits idle at the locked off-detuning
+                det_val = slot.det_off if slot.kind == "eom_delay" else 0.0
+                segments_det.append(jnp.full((n,), det_val, dt))
                 segments_phase.append(jnp.broadcast_to(last_phase, (n,)))
         cursor = slot.tf
 
@@ -288,41 +290,75 @@ def _modulate(cs: ChannelSamples, ch: Channel) -> ChannelSamples:
     their boundary values (edge padding, pulser's keep_ends).  The
     modulated samples extend by the 2*rise_time fall time.
 
-    EOM blocks are modulated with the EOM's (much faster) bandwidth:
-    amp/det inside the block windows go through the EOM response, the
-    rest through the standard channel response, and the two outputs sum
-    (disjoint supports up to the respective rise tails)."""
+    EOM + standard modulation combine by MASKED COMPOSITION, pulser's
+    per-block design (the reference consumes it through pulser's sampler
+    at ref backend.py:695-705): the FULL programmed amp/det streams are
+    modulated twice — once with the channel's standard bandwidth and
+    once with the EOM's (much faster) bandwidth — and the output takes
+    the EOM-modulated samples inside each EOM block plus its
+    ``2*eom_rise_time`` fall-time extension window (overlapping decay
+    tail after a closed block; the whole remaining tail after an
+    open-ended block), and the standard-modulated samples everywhere
+    else.  Because BOTH convolutions see the full stream, transitions at
+    block boundaries are smooth responses to the same underlying signal
+    rather than artificial edges toward zero (which the pre-round-4
+    disjoint-support dual-window sum produced).  Phase always goes
+    through the standard response (pulser modulates phase with the
+    channel bandwidth regardless of EOM state).
+
+    Pinned against an independent pure-numpy implementation of the same
+    composition at 1e-9 (tests/fixtures/gen_modulated_fixtures.py,
+    ``eom_*`` programs); exact equivalence with a live pulser install
+    cannot be validated in this environment (pulser not installable)."""
     eom = ch.eom_config
+    std_rise = ch.rise_time
     if cs.eom_blocks and eom is not None:
         T = cs.duration
-        mask_np = np.zeros(T, dtype=bool)
-        for ti, tf in cs.eom_blocks:
-            mask_np[ti:tf] = True
-        mask = jnp.asarray(mask_np)
-        std_rise = ch.rise_time
         eom_rise = eom.rise_time
+        eom_fall = 2 * eom_rise
 
-        def dual(x, keep_ends):
-            x_std = jnp.where(mask, 0.0, x)
-            x_eom = jnp.where(mask, x, 0.0)
-            a = Channel.apply_modulation(x_std, std_rise, keep_ends)
-            b = Channel.apply_modulation(x_eom, eom_rise, keep_ends=False)
-            n = max(a.shape[0], b.shape[0])
-            if a.shape[0] < n:
-                a = jnp.pad(a, (0, n - a.shape[0]), mode="edge" if keep_ends else "constant")
-            if b.shape[0] < n:
-                b = jnp.pad(b, (0, n - b.shape[0]))
-            return a + b
+        def _extend(a, n, keep_ends):
+            pad = n - a.shape[0]
+            if pad <= 0:
+                return a
+            if keep_ends and a.shape[0] > 0:
+                return jnp.concatenate(
+                    [a, jnp.broadcast_to(a[-1], (pad,))]
+                )
+            return jnp.pad(a, (0, pad))
+
+        def comp(x, keep_ends):
+            mod_std = (
+                Channel.apply_modulation(x, std_rise, keep_ends)
+                if std_rise
+                else x
+            )
+            mod_eom = (
+                Channel.apply_modulation(x, eom_rise, keep_ends)
+                if eom_rise
+                else x
+            )
+            n = max(mod_std.shape[0], mod_eom.shape[0])
+            mod_std = _extend(mod_std, n, keep_ends)
+            mod_eom = _extend(mod_eom, n, keep_ends)
+            mask_np = np.zeros(n, dtype=bool)
+            for ti, tf in cs.eom_blocks:
+                mask_np[ti:tf] = True
+                if tf < T:  # closed block: EOM decay rides its fall time
+                    mask_np[tf : min(tf + eom_fall, n)] = True
+                else:  # sequence ends in EOM mode: tail stays EOM
+                    mask_np[tf:] = True
+            return jnp.where(jnp.asarray(mask_np), mod_eom, mod_std)
 
         return replace(
             cs,
-            amp=dual(cs.amp, False),
-            det=dual(cs.det, True),
+            amp=comp(cs.amp, False),
+            det=comp(cs.det, True),
             phase=Channel.apply_modulation(cs.phase, std_rise, True)
             if std_rise
             else cs.phase,
         )
-    if ch.mod_bandwidth is None or ch.rise_time == 0:
+    if ch.mod_bandwidth is None or std_rise == 0:
         return cs
     return replace(
         cs,

@@ -28,11 +28,14 @@ from pulser_diff_tpu.core.variables import Expr, Variable
 class _TimeSlot:
     """One scheduled item on a channel."""
 
-    kind: str  # "pulse" | "delay" | "target"
+    kind: str  # "pulse" | "delay" | "eom_delay" | "target"
     ti: int
     tf: int
     targets: frozenset
     pulse: Optional[Pulse] = None
+    # "eom_delay" only: the locked off-detuning the drive idles at while
+    # waiting inside an EOM block (amp 0, phase holds its last value)
+    det_off: float = 0.0
 
 
 @dataclass
@@ -257,19 +260,17 @@ class Sequence:
             return
         d = int(duration)
         if channel in self._eom_state:
-            # in EOM mode the drive idles at the locked off-detuning:
-            # represent the wait as an amp=0 pulse at detuning_off
-            from pulser_diff_tpu.core.waveforms import ConstantWaveform
-
+            # in EOM mode the drive idles at the locked off-detuning with
+            # zero amplitude; the phase stream holds its last value (the
+            # dedicated slot kind keeps the sampler from treating this as
+            # a pulse, which would reset the phase — pulser semantics)
             _, _, det_off = self._eom_state[channel]
-            self._add_concrete(
-                Pulse(
-                    ConstantWaveform(d, 0.0),
-                    ConstantWaveform(d, det_off),
-                    0.0,
-                ),
-                channel,
-                "no-delay",
+            t0 = self.get_duration(channel)
+            self._schedule[channel].append(
+                _TimeSlot(
+                    "eom_delay", t0, t0 + d, self._last_target[channel],
+                    det_off=float(det_off),
+                )
             )
             self._calls.append(_Call("delay", (duration, channel), {}))
             return

@@ -229,3 +229,46 @@ def test_load_step_platform_check(tmp_path):
             platforms=["tpu"],
         )
         load_step(path2)
+
+
+def test_bench_interp_matrix_is_jax_free_and_parity():
+    """bench.py inlines the sine-interpolation matrix in pure numpy so
+    the torch baseline never initializes JAX (a TPU-tunnel outage must
+    not kill the CPU baseline).  Pin the inline copy to the product's."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from pulser_diff_tpu.ops.linalg import _interpolate_sine_np
+
+    got = bench._interp_matrix()
+    want = _interpolate_sine_np(bench.N_PARAMS, bench.DURATION)
+    assert np.abs(got - want).max() < 1e-15
+
+    # and the torch child must run with jax made unimportable
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import json, sys
+        sys.modules["jax"] = None  # any import -> TypeError
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            "bench", "/root/repo/bench.py")
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+        m = bench._interp_matrix()  # the torch baseline's only helper
+        print(json.dumps({"ok": True, "sum": float(m.sum())}))
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-800:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["ok"] and np.isfinite(out["sum"])

@@ -41,14 +41,32 @@ def _fixtures():
         return json.load(f)
 
 
-def _device(mod_bandwidth):
+def _device(mod_bandwidth, eom=None):
     chans = tuple(
-        replace(ch, mod_bandwidth=mod_bandwidth)
+        replace(ch, mod_bandwidth=mod_bandwidth, eom_config=eom)
         if ch.name == "rydberg_global"
         else ch
         for ch in MockDevice.channels
     )
     return replace(MockDevice, channels=chans, name="ModMock")
+
+
+def _eom_config(fix):
+    from pulser_diff_tpu.core import BLUE, RED, RydbergEOM
+
+    p = fix["eom_params"]
+    beams = tuple(
+        {"BLUE": BLUE, "RED": RED}[b]
+        for b in p.get("controlled_beams", ["BLUE"])
+    )
+    return RydbergEOM(
+        mod_bandwidth=fix["eom_bandwidth"],
+        limiting_beam=RED,
+        max_limiting_amp=2 * np.pi * 10.0,
+        intermediate_detuning=2 * np.pi * 700.0,
+        controlled_beams=beams,
+        custom_buffer_time=p.get("custom_buffer_time"),
+    )
 
 
 def _reg():
@@ -80,11 +98,53 @@ def _build(name, fix):
     return seq
 
 
+def _build_eom(name, fix):
+    """Replay the EOM programs the generator assembled by hand through
+    the product's enable_eom_mode/add_eom_pulse/disable_eom_mode path."""
+    seq = Sequence(_reg(), _device(fix["mod_bandwidth"], _eom_config(fix)))
+    seq.declare_channel("g", "rydberg_global")
+    p = fix["eom_params"]
+    if name == "eom_closed_block":
+        seq.add(Pulse.ConstantPulse(240, 1.0, -0.5, 0.2), "g")
+        seq.enable_eom_mode("g", p["amp_on"], p["detuning_on"])
+        seq.add_eom_pulse("g", 100, 1.0)
+        seq.delay(60, "g")
+        seq.add_eom_pulse("g", 80, 1.0)
+        seq.disable_eom_mode("g")
+        seq.add(Pulse.ConstantPulse(120, 1.5, 0.3, 0.7), "g")
+    elif name == "eom_open_end":
+        seq.add(Pulse.ConstantPulse(200, 0.9, 0.6, 0.0), "g")
+        seq.enable_eom_mode("g", p["amp_on"], p["detuning_on"])
+        seq.add_eom_pulse("g", 120, 0.5)
+        seq.delay(80, "g")
+    elif name == "eom_custom_buffer":
+        seq.add(Pulse.ConstantPulse(150, 0.8, 0.1, 0.0), "g")
+        seq.enable_eom_mode(
+            "g", p["amp_on"], p["detuning_on"],
+            optimal_detuning_off=p["optimal_detuning_off"],
+        )
+        seq.add_eom_pulse("g", 90, 0.9)
+        seq.delay(40, "g")
+        seq.add_eom_pulse("g", 50, 0.9)
+        seq.disable_eom_mode("g")
+        seq.delay(60, "g")
+    else:  # pragma: no cover
+        raise KeyError(name)
+    return seq
+
+
 @pytest.mark.parametrize("name", sorted(_fixtures()))
 def test_modulated_samples_match_fixture(name):
     fix = _fixtures()[name]
-    seq = _build(name, fix)
-    raw = sample(seq).channel_samples["g"]
+    if name.startswith("eom_"):
+        seq = _build_eom(name, fix)
+        raw = sample(seq).channel_samples["g"]
+        # the sampled EOM windows and locked off-detuning must match the
+        # generator's independent two-photon computation exactly
+        assert [list(b) for b in raw.eom_blocks] == fix["eom_blocks"]
+    else:
+        seq = _build(name, fix)
+        raw = sample(seq).channel_samples["g"]
     # the programmed streams must match the fixture inputs exactly —
     # otherwise the modulation comparison is vacuous
     np.testing.assert_allclose(
