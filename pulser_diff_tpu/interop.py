@@ -216,6 +216,23 @@ def _device_from_abstract(d: Any) -> Device:
         if dev is None:
             raise ValueError(f"Unknown device name '{d}'.")
         return dev
+    def _eom_from_abstract(e):
+        if e is None:
+            return None
+        from pulser_diff_tpu.core.eom import BLUE, RED, RydbergEOM
+
+        beams = {"RED": RED, "BLUE": BLUE}
+        return RydbergEOM(
+            mod_bandwidth=float(e["mod_bandwidth"]),
+            limiting_beam=beams[e.get("limiting_beam", "RED")],
+            max_limiting_amp=float(e["max_limiting_amp"]),
+            intermediate_detuning=float(e["intermediate_detuning"]),
+            controlled_beams=tuple(
+                beams[b] for b in e.get("controlled_beams", ["BLUE"])
+            ),
+            custom_buffer_time=e.get("custom_buffer_time"),
+        )
+
     channels = tuple(
         Channel(
             name=ch_id,
@@ -228,6 +245,7 @@ def _device_from_abstract(d: Any) -> Device:
             min_duration=spec.get("min_duration", 1),
             max_duration=spec.get("max_duration"),
             mod_bandwidth=spec.get("mod_bandwidth"),
+            eom_config=_eom_from_abstract(spec.get("eom_config")),
         )
         for ch_id, spec in d["channels"].items()
     )
@@ -297,6 +315,23 @@ def from_abstract_repr(obj: Any) -> Sequence:
         elif tag == "target":
             qubits = op["qubits"] if isinstance(op["qubits"], list) else [op["qubits"]]
             seq.target(qubits, op["channel"])
+        elif tag == "enable_eom_mode":
+            seq.enable_eom_mode(
+                op["channel"],
+                float(op["amp_on"]),
+                float(op["detuning_on"]),
+                float(op.get("optimal_detuning_off", 0.0)),
+            )
+        elif tag == "add_eom_pulse":
+            seq.add_eom_pulse(
+                op["channel"],
+                int(op["duration"]),
+                float(op["phase"]),
+                float(op.get("post_phase_shift", 0.0)),
+                protocol=op.get("protocol", "min-delay"),
+            )
+        elif tag == "disable_eom_mode":
+            seq.disable_eom_mode(op["channel"])
         else:
             raise ValueError(f"Unknown abstract operation '{tag}'.")
     if d.get("measurement"):

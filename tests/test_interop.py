@@ -186,6 +186,121 @@ def test_abstract_repr_custom_device_composite():
     assert abs(np.linalg.norm(psi) - 1) < 1e-8
 
 
+def test_abstract_repr_eom():
+    """EOM round 4 coverage: a serialized sequence with an EOM-configured
+    channel and enable/add/disable EOM ops replays and matches the
+    natively-built equivalent exactly, including the locked off-detuning
+    and modulated sampling."""
+    import numpy as np
+    from dataclasses import replace as _dc_replace
+
+    from pulser_diff_tpu import TpuEmulator
+    from pulser_diff_tpu.core import (
+        BlackmanWaveform,
+        ConstantWaveform,
+        MockDevice,
+        Pulse,
+        RampWaveform,
+        Register,
+        RydbergEOM,
+        Sequence,
+        sample,
+    )
+    from pulser_diff_tpu.core.eom import BLUE, RED
+    from pulser_diff_tpu.interop import from_abstract_repr
+
+    seq = from_abstract_repr(_load_fixture("abstract_seq_eom.json"))
+    ch = seq.declared_channels["g"]
+    assert ch.eom_config is not None
+    assert ch.eom_config.mod_bandwidth == 40.0
+    assert seq._eom_blocks["g"], "EOM block was not recorded"
+
+    # natively-built equivalent
+    eom = RydbergEOM(
+        mod_bandwidth=40.0, limiting_beam=RED,
+        max_limiting_amp=2 * np.pi * 10.0,
+        intermediate_detuning=2 * np.pi * 700.0, controlled_beams=(BLUE,),
+    )
+    chans = tuple(
+        _dc_replace(c, mod_bandwidth=8.0, eom_config=eom)
+        if c.name == "rydberg_global" else c
+        for c in MockDevice.channels
+    )
+    dev = _dc_replace(MockDevice, channels=chans, name="EomFixtureDevice")
+    reg = Register({"q0": np.array([-4.0, 0.0]), "q1": np.array([4.0, 0.0])})
+    native = Sequence(reg, dev)
+    native.declare_channel("g", "rydberg_global")
+    native.add(
+        Pulse(BlackmanWaveform(200, 1.5), ConstantWaveform(200, -0.4), 0.0),
+        "g",
+    )
+    native.enable_eom_mode("g", 2.0, 0.0)
+    native.add_eom_pulse("g", 100, 0.6)
+    native.delay(48, "g")
+    native.add_eom_pulse("g", 80, 0.6, 0.2)
+    native.disable_eom_mode("g")
+    native.add(
+        Pulse(ConstantWaveform(120, 1.0), ConstantWaveform(120, 0.3), 0.1),
+        "g",
+    )
+    native.measure("ground-rydberg")
+
+    for mod in (False, True):
+        cs1 = sample(seq, modulation=mod).channel_samples["g"]
+        cs2 = sample(native, modulation=mod).channel_samples["g"]
+        for field in ("amp", "det", "phase"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(cs1, field)),
+                np.asarray(getattr(cs2, field)),
+                atol=1e-12,
+            )
+    r1 = TpuEmulator.from_sequence(
+        seq, with_modulation=True, evaluation_times="Minimal"
+    ).run()
+    psi = r1.states.to_numpy()[-1, :, 0]
+    assert abs(np.linalg.norm(psi) - 1) < 1e-8
+
+
+def test_abstract_repr_slm():
+    """SLM round 4 coverage: serialized slm_mask_targets replay — the
+    masked qubit sees zero amplitude during the first-pulse window."""
+    import numpy as np
+
+    from pulser_diff_tpu import TpuEmulator
+    from pulser_diff_tpu.core import sample
+    from pulser_diff_tpu.interop import from_abstract_repr
+
+    seq = from_abstract_repr(_load_fixture("abstract_seq_slm.json"))
+    assert seq._slm_mask_targets == frozenset({"b"})
+    nested = sample(seq).to_nested_dict()
+    loc = nested["Local"]["ground-rydberg"]
+    amp_b = np.asarray(loc["b"]["amp"])
+    amp_a = np.asarray(loc["a"]["amp"])
+    assert np.all(amp_b[:160] == 0.0)  # masked during the first pulse
+    assert np.any(amp_a[:160] > 0.0)
+    assert np.any(amp_b[200:] > 0.0)  # unmasked afterwards
+    res = TpuEmulator.from_sequence(seq, evaluation_times="Minimal").run()
+    psi = res.states.to_numpy()[-1, :, 0]
+    assert abs(np.linalg.norm(psi) - 1) < 1e-8
+
+
+def test_abstract_repr_xy():
+    """XY round 4 coverage: microwave channel + magnetic field replay."""
+    import numpy as np
+
+    from pulser_diff_tpu import TpuEmulator
+    from pulser_diff_tpu.interop import from_abstract_repr
+
+    seq = from_abstract_repr(_load_fixture("abstract_seq_xy.json"))
+    assert seq._in_xy
+    np.testing.assert_allclose(seq.magnetic_field, [0.8, 0.3, 30.0])
+    assert seq._measurement == "XY"
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    res = sim.run()
+    psi = res.states.to_numpy()[-1, :, 0]
+    assert abs(np.linalg.norm(psi) - 1) < 1e-8
+
+
 # ----------------------------------------------------------------------
 # live-object sequence replay (duck-typed stand-in graph shaped like
 # pulser's Sequence internals — proves from_pulser_sequence end-to-end
