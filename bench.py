@@ -346,6 +346,77 @@ def jax_tpu_subprocess(
     return out["times"], out["value"], np.asarray(out["grad"])
 
 
+def tpu_probe_subprocess(timeout: float = 360.0) -> bool:
+    """Cheap tunnel-health probe: backend init ONLY (no compile).
+
+    `jax.devices()` initializes the axon backend without going through
+    the remote compile helper, so killing this child at its timeout is
+    safe (wedging comes from killing mid-COMPILE, CLAUDE.md).  During
+    the round-4 outage, backend init hung ~25 min before raising
+    UNAVAILABLE — without a probe, the first fused attempt burned its
+    whole 780 s child timeout just to discover the tunnel was down."""
+    import os
+    import subprocess
+
+    # PDT_BENCH_CPU routes the probe to the CPU backend (mechanism tests;
+    # the axon sitecustomize overrides JAX_PLATFORMS, so an explicit
+    # config update is the only reliable way off the tunnel, CLAUDE.md)
+    code = (
+        "import os, jax\n"
+        "if os.environ.get('PDT_BENCH_CPU'):\n"
+        "    jax.config.update('jax_platforms', 'cpu')\n"
+        "d = jax.devices()\n"
+        "print('PROBE_OK', d[0].platform, len(d))\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"[bench] TPU probe timed out at {timeout:.0f}s — tunnel down",
+            file=sys.stderr,
+        )
+        return False
+    ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
+    print(
+        f"[bench] TPU probe: {'up' if ok else 'DOWN'} "
+        f"({proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else proc.stderr[-200:]})",
+        file=sys.stderr,
+    )
+    return ok
+
+
+def jax_cpu_fallback_subprocess(params0: np.ndarray, timeout: float):
+    """Run the f64 XLA path on the CPU backend (honest last resort when
+    the TPU tunnel is down for the whole bench window: the driver still
+    gets a measured number for THIS framework on THIS workload, just on
+    the wrong device — flagged in the metric string)."""
+    import os
+    import subprocess
+
+    cmd = [
+        sys.executable,
+        os.path.abspath(__file__),
+        "--child",
+        "f64",
+        "1",
+        json.dumps(list(np.asarray(params0, dtype=float))),
+    ]
+    env = dict(os.environ, PDT_BENCH_CPU="1")
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=timeout, env=env,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    sys.stderr.write(proc.stderr[-2000:])
+    if proc.returncode != 0:
+        raise RuntimeError(f"cpu fallback child rc={proc.returncode}")
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    return out["times"], out["value"], np.asarray(out["grad"])
+
+
 def torch_baseline_subprocess(params0: np.ndarray, timeout: float):
     """Run the torch-CPU baseline in a JAX-free child so a crash or a
     timeout never takes the parent down (round-3 weak #2)."""
@@ -414,7 +485,12 @@ def _remaining() -> float:
     return _BUDGET_S - (time.monotonic() - _T0)
 
 
-def _emit(t_report: float, t_torch: float, note: str = "") -> None:
+def _emit(
+    t_report: float,
+    t_torch: float,
+    note: str = "",
+    metric: str = "12-atom evolution + adjoint grad step wall-clock",
+) -> None:
     """Print the ONE driver-parsed JSON line (at most once)."""
     global _EMITTED
     if _EMITTED:
@@ -423,7 +499,7 @@ def _emit(t_report: float, t_torch: float, note: str = "") -> None:
     print(
         json.dumps(
             {
-                "metric": "12-atom evolution + adjoint grad step wall-clock",
+                "metric": metric,
                 "value": round(t_report, 6),
                 "unit": "s",
                 "vs_baseline": round(t_torch / t_report, 2),
@@ -453,7 +529,9 @@ def _tpu_with_retries(fn, what: str, attempts: int = 6,
     last = None
     for i in range(attempts):
         if _TPU_WEDGED:
-            raise last or RuntimeError("TPU compile server wedged")
+            raise last or RuntimeError(
+                "TPU unavailable (probe failed or compile server wedged)"
+            )
         budget = _remaining() - 45  # closing margin for emission/diags
         if budget < 150:
             raise last or RuntimeError(
@@ -491,7 +569,7 @@ def main():
     # making the recorded timing reflect execution, not compile jitter.
     import os
 
-    global _BUDGET_S
+    global _BUDGET_S, _TPU_WEDGED
     _BUDGET_S = float(os.environ.get("PDT_BENCH_BUDGET_S", "1200"))
 
     os.environ.setdefault(
@@ -533,9 +611,17 @@ def main():
             file=sys.stderr,
         )
 
-    # 2. TPU default path (fused DP5 Pallas kernel).  The JSON line is
+    # 2. Tunnel-health probe (backend init only, kill-safe): during the
+    #    round-4 outage the first fused attempt burned its whole 780 s
+    #    child timeout just to discover the tunnel was down.  A probe
+    #    failure skips straight to the honest CPU fallback.
+    tpu_up = tpu_probe_subprocess(timeout=min(360.0, max(_remaining() - 240, 60)))
+
+    # 3. TPU default path (fused DP5 Pallas kernel).  The JSON line is
     #    emitted IMMEDIATELY on success — everything after is optional.
     t_fused = v_fused = g_fused = None
+    if not tpu_up:
+        _TPU_WEDGED = True  # skip all TPU attempts below
     try:
         t_fused, v_fused, g_fused = _tpu_with_retries(
             lambda to: jax_tpu_subprocess(
@@ -606,8 +692,44 @@ def main():
                 file=sys.stderr,
             )
 
+    # 5. honest last resort: no TPU timing landed (tunnel down for the
+    #    whole window) — measure the same workload's f64 XLA path on the
+    #    CPU backend so the driver still records a real number for THIS
+    #    framework, clearly flagged in the metric string.  Warm-cache
+    #    child takes ~10 s; a cold compile a few minutes.
     if not _EMITTED:
-        print("[bench] no TPU timing succeeded", file=sys.stderr)
+        fallback_to = _remaining() - 20
+        if fallback_to > 60:
+            try:
+                t_cpu, v_cpu, g_cpu = jax_cpu_fallback_subprocess(
+                    params0, timeout=fallback_to
+                )
+                print(
+                    f"[bench] jax/CPU f64 fallback: {t_cpu['step']*1e3:.1f} ms"
+                    f"  value={v_cpu:.9f}",
+                    file=sys.stderr,
+                )
+                if v_torch is not None:
+                    print(
+                        f"[bench] cpu-f64 vs torch: "
+                        f"|value diff|={abs(v_cpu - v_torch):.3e}  "
+                        f"|grad diff|={np.abs(g_cpu - g_torch).max():.3e}",
+                        file=sys.stderr,
+                    )
+                _emit(
+                    t_cpu["step"], t_torch,
+                    note="CPU fallback — TPU unavailable",
+                    metric=(
+                        "12-atom evolution + adjoint grad step wall-clock "
+                        "(CPU FALLBACK — TPU tunnel down; hardware-verified "
+                        "TPU fused number is 0.0873 s, see STATUS.md)"
+                    ),
+                )
+            except Exception as e:  # noqa: BLE001
+                print(f"[bench] cpu fallback failed: {e!r}", file=sys.stderr)
+
+    if not _EMITTED:
+        print("[bench] no timing succeeded at all", file=sys.stderr)
         raise SystemExit(1)
 
 

@@ -177,6 +177,40 @@ def test_bench_tpu_child_subprocess():
     assert np.isfinite(out["value"])
 
 
+def test_bench_probe_and_cpu_fallback_mechanisms():
+    """Outage resilience mechanisms (round-4: a tunnel outage must still
+    produce a driver-parseable JSON line): the tunnel probe subprocess
+    reports a boolean without raising, and the CPU-fallback child emits
+    the same JSON contract as the TPU child."""
+    import importlib.util
+    import json as _json
+    import subprocess
+    import sys
+
+    spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # probe: under PDT_BENCH_CPU the child pins the CPU backend (the
+    # axon sitecustomize overrides JAX_PLATFORMS, CLAUDE.md), so this
+    # exercises the subprocess/parse mechanism without the tunnel.
+    os.environ["PDT_BENCH_CPU"] = "1"
+    try:
+        t0 = __import__("time").monotonic()
+        up = bench.tpu_probe_subprocess(timeout=120)
+        assert up is True
+        assert __import__("time").monotonic() - t0 < 120
+    finally:
+        os.environ.pop("PDT_BENCH_CPU", None)
+
+    # CPU fallback child: same contract as the TPU child
+    out_times, value, grad = bench.jax_cpu_fallback_subprocess(
+        np.linspace(1.0, 3.0, 8), timeout=600
+    )
+    assert {"compile", "forward", "step"} <= set(out_times)
+    assert np.isfinite(value) and grad.shape == (8,)
+
+
 def test_export_step_roundtrip(tmp_path, two_atom_register):
     """AOT export of a compiled value_and_grad step: serialize ->
     deserialize -> identical value and gradient, no Python front-end."""
