@@ -31,11 +31,18 @@ SPACING = 10.0
 def run(n_qubits: int, fused: bool, n_timings: int = 3):
     import os
 
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
     import jax
+
+    # Env vars are a no-op under the axon sitecustomize (jax imports at
+    # interpreter start); config.update is the effective switch.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization only
+        pass
     import jax.numpy as jnp
 
     from pulser_diff_tpu.core import (

@@ -19,12 +19,13 @@ os.environ["XLA_FLAGS"] = (
 # big grad-of-scan programs take 10-60 s each to compile), and the
 # `run_isolated` subprocess guards recompile from scratch every run.
 # Caching compiled executables on disk makes reruns and the subprocess
-# tests skip those compiles entirely.  Set via env vars (not
-# jax.config.update) so run_isolated children inherit them.
+# tests skip those compiles entirely.  NOTE: env vars alone do NOT work
+# here — the axon sitecustomize imports jax at interpreter start, before
+# this file runs, so jax's config has already read (and missed) them.
+# The effective switch is jax.config.update below; the env var is kept
+# only as the shared path constant.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # XLA's CPU backend compiles large grad-of-scan programs with deep
 # recursion on the calling thread; with the default 8 MB stack rlimit the
@@ -54,6 +55,9 @@ import jax
 # (remote TPU tunnel).  Tests must run on local CPU: override before any
 # backend is initialized.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import jax.numpy as jnp
 
@@ -145,6 +149,12 @@ def run_isolated(code: str, timeout: int = 900) -> str:
         "import jax\n"
         "jax.config.update('jax_platforms', 'cpu')\n"
         "jax.config.update('jax_enable_x64', True)\n"
+        # Env-var cache config is a no-op under the axon sitecustomize
+        # (jax imports before the env reaches it); set it explicitly so
+        # subprocess reruns hit the persistent cache.
+        f"jax.config.update('jax_compilation_cache_dir', {_CACHE_DIR!r})\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)\n"
+        "jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)\n"
     )
     proc = subprocess.run(
         [sys.executable, "-c", pre + code],
