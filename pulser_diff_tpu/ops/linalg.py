@@ -67,14 +67,30 @@ def total_magnetization_diag(n_qubits: int) -> jax.Array:
     return jnp.asarray(_total_magnetization_diag_np(n_qubits), default_dtype())
 
 
-def total_magnetization(n_qubits: int) -> Cplx:
-    """Total magnetization observable sum_i Z_i as a dense matrix.
+# Above this qubit count a dense observable is pure waste: at N=14 the
+# 16384^2 Cplx matrix is ~2 GiB of captured jit constants (blowing the
+# remote-compile payload limit) and at N=16 it is 32 GiB (> one chip's
+# HBM).  Diagonal operators are first-class here: a 1-D Cplx is treated
+# as diag(d) by every expectation consumer (expect below,
+# SimulationResults.expect).
+_DENSE_OBS_MAX_QUBITS = 12
+
+
+def total_magnetization(n_qubits: int, dense: bool | None = None) -> Cplx:
+    """Total magnetization observable sum_i Z_i.
 
     Reference: utils.py:47-65 (there built by sparse kron accumulation).
-    Z_i is diagonal, so the dense matrix is just diag of the bit-count
-    formula -- no kron chain needed.
+    Z_i is diagonal, so no kron chain is needed; returns the dense
+    ``diag`` matrix for small systems (parity with the reference's dense
+    tensor) and the 1-D diagonal representation beyond
+    ``_DENSE_OBS_MAX_QUBITS`` (``dense=True/False`` forces either form).
+    Both forms are accepted everywhere an observable is.
     """
     d = total_magnetization_diag(n_qubits)
+    if dense is None:
+        dense = n_qubits <= _DENSE_OBS_MAX_QUBITS
+    if not dense:
+        return Cplx(d, jnp.zeros_like(d))
     return Cplx(jnp.diag(d), jnp.zeros((d.shape[0], d.shape[0]), d.dtype))
 
 
@@ -86,10 +102,35 @@ def expect(obs: Cplx | jax.Array, states: Cplx) -> Cplx:
       - density matrices:(n_t, dim, dim, n_batch)
       - single square density matrix batch: (n_t, dim, dim)
     A bare (n_t, dim) ket array is promoted to (n_t, dim, 1).
+
+    A 1-D ``obs`` (shape ``(dim,)``) is the diagonal operator ``diag(obs)``
+    -- the memory-scaling form for N > 12 qubits, where the dense matrix
+    would not fit in HBM (see total_magnetization).
     """
     obs = as_cplx(obs, dtype=default_dtype())
     if states.ndim == 2 and states.shape[-1] != states.shape[-2]:
         states = states.reshape(states.shape + (1,))
+
+    if obs.ndim == 1:
+        if states.ndim == 4:
+            states = states.sum(axis=-1)  # dm batch -> summed dm
+        if states.ndim == 3 and states.shape[-1] == states.shape[-2]:
+            # tr(diag(d) rho) = sum_j d_j rho_jj
+            rr = jnp.diagonal(states.re, axis1=-2, axis2=-1)
+            ri = jnp.diagonal(states.im, axis1=-2, axis2=-1)
+            return Cplx(
+                jnp.einsum("j,tj->t", obs.re, rr)
+                - jnp.einsum("j,tj->t", obs.im, ri),
+                jnp.einsum("j,tj->t", obs.re, ri)
+                + jnp.einsum("j,tj->t", obs.im, rr),
+            )
+        # ket batch: <s|diag(d)|s> = sum_j d_j |s_j|^2 with the same
+        # batch-pair summation convention as the dense path below
+        sh = states.sum(axis=-1)
+        p = sh.re * sh.re + sh.im * sh.im  # (n_t, dim)
+        return Cplx(
+            jnp.einsum("j,tj->t", obs.re, p), jnp.einsum("j,tj->t", obs.im, p)
+        )
 
     if states.ndim == 3 and states.shape[-1] == states.shape[-2]:
         # (n_t, dim, dim) density matrices: tr(O rho)
@@ -107,16 +148,21 @@ def expect(obs: Cplx | jax.Array, states: Cplx) -> Cplx:
     if states.ndim == 3:
         # ket batch (n_t, dim, n_batch): sum over batch pairs, as in the
         # reference's einsum "...ij,jk,...kl->..." (utils.py:81)
+        # <s|O|s> = sum_jk conj(s_j) O_jk s_k with s = (re + i im):
+        #   re = re.O.re + im.O.im (O.re part) - re.O.im + im.O.re (O.im)
+        # (the old form negated the obs.im terms -- i.e. <s|conj(O)|s> --
+        # which is invisible for Hermitian observables but wrong in the
+        # imaginary part for general complex ones)
         sh = states.sum(axis=-1)  # (n_t, dim)
         ov = Cplx(
             jnp.einsum("tj,jk,tk->t", sh.re, obs.re, sh.re)
             + jnp.einsum("tj,jk,tk->t", sh.im, obs.re, sh.im)
-            + jnp.einsum("tj,jk,tk->t", sh.re, obs.im, sh.im)
-            - jnp.einsum("tj,jk,tk->t", sh.im, obs.im, sh.re),
+            - jnp.einsum("tj,jk,tk->t", sh.re, obs.im, sh.im)
+            + jnp.einsum("tj,jk,tk->t", sh.im, obs.im, sh.re),
             jnp.einsum("tj,jk,tk->t", sh.re, obs.re, sh.im)
             - jnp.einsum("tj,jk,tk->t", sh.im, obs.re, sh.re)
-            - jnp.einsum("tj,jk,tk->t", sh.re, obs.im, sh.re)
-            - jnp.einsum("tj,jk,tk->t", sh.im, obs.im, sh.im),
+            + jnp.einsum("tj,jk,tk->t", sh.re, obs.im, sh.re)
+            + jnp.einsum("tj,jk,tk->t", sh.im, obs.im, sh.im),
         )
         return ov
 

@@ -92,10 +92,11 @@ class SimulationResults(ABC):
     def expect(self, obs_list: Sequence) -> list[Cplx]:
         """Expectation values of each observable over time.
 
-        Accepts Cplx or array observables of shape (dim^size, dim^size)
-        (pseudo-density path uses 2^size).  Mirrors reference
-        simresults.py:81-129, including the diagonal-observable restriction
-        on the pseudo-density path.
+        Accepts Cplx or array observables of shape (dim^size, dim^size),
+        or 1-D diagonals of shape (dim^size,) — the memory-scaling form
+        for large systems (pseudo-density path uses 2^size).  Mirrors
+        reference simresults.py:81-129, including the diagonal-observable
+        restriction on the pseudo-density path.
         """
         if not isinstance(obs_list, (list, tuple)):
             raise TypeError("`obs_list` must be a list of operators.")
@@ -106,13 +107,13 @@ class SimulationResults(ABC):
         out = []
         for obs in obs_list:
             obs = as_cplx(obs, dtype=default_dtype())
-            if obs.shape != legal:
+            if obs.shape not in (legal, legal[:1]):
                 raise ValueError(
-                    f"Incompatible shape of observable. Expected {legal}, "
-                    f"got {obs.shape}."
+                    f"Incompatible shape of observable. Expected {legal} "
+                    f"or {legal[:1]}, got {obs.shape}."
                 )
             if self._use_pseudo_dens:
-                diag_only = bool(
+                diag_only = obs.ndim == 1 or bool(
                     np.allclose(
                         np.asarray(jax.device_get(obs.re)),
                         np.diag(np.diagonal(np.asarray(jax.device_get(obs.re)))),
@@ -235,12 +236,11 @@ class NoisyResults(SimulationResults):
             moy = self.expect([op])[0]
             states = self.states
             # var = <O^2> - <O>^2 on the diagonal pseudo-densities
-            from pulser_diff_tpu.cplx import cmatmul
+            from pulser_diff_tpu.cplx import as_cplx, cmatmul
 
-            o2 = cmatmul(
-                op if isinstance(op, Cplx) else Cplx(jnp.asarray(op), jnp.zeros_like(jnp.asarray(op))),
-                op if isinstance(op, Cplx) else Cplx(jnp.asarray(op), jnp.zeros_like(jnp.asarray(op))),
-            )
+            opc = as_cplx(op, dtype=default_dtype())
+            # 1-D op is diag(op): O^2 squares elementwise
+            o2 = opc * opc if opc.ndim == 1 else cmatmul(opc, opc)
             exp2 = self.expect([o2])[0]
             var = exp2.re - moy.re**2
             st = np.sqrt(

@@ -54,6 +54,40 @@ def test_total_magnetization():
     assert np.abs(tm - ref).max() < 1e-12
 
 
+def test_total_magnetization_diagonal_form():
+    # dense=False returns the 1-D diag(sum_i Z_i); auto switches past N=12
+    n = 3
+    diag = total_magnetization(n, dense=False)
+    assert diag.shape == (2**n,)
+    assert np.abs(np.diag(diag.to_numpy()) - _np(total_magnetization(n))).max() == 0
+    assert total_magnetization(13).ndim == 1  # auto: diagonal beyond N=12
+    assert total_magnetization(13, dense=True).ndim == 2
+
+
+def test_expect_diagonal_matches_dense(rng):
+    """1-D observables are diag(obs) for kets, dms and dm batches."""
+    n_t, dim, nb = 4, 8, 3
+    d = rng.normal(size=dim) + 1j * rng.normal(size=dim)
+    dense, diag = as_cplx(np.diag(d)), as_cplx(d)
+
+    kets = rng.normal(size=(n_t, dim, nb)) + 1j * rng.normal(size=(n_t, dim, nb))
+    want = _np(expect(dense, as_cplx(kets)))
+    got = _np(expect(diag, as_cplx(kets)))
+    assert np.abs(got - want).max() < 1e-10
+
+    rho = rng.normal(size=(n_t, dim, dim)) + 1j * rng.normal(size=(n_t, dim, dim))
+    want = _np(expect(dense, as_cplx(rho)))
+    got = _np(expect(diag, as_cplx(rho)))
+    assert np.abs(got - want).max() < 1e-10
+
+    rho_b = rng.normal(size=(n_t, dim, dim, nb)) + 1j * rng.normal(
+        size=(n_t, dim, dim, nb)
+    )
+    want = _np(expect(dense, as_cplx(rho_b)))
+    got = _np(expect(diag, as_cplx(rho_b)))
+    assert np.abs(got - want).max() < 1e-10
+
+
 def test_basis_state():
     k = _np(basis_state(2, 1))
     assert k.shape == (2, 1)
@@ -73,6 +107,11 @@ def test_expect_ket_batch(rng):
     vals = expect(as_cplx(obs), as_cplx(states))
     ref = np.einsum("tji,jk,tkl->t", states.conj(), obs, states)
     assert np.abs(_np(vals) - ref).max() < 1e-10
+    # general complex observable pins the imaginary-part convention too
+    obs_c = rng.normal(size=(dim, dim)) + 1j * rng.normal(size=(dim, dim))
+    vals_c = expect(as_cplx(obs_c), as_cplx(states))
+    ref_c = np.einsum("tji,jk,tkl->t", states.conj(), obs_c, states)
+    assert np.abs(_np(vals_c) - ref_c).max() < 1e-10
 
 
 def test_expect_density_batch(rng):
