@@ -1078,6 +1078,20 @@ def _build_call(data, method, interpret, *, bwd, states, slots=None,
         )
         out_specs = (run_block(oshape), run_block(oshape))
 
+    if interpret:
+        compiler_params = None
+    else:
+        # Mosaic's default scoped-VMEM cap is 16 MiB; at N=16 atoms the
+        # DP5 stage set (state + 7 stage buffers at da=db=256, re+im,
+        # hi/lo words) needs ~17.2 MiB and the compile fails with
+        # "Ran out of memory in memory space vmem".  v5e has 128 MiB of
+        # VMEM per core — raise the cap (it is a limit, not an
+        # allocation; small kernels are unaffected).
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     return pl.pallas_call(
         kern,
         grid=(R,),
@@ -1085,6 +1099,7 @@ def _build_call(data, method, interpret, *, bwd, states, slots=None,
         in_specs=specs,
         out_specs=out_specs,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(*args)
 
 
