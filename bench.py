@@ -264,7 +264,7 @@ def jax_tpu(params0: np.ndarray, fused: bool, n_timings: int = 3):
         evaluation_times="Minimal",
         fused=fused,
     )
-    obs = total_magnetization(N_QUBITS)
+    obs = total_magnetization(N_QUBITS, dense=False)
     exp_fn = model.expectation_fn(obs)
 
     def loss(p):

@@ -80,7 +80,7 @@ def run(n_qubits: int, fused: bool, n_timings: int = 3):
         evaluation_times="Minimal",
         fused=fused,
     )
-    obs = total_magnetization(n_qubits)
+    obs = total_magnetization(n_qubits, dense=False)
     exp_fn = model.expectation_fn(obs)
 
     def loss(p):

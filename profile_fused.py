@@ -82,7 +82,7 @@ def main(n_qubits: int = 12) -> None:
         evaluation_times="Minimal",
         fused=True,
     )
-    obs = total_magnetization(n_qubits)
+    obs = total_magnetization(n_qubits, dense=False)
     exp_fn = model.expectation_fn(obs)
     p = jnp.linspace(1.0, 3.0, N_PARAMS)
 

@@ -421,7 +421,10 @@ class QuantumModel:
     ) -> Callable[[Mapping[str, Any]], tuple]:
         """Pure fn: params -> (eval_times, real expectation values)."""
         if obs is None:
-            obs = total_magnetization(len(self.register.qubit_ids))
+            # default observable in its diagonal (1-D) form: identical
+            # values, but the dense (dim, dim) f64 matrix costs tens of
+            # ms per step on TPU (VPU-emulated f64 matvec + its VJP)
+            obs = total_magnetization(len(self.register.qubit_ids), dense=False)
         obs = as_cplx(obs, dtype=default_dtype())
 
         def fn(params):
@@ -481,7 +484,7 @@ class QuantumModel:
     def expectation(self, obs: Optional[Cplx] = None) -> tuple[jax.Array, Cplx]:
         evaluation_times, results = self._run()
         if obs is None:
-            obs = total_magnetization(len(self.register.qubit_ids))
+            obs = total_magnetization(len(self.register.qubit_ids), dense=False)
         exp_val = results.expect([as_cplx(obs, dtype=default_dtype())])[0]
         return evaluation_times, exp_val
 
