@@ -22,6 +22,7 @@ Feature parity:
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Callable, Mapping, Optional, Union
 from uuid import uuid4
 
@@ -499,12 +500,20 @@ class QuantumModel:
         obs: Optional[Cplx] = None,
         verbose: bool = False,
         callback: Optional[Callable] = None,
+        steps_per_call: int = 1,
     ) -> list[float]:
         """Optimize the trainable parameters.
 
         Args:
             loss_fn: (eval_times, expectation_values) -> scalar loss.
             optimizer: an optax GradientTransformation (default adam(1e-2)).
+            steps_per_call: number of optimizer steps fused into ONE
+                jitted device program via `lax.scan`. Each host->device
+                dispatch carries a fixed latency floor (~25 ms through
+                the remote-TPU tunnel), so K steps per call divide that
+                floor by K. With K > 1, `verbose`/`callback` fire per
+                chunk (params are only materialized at chunk
+                boundaries); per-epoch losses are still all returned.
 
         One jitted value_and_grad program is reused for all epochs (the
         TPU-native answer to the reference's per-epoch graph rebuild).
@@ -518,24 +527,63 @@ class QuantumModel:
             times, vals = exp_fn(params)
             return loss_fn(times, vals)
 
-        vag = jax.jit(jax.value_and_grad(loss_of))
+        # constraint clamping (reference check_constraints, :370-374);
+        # key set is static, so this traces cleanly inside scan.
+        clamped = {
+            name: (c["min"], c["max"]) for name, c in self.constraints.items()
+        }
+
+        def clamp(params):
+            return {
+                name: (
+                    jnp.clip(v, *clamped[name]) if name in clamped else v
+                )
+                for name, v in params.items()
+            }
+
+        def one_step(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(loss_of)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = clamp(optax.apply_updates(params, updates))
+            return (params, opt_state), loss
+
         opt_state = optimizer.init(self.params)
         losses: list[float] = []
         params = dict(self.params)
-        for ep in range(epochs):
-            loss, grads = vag(params)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            # constraint clamping (reference check_constraints, :370-374)
-            for name in list(params):
-                if name in self.constraints:
-                    c = self.constraints[name]
-                    params[name] = jnp.clip(params[name], c["min"], c["max"])
-            losses.append(float(loss))
-            if verbose:
-                print(f"epoch {ep}: loss={float(loss):.6f}")
-            if callback is not None:
-                callback(ep, float(loss), params)
+
+        if steps_per_call <= 1:
+            vag = jax.jit(jax.value_and_grad(loss_of))
+            for ep in range(epochs):
+                loss, grads = vag(params)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = clamp(optax.apply_updates(params, updates))
+                losses.append(float(loss))
+                if verbose:
+                    print(f"epoch {ep}: loss={float(loss):.6f}")
+                if callback is not None:
+                    callback(ep, float(loss), params)
+        else:
+            # chunked on-device loop: epochs = n_full*K + remainder;
+            # at most two compiled programs (K-length and remainder).
+            @partial(jax.jit, static_argnames="length")
+            def scan_k(carry, length):
+                return jax.lax.scan(one_step, carry, None, length=length)
+
+            carry = (params, opt_state)
+            done = 0
+            while done < epochs:
+                k = min(steps_per_call, epochs - done)
+                carry, chunk_losses = scan_k(carry, length=k)
+                chunk = [float(x) for x in jax.device_get(chunk_losses)]
+                losses.extend(chunk)
+                done += k
+                if verbose:
+                    print(f"epoch {done - 1}: loss={chunk[-1]:.6f}")
+                if callback is not None:
+                    callback(done - 1, chunk[-1], carry[0])
+            params = dict(carry[0])
+
         self.params = dict(params)
         self.update_sequence()
         return losses

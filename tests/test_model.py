@@ -128,6 +128,43 @@ def test_training_pulse_params(reg2):
     assert losses[-1] < ATOL_OPTIM**2
 
 
+def test_fit_steps_per_call_matches_per_step(reg2):
+    """The on-device scanned loop (steps_per_call>1) must reproduce the
+    per-step loop exactly: same losses, same final params — including a
+    non-divisible epoch count (10 = 2 full chunks of 4 + remainder 2)
+    and constraint clamping inside the scan."""
+
+    def build():
+        seq = _param_seq(reg2)
+        return QuantumModel(
+            seq,
+            {"omega": jnp.asarray(1.0), "det": jnp.asarray(0.0)},
+            constraints={"omega": {"min": 0.5, "max": 1.2}},
+        )
+
+    def loss(times, vals):
+        return (vals[-1] - 0.3) ** 2
+
+    m1 = build()
+    losses1 = m1.fit(loss, epochs=10, optimizer=optax.adam(5e-2))
+    m2 = build()
+    calls = []
+    losses2 = m2.fit(
+        loss,
+        epochs=10,
+        optimizer=optax.adam(5e-2),
+        steps_per_call=4,
+        callback=lambda ep, l, p: calls.append(ep),
+    )
+    assert np.allclose(losses1, losses2, rtol=1e-10, atol=1e-12)
+    for k in m1.params:
+        assert np.allclose(
+            np.asarray(m1.params[k]), np.asarray(m2.params[k]), atol=1e-12
+        )
+    assert calls == [3, 7, 9]  # chunk boundaries
+    assert 0.5 - 1e-9 <= float(m2.params["omega"]) <= 1.2 + 1e-9
+
+
 def test_training_with_constraints(reg2):
     seq = _param_seq(reg2)
     model = QuantumModel(
