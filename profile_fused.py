@@ -173,6 +173,39 @@ def main(n_qubits: int = 12) -> None:
         file=sys.stderr,
     )
 
+    # E: K solve+adjoint iterations chained inside ONE jitted program
+    # (lax.scan; each iteration perturbs the streams by eps*grad so no
+    # iteration can be hoisted or dead-coded).  Amortizes the dispatch
+    # floor: per-iter = (t_E - t_D) / K is the honest kernel+adjoint
+    # cost, the number to use when A/B-testing kernel variants (e.g.
+    # PDT_KERNEL_HOIST) whose effect is smaller than the floor.
+    K_AMORT = int(os.environ.get("PDT_PROFILE_AMORTIZE", "8"))
+
+    def chained(streams):
+        def step(s, _):
+            l, g = jax.value_and_grad(loss_solve)(s)
+            s = jax.tree.map(lambda a, b: a + 1e-12 * b, s, g)
+            return s, l
+        _, ls = jax.lax.scan(step, streams, None, length=K_AMORT)
+        return ls.sum()
+
+    fE = jax.jit(chained)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fE(streams0))
+    tcE = time.perf_counter() - t0
+    tsE = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fE(streams0))
+        tsE.append(time.perf_counter() - t0)
+    tE = min(tsE)
+    print(
+        f"[profile] E solve+adjoint x{K_AMORT} in one jit: compile={tcE:.1f}s "
+        f"total={tE*1e3:.2f}ms per-iter=({tE*1e3:.2f}-{tD*1e3:.2f})/{K_AMORT}"
+        f" = {(tE - tD)/K_AMORT*1e3:.2f} ms",
+        file=sys.stderr,
+    )
+
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 12)
