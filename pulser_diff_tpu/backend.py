@@ -55,7 +55,7 @@ _DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude", "leakage"}
 # unknown keys (e.g. the dead reference-era `nsteps`) are rejected
 _RUN_OPTIONS = {
     "substeps", "max_step", "krylov_dim", "krylov_tol",
-    "rtol", "atol", "max_iters", "fused",
+    "rtol", "atol", "max_iters", "fused", "superop",
 }
 
 
@@ -504,6 +504,7 @@ class TpuEmulator:
             return mesolve(
                 ham_data, rho0, collapse, h._size, h.dim, grid,
                 solver=solver, substeps=substeps,
+                superop=opts.get("superop"),
             )
         raise ValueError(f"Solver {solver} not available.")
 

@@ -696,6 +696,141 @@ def _make_me_step(ham, collapse, n, d, solver, substeps):
 
 
 # ----------------------------------------------------------------------
+# Liouville-space (superoperator) mesolve fast path
+# ----------------------------------------------------------------------
+# Reference-scale master-equation workloads are SMALL (2-3 atoms in the
+# reference's tests; ref backend.py:495-509 routes run() to mesolve when
+# collapse ops exist but never benchmarks it).  At dim <= ~32 the
+# factored per-site RHS above degrades on TPU: every Lindblad term is a
+# tiny multi-axis einsum that defeats the VPU's (8, 128) tiling — the
+# measured 3-atom step was 4x SLOWER than the torch-CPU baseline
+# (bench_mesolve.py).  The TPU-native answer for small dims is Liouville
+# vectorization: the RHS is LINEAR in the real stream components w_j(t),
+#     d vec(rho)/dt = (S0 + sum_j w_j(t) S_j) vec(rho),
+# with a static superoperator stack S built once per solve, so each RK
+# stage is ONE (dim^2, dim^2) matmul instead of ~40 tiny einsums.
+# Row-major vec convention: vec(A rho B) = (A (x) B^T) vec(rho).
+_SUPEROP_DIM_CAP = 32  # dim^2 <= 1024: superop stack stays ~MBs
+
+
+def _superop_terms(ham: FactoredHamiltonian, collapse: CollapseOps,
+                   n: int, d: int):
+    """Build (S0, S, J): static Cplx (dim2, dim2) + stacked Cplx
+    (J, dim2, dim2) superoperators matching the w-vector layout of
+    `_superop_w` (x/y interleaved per part, row then col then kron).
+
+    Part matrices are REAL (phases live in the streams), so each part P
+    contributes two hermitian generators:
+      x-component: M = P + P^T      -> -i[M, .] = -i(M(x)I - I(x)M)
+      y-component: M = i(P - P^T)   -> -i[M, .] =  K(x)I + I(x)K,
+                                        K = P - P^T (real antisymmetric)
+    """
+    da, db, dim = ham.da, ham.db, ham.dim
+    dt_ = ham.int_diag.dtype
+    eye_a = jnp.eye(da, dtype=dt_)
+    eye_b = jnp.eye(db, dtype=dt_)
+    eye = jnp.eye(dim, dtype=dt_)
+
+    def comm_sym(m):
+        s = jnp.kron(m, eye) - jnp.kron(eye, m)
+        return Cplx(jnp.zeros_like(s), -s)
+
+    def comm_asym(k):
+        s = jnp.kron(k, eye) + jnp.kron(eye, k)
+        return Cplx(s, jnp.zeros_like(s))
+
+    stack: list[Cplx] = []
+
+    def add_part(lift):
+        stack.append(comm_sym(lift + lift.T))
+        stack.append(comm_asym(lift - lift.T))
+
+    for p in range(ham.row_parts.shape[0]):
+        add_part(jnp.kron(ham.row_parts[p], eye_b))
+    for p in range(ham.col_parts.shape[0]):
+        add_part(jnp.kron(eye_a, ham.col_parts[p]))
+    if ham.kron_row is not None:
+        for k in range(ham.kron_row.shape[0]):
+            add_part(jnp.kron(ham.kron_row[k], ham.kron_col[k]))
+
+    # static part: -i[diag(U), .] + dissipator
+    s0 = comm_sym(jnp.diag(ham.int_diag.reshape(-1)))
+    if collapse.ops is not None:
+        for m, site in enumerate(collapse.sites):
+            lead, trail = d**int(site), dim // (d ** (int(site) + 1))
+            il = jnp.eye(lead, dtype=dt_)
+            it = jnp.eye(trail, dtype=dt_)
+            lr = jnp.kron(il, jnp.kron(collapse.ops.re[m], it))
+            li = jnp.kron(il, jnp.kron(collapse.ops.im[m], it))
+            # vec(L rho L^+) = (L (x) conj(L)) vec(rho)
+            t_re = jnp.kron(lr, lr) + jnp.kron(li, li)
+            t_im = jnp.kron(li, lr) - jnp.kron(lr, li)
+            # -1/2 {Q, rho}, Q = L^+ L hermitian (Q^T = conj(Q))
+            q_re = lr.T @ lr + li.T @ li
+            q_im = lr.T @ li - li.T @ lr
+            a_re = -0.5 * (jnp.kron(q_re, eye) + jnp.kron(eye, q_re))
+            a_im = -0.5 * (jnp.kron(q_im, eye) - jnp.kron(eye, q_im))
+            s0 = s0 + Cplx(t_re + a_re, t_im + a_im)
+
+    if not stack:
+        return s0, None
+    S = Cplx(
+        jnp.stack([s.re for s in stack]), jnp.stack([s.im for s in stack])
+    )
+    return s0, S
+
+
+def _superop_w(zr: Cplx, zc: Cplx, zk: Optional[Cplx]) -> jax.Array:
+    """Real coefficient vector matching `_superop_terms`' stack order:
+    (x_0, y_0, x_1, y_1, ...) per part, row parts then col then kron."""
+    ws = [
+        jnp.stack([zr.re, zr.im], -1).reshape(-1),
+        jnp.stack([zc.re, zc.im], -1).reshape(-1),
+    ]
+    if zk is not None:
+        ws.append(jnp.stack([zk.re, zk.im], -1).reshape(-1))
+    return jnp.concatenate(ws)
+
+
+def _make_me_step_superop(ham, collapse, n, d, solver, substeps):
+    c, A, B = (
+        (_DP5_C, _DP5_A, _DP5_B)
+        if solver in (SolverType.DP5_ME,)
+        else (_RK4_C, [[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]],
+              np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6]))
+    )
+    S0, S = _superop_terms(ham, collapse, n, d)
+    dim = ham.dim
+    dim2 = dim * dim
+
+    def rhs(t, v):
+        zr, zc, zk = interp_streams(ham, t)
+        lt_re, lt_im = S0.re, S0.im
+        if S is not None:
+            w = _superop_w(zr, zc, zk)
+            lt_re = lt_re + jnp.einsum("j,jab->ab", w, S.re)
+            lt_im = lt_im + jnp.einsum("j,jab->ab", w, S.im)
+        return Cplx(
+            lt_re @ v.re - lt_im @ v.im, lt_re @ v.im + lt_im @ v.re
+        )
+
+    def step(rho: Cplx, t0, t1):
+        v = rho.reshape(dim2)
+        h = (t1 - t0) / substeps
+
+        def sub(i, p):
+            return _explicit_rk_step(rhs, t0 + i * h, h, p, c, A, B)
+
+        if substeps == 1:
+            v = sub(0, v)
+        else:
+            v = jax.lax.fori_loop(0, substeps, sub, v)
+        return v.reshape(dim, dim)
+
+    return step
+
+
+# ----------------------------------------------------------------------
 # the scan driver (shared by sesolve / mesolve)
 # ----------------------------------------------------------------------
 _REMAT_BYTES_THRESHOLD = 512 * 1024 * 1024
@@ -859,17 +994,25 @@ def mesolve(
     substeps: int = 1,
     remat: Optional[bool] = None,
     n_segments: Optional[int] = None,
+    superop: Optional[bool] = None,
 ) -> Cplx:
     """Integrate the Lindblad master equation.
 
     rho0: Cplx (dim, dim).  Returns (n_eval, dim, dim).
     remat / n_segments as in :func:`sesolve` (sqrt-checkpointing keeps
     10+-atom density-matrix gradients inside HBM).
+    superop=None auto-selects the Liouville-vectorized stepper for
+    dim <= 32 (one (dim^2, dim^2) matmul per RK stage — the TPU-fast
+    form for reference-scale ME workloads); pass False to force the
+    factored per-site RHS, True to force vectorization.
     """
     n_steps = grid.times.shape[0] * substeps
     if remat is None:
         remat = _auto_remat(rho0, n_steps)
     if n_segments is None:
         n_segments = _auto_segments(rho0, n_steps)
-    step = _make_me_step(ham, collapse, n_qudits, qudit_dim, solver, substeps)
+    if superop is None:
+        superop = ham.dim <= _SUPEROP_DIM_CAP
+    make = _make_me_step_superop if superop else _make_me_step
+    step = make(ham, collapse, n_qudits, qudit_dim, solver, substeps)
     return _integrate(step, rho0, grid, remat, n_segments)

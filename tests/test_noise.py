@@ -206,3 +206,49 @@ def test_one_qubit_lindblad(two_atom_register):
     t = np.asarray(jax.device_get(sim.evaluation_times))
     ref = golden_mesolve(seq, MockDevice, t, [np.sqrt(0.15) * Z])
     assert np.abs(rho - ref).max() < ATOL_NOISE
+
+
+def test_superop_matches_factored_rhs(two_atom_register):
+    """The Liouville-vectorized mesolve fast path (dim<=32 default,
+    solvers/solver.py _make_me_step_superop) must match the factored
+    per-site RHS exactly — ising + two Lindblad channels, and an XY
+    sequence (kron-pair terms in the superop stack)."""
+    from pulser_diff_tpu.core import ConstantWaveform, RampWaveform
+
+    reg = Register.from_coordinates([(0, 0), (8, 0), (16, 0)], prefix="q")
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        Pulse(RampWaveform(200, 0.5, 2.5), ConstantWaveform(200, -1.0), 0.3),
+        "ryd",
+    )
+    cfg = SimConfig(
+        noise=("dephasing", "relaxation"),
+        dephasing_rate=0.05,
+        relaxation_rate=0.03,
+    )
+    sim = TpuEmulator.from_sequence(
+        seq, sampling_rate=0.5, config=cfg, evaluation_times="Full"
+    )
+    r1 = dm_states(sim.run(solver="DP5_ME", superop=True))
+    r2 = dm_states(sim.run(solver="DP5_ME", superop=False))
+    assert np.abs(r1 - r2).max() < 1e-13
+
+    seq2 = Sequence(
+        Register.from_coordinates([(0, 0), (7, 0), (3, 6)], prefix="q"),
+        MockDevice,
+    )
+    seq2.declare_channel("mw", "microwave_global")
+    seq2.add(
+        Pulse(RampWaveform(200, 0.5, 2.0), ConstantWaveform(200, -0.8), 0.2),
+        "mw",
+    )
+    sim2 = TpuEmulator.from_sequence(
+        seq2,
+        sampling_rate=0.5,
+        config=SimConfig(noise="dephasing", dephasing_rate=0.04),
+        evaluation_times="Full",
+    )
+    x1 = dm_states(sim2.run(solver="DP5_ME", superop=True))
+    x2 = dm_states(sim2.run(solver="DP5_ME", superop=False))
+    assert np.abs(x1 - x2).max() < 1e-13
