@@ -722,7 +722,7 @@ def main():
                     metric=(
                         "12-atom evolution + adjoint grad step wall-clock "
                         "(CPU FALLBACK — TPU tunnel down; hardware-verified "
-                        "TPU fused number is 0.0873 s, see STATUS.md)"
+                        "TPU fused number is 0.0306 s, see STATUS.md)"
                     ),
                 )
             except Exception as e:  # noqa: BLE001

@@ -109,30 +109,34 @@ def run(n_qubits: int, fused: bool, n_timings: int = 3):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    c1, t_fused, v_fused, g_fused = run(n, fused=True)
-    print(
-        f"[scaling] N={n} fused: compile={c1:.1f}s step={t_fused*1e3:.2f}ms "
-        f"value={v_fused:.9f}",
-        file=sys.stderr,
-    )
-    c2, t_f64, v_f64, g_f64 = run(n, fused=False)
-    print(
-        f"[scaling] N={n} f64:   compile={c2:.1f}s step={t_f64*1e3:.2f}ms "
-        f"value={v_f64:.9f}",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "n_qubits": n,
-                "dim": 2**n,
-                "fused_step_s": round(t_fused, 6),
-                "f64_step_s": round(t_f64, 6),
-                "value_diff": float(abs(v_fused - v_f64)),
-                "grad_diff": float(np.abs(g_fused - g_f64).max()),
-            }
+    # Optional path selector: "fused" / "f64" / "both" (default).  At
+    # N=18 the f64 XLA path is impractically slow to even compile, so
+    # the probe can run the fused kernel alone.
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
+    out = {"n_qubits": n, "dim": 2**n}
+    t_fused = v_fused = g_fused = None
+    if which in ("both", "fused"):
+        c1, t_fused, v_fused, g_fused = run(n, fused=True)
+        print(
+            f"[scaling] N={n} fused: compile={c1:.1f}s step={t_fused*1e3:.2f}ms "
+            f"value={v_fused:.9f}",
+            file=sys.stderr,
         )
-    )
+        out["fused_step_s"] = round(t_fused, 6)
+        out["fused_compile_s"] = round(c1, 1)
+    if which in ("both", "f64"):
+        c2, t_f64, v_f64, g_f64 = run(n, fused=False)
+        print(
+            f"[scaling] N={n} f64:   compile={c2:.1f}s step={t_f64*1e3:.2f}ms "
+            f"value={v_f64:.9f}",
+            file=sys.stderr,
+        )
+        out["f64_step_s"] = round(t_f64, 6)
+        out["f64_compile_s"] = round(c2, 1)
+        if t_fused is not None:
+            out["value_diff"] = float(abs(v_fused - v_f64))
+            out["grad_diff"] = float(np.abs(g_fused - g_f64).max())
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -79,6 +79,11 @@ class TpuEmulator:
         if sampled_seq.max_duration == 0:
             raise ValueError("SequenceSamples is empty.")
         device.validate_register(register)
+        # compiled noisy-pipeline programs (build -> solve -> weights ->
+        # sample, ONE jitted launch); invalidated on any config/state/
+        # eval-times mutation.  Initialized FIRST: the constructor itself
+        # calls the invalidating setters below.
+        self._njit_cache: dict = {}
         self._register = register
         if sampled_seq._slm_mask.end > 0 and not device.supports_slm_mask:
             raise ValueError(
@@ -183,6 +188,7 @@ class TpuEmulator:
                 f"{', '.join(not_supported)}."
             )
         self._hamiltonian.set_config(cfg.to_noise_model())
+        self._njit_cache.clear()
 
     def add_config(self, config: SimConfig) -> None:
         """Merge-in noise params of another config (reference :200-238)."""
@@ -215,12 +221,14 @@ class TpuEmulator:
         for p in relevant:
             params[p] = getattr(new_nm, p)
         self._hamiltonian.set_config(NoiseModel(**params))
+        self._njit_cache.clear()
 
     def show_config(self, solver_options: bool = False) -> None:
         print(self.config.__str__(solver_options))
 
     def reset_config(self) -> None:
         self._hamiltonian.set_config(SimConfig().to_noise_model())
+        self._njit_cache.clear()
 
     # ------------------------------------------------------------------
     # initial state (reference backend.py:248-280)
@@ -230,6 +238,7 @@ class TpuEmulator:
         return self._initial_state
 
     def set_initial_state(self, state: Union[str, Cplx, Any]) -> None:
+        self._njit_cache.clear()
         h = self._hamiltonian
         if isinstance(state, str) and state == "all-ground":
             g_label = "u" if h._interaction == "XY" else "g"
@@ -285,6 +294,7 @@ class TpuEmulator:
         return sorted(end_ts)
 
     def set_evaluation_times(self, value: Union[str, float, Any]) -> None:
+        self._njit_cache.clear()
         h = self._hamiltonian
         if isinstance(value, str):
             if value == "Full":
@@ -757,18 +767,10 @@ class TpuEmulator:
                 )
                 return h.build_data(draws)
 
-            if fused_mc:
-                states_all = _solve_mc_fused(jax.vmap(build_one)(bad_stack))
-            else:
-                states_all = jax.vmap(
-                    lambda bad: self._solve_states(
-                        build_one(bad), None, solver, substeps, krylov_dim,
-                        grid, solver_opts={**options, "fused": False},
-                    )
-                )(bad_stack)
-            return self._sample_noisy(
-                states_all, reps, cfg_nm.samples_per_run, cfg_nm.runs,
-                meas_errors,
+            return self._run_noisy_batch(
+                build_one, bad_stack, reps, cfg_nm.samples_per_run,
+                cfg_nm.runs, meas_errors, fused_mc, _solve_mc_fused,
+                solver, substeps, krylov_dim, grid, options, "spam",
             )
 
         # stochastic path: vmapped Monte-Carlo over runs
@@ -778,29 +780,13 @@ class TpuEmulator:
             jax.random.PRNGKey(self._rng.integers(0, 2**31 - 1)), loop_runs
         )
 
-        if fused_mc:
-            # fused path: the runs axis becomes the Pallas kernel grid
-            # (one launch for the whole Monte-Carlo batch)
-            hams = jax.vmap(
-                lambda k: h.build_data(draw_noise(k, cfg_nm, h._size, n_slots))
-            )(keys)
-            states_all = _solve_mc_fused(hams)
-            return self._sample_noisy(
-                states_all, [1] * loop_runs, cfg_nm.samples_per_run,
-                cfg_nm.runs, meas_errors,
-            )
+        def build_from_key(k):
+            return h.build_data(draw_noise(k, cfg_nm, h._size, n_slots))
 
-        def solve_one(key):
-            draws = draw_noise(key, cfg_nm, h._size, n_slots)
-            return self._solve_states(
-                h.build_data(draws), None, solver, substeps, krylov_dim,
-                grid, solver_opts={**options, "fused": False},
-            )
-
-        states_all = jax.vmap(solve_one)(keys)
-        return self._sample_noisy(
-            states_all, [1] * loop_runs, cfg_nm.samples_per_run, cfg_nm.runs,
-            meas_errors,
+        return self._run_noisy_batch(
+            build_from_key, keys, [1] * loop_runs, cfg_nm.samples_per_run,
+            cfg_nm.runs, meas_errors, fused_mc, _solve_mc_fused,
+            solver, substeps, krylov_dim, grid, options, "stoch",
         )
 
     # -- noisy sampling: fully on device, one host transfer --------------
@@ -856,6 +842,103 @@ class TpuEmulator:
         weights = jnp.clip(weights, 0.0, None)
         return weights / jnp.sum(weights, axis=-1, keepdims=True)
 
+    def _run_noisy_batch(
+        self,
+        build_fn,
+        stack: jax.Array,
+        reps: list,
+        samples_per_run: int,
+        runs: int,
+        meas_errors: Optional[Mapping[str, float]],
+        fused_mc: bool,
+        solve_mc_fused,
+        solver,
+        substeps: int,
+        krylov_dim: int,
+        grid,
+        options: Mapping,
+        tag: str,
+    ) -> NoisyResults:
+        """ONE compiled program for the whole noisy batch: per-run
+        Hamiltonian build (from PRNG keys or bad-atom configs via
+        ``build_fn``) -> batched solve (fused MC kernel, runs axis =
+        Pallas grid, or vmapped XLA stepper) -> measurement weights ->
+        on-device categorical sampling with SPAM detection flips.
+
+        The jitted program is cached on the emulator (invalidated by any
+        config / initial-state / eval-times mutation), so repeated
+        ``run()`` calls cost ONE device dispatch instead of one per eager
+        op — on the remote-TPU tunnel this is the difference between
+        ~4 s and ~0.15 s per noisy run() call (bench_mc.py).  Replaces
+        the reference's serial per-run host loop (ref backend.py:573-595).
+        """
+        h = self._hamiltonian
+        n_per_run = np.asarray(reps, dtype=np.int64) * samples_per_run
+        n_max = int(n_per_run.max())
+        eps = eps_p = 0.0
+        if meas_errors is not None:
+            eps = _f(meas_errors["epsilon"])
+            eps_p = _f(meas_errors["epsilon_prime"])
+        cache_key = (
+            tag, fused_mc, str(solver), int(substeps), int(krylov_dim),
+            tuple(stack.shape), n_max, float(eps), float(eps_p),
+            tuple(sorted((k, str(v)) for k, v in options.items())),
+        )
+        prog = self._njit_cache.get(cache_key)
+        if prog is None:
+
+            def _counts(stack_, n_per_run_, key_):
+                hams = jax.vmap(build_fn)(stack_)
+                if fused_mc:
+                    states = solve_mc_fused(hams)
+                else:
+                    states = jax.vmap(
+                        lambda hd: self._solve_states(
+                            hd, None, solver, substeps, krylov_dim, grid,
+                            solver_opts={**options, "fused": False},
+                        )
+                    )(hams)
+                weights = self._batched_weights(states)
+                return _device_sample_counts(
+                    weights, n_per_run_, n_max, key_, h._size, eps, eps_p
+                )
+
+            prog = jax.jit(_counts)
+            self._njit_cache[cache_key] = prog
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+        counts_np = np.asarray(
+            jax.device_get(prog(stack, jnp.asarray(n_per_run, jnp.int32), key))
+        )
+        return self._noisy_from_counts(counts_np, runs, samples_per_run)
+
+    def _noisy_from_counts(
+        self, counts_np: np.ndarray, runs: int, samples_per_run: int
+    ) -> NoisyResults:
+        """Host-side Counter/NoisyResults assembly from a (n_eval, 2^n)
+        integer counts array (the single device->host transfer)."""
+        h = self._hamiltonian
+        n = h._size
+        n_eval = counts_np.shape[0]
+        results = []
+        for t in range(n_eval):
+            nz = np.nonzero(counts_np[t])[0]
+            counter = Counter(
+                {
+                    np.binary_repr(int(i), width=n): int(counts_np[t, i])
+                    for i in nz
+                }
+            )
+            results.append(
+                SampledResult(tuple(h._qdict), self._meas_basis, counter)
+            )
+        return NoisyResults(
+            results,
+            h._size,
+            h.basis_name,
+            self._eval_times_array,
+            runs * samples_per_run,
+        )
+
     def _sample_noisy(
         self,
         states_all: Cplx,
@@ -864,7 +947,9 @@ class TpuEmulator:
         runs: int,
         meas_errors: Optional[Mapping[str, float]] = None,
     ) -> NoisyResults:
-        """Bitstring statistics for a batch of noisy runs.
+        """Bitstring statistics for an already-solved batch of noisy runs
+        (states path; the compiled end-to-end pipeline above is the run()
+        route).
 
         The reference samples each run serially on the host
         (backend.py:573-595, simresults.py:497-540 for the SPAM flips);
@@ -873,9 +958,6 @@ class TpuEmulator:
         """
         h = self._hamiltonian
         n = h._size
-        K = 2**n
-        n_runs = states_all.re.shape[0]
-        n_eval = states_all.re.shape[1]
         n_per_run = np.asarray(reps, dtype=np.int64) * samples_per_run
         n_max = int(n_per_run.max())
         key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
@@ -896,27 +978,7 @@ class TpuEmulator:
             eps_p,
         )  # (n_eval, K) int
         counts_np = np.asarray(jax.device_get(counts))
-
-        n_measures = runs * samples_per_run
-        results = []
-        for t in range(n_eval):
-            nz = np.nonzero(counts_np[t])[0]
-            counter = Counter(
-                {
-                    np.binary_repr(int(i), width=n): int(counts_np[t, i])
-                    for i in nz
-                }
-            )
-            results.append(
-                SampledResult(tuple(h._qdict), self._meas_basis, counter)
-            )
-        return NoisyResults(
-            results,
-            h._size,
-            h.basis_name,
-            self._eval_times_array,
-            n_measures,
-        )
+        return self._noisy_from_counts(counts_np, runs, samples_per_run)
 
     # ------------------------------------------------------------------
     def draw(
