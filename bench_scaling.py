@@ -28,7 +28,7 @@ DET0 = -2.0
 SPACING = 10.0
 
 
-def run(n_qubits: int, fused: bool, n_timings: int = 3):
+def run(n_qubits: int, fused: bool, n_timings: int = 3, solver: str | None = None):
     import os
 
     import jax
@@ -73,12 +73,18 @@ def run(n_qubits: int, fused: bool, n_timings: int = 3):
         "ryd",
     )
     M = jnp.asarray(_interpolate_sine_np(N_PARAMS, DURATION))
+    extra = {}
+    if solver is not None:
+        from pulser_diff_tpu.solvers import SolverType
+
+        extra["solver"] = getattr(SolverType, solver)
     model = QuantumModel(
         seq,
         {"amp_samples": ((jnp.linspace(1.0, 3.0, N_PARAMS),), lambda v: M @ v)},
         sampling_rate=SAMPLING_RATE,
         evaluation_times="Minimal",
         fused=fused,
+        **extra,
     )
     obs = total_magnetization(n_qubits, dense=False)
     exp_fn = model.expectation_fn(obs)
@@ -109,11 +115,24 @@ def run(n_qubits: int, fused: bool, n_timings: int = 3):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    # Optional path selector: "fused" / "f64" / "both" (default).  At
-    # N=18 the f64 XLA path is impractically slow to even compile, so
-    # the probe can run the fused kernel alone.
+    # Optional path selector: "fused" / "f64" / "both" (default) /
+    # "krylov" (KRYLOV_SE on the f64 XLA path).  At N=18 the f64 XLA
+    # path is impractically slow to even compile, so the probe can run
+    # the fused kernel alone.
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
     out = {"n_qubits": n, "dim": 2**n}
+    if which == "krylov":
+        ck, t_kr, v_kr, g_kr = run(n, fused=False, solver="KRYLOV_SE")
+        print(
+            f"[scaling] N={n} krylov: compile={ck:.1f}s "
+            f"step={t_kr*1e3:.2f}ms value={v_kr:.9f}",
+            file=sys.stderr,
+        )
+        out["krylov_step_s"] = round(t_kr, 6)
+        out["krylov_compile_s"] = round(ck, 1)
+        out["krylov_value"] = v_kr
+        print(json.dumps(out))
+        return
     t_fused = v_fused = g_fused = None
     if which in ("both", "fused"):
         c1, t_fused, v_fused, g_fused = run(n, fused=True)

@@ -731,11 +731,26 @@ class TpuEmulator:
             )
 
         def _run_solver(ham_data) -> CoherentResults:
-            states = self._solve_states(
-                ham_data, None, solver, substeps, krylov_dim, grid,
-                solver_opts=options,
+            # ONE jitted program for the deterministic solve (cached on
+            # the emulator like the noisy pipeline): a bare run() call
+            # otherwise dispatches each prep op eagerly, which on the
+            # remote-TPU tunnel costs ~25 ms per op.  ham_data is closed
+            # over (it is the emulator's static _ham_data; any mutation
+            # path clears _njit_cache).
+            cache_key = (
+                "det", str(solver), int(substeps), int(krylov_dim),
+                tuple(sorted((k, str(v)) for k, v in options.items())),
             )
-            return self._wrap_coherent(states, meas_errors)
+            prog = self._njit_cache.get(cache_key)
+            if prog is None:
+                prog = jax.jit(
+                    lambda: self._solve_states(
+                        ham_data, None, solver, substeps, krylov_dim,
+                        grid, solver_opts=options,
+                    )
+                )
+                self._njit_cache[cache_key] = prog
+            return self._wrap_coherent(prog(), meas_errors)
 
         deterministic = noise <= _DETERMINISTIC_NOISES and (
             "amplitude" not in noise or _f(cfg_nm.amp_sigma) == 0.0

@@ -252,3 +252,47 @@ def test_superop_matches_factored_rhs(two_atom_register):
     x1 = dm_states(sim2.run(solver="DP5_ME", superop=True))
     x2 = dm_states(sim2.run(solver="DP5_ME", superop=False))
     assert np.abs(x1 - x2).max() < 1e-13
+
+
+def test_noisy_pipeline_program_cache(two_atom_register):
+    """The noisy run() pipeline compiles ONCE and is reused across calls;
+    any config mutation invalidates it (backend.py _run_noisy_batch)."""
+    seq = make_simple_sequence(two_atom_register, duration=150)
+    cfg = SimConfig(noise="doppler", temperature=60.0, runs=4,
+                    samples_per_run=5)
+    sim = TpuEmulator.from_sequence(seq, config=cfg,
+                                    evaluation_times="Minimal")
+    res1 = sim.run()
+    assert isinstance(res1, NoisyResults)
+    n_cached = len(sim._njit_cache)
+    assert n_cached >= 1
+    res2 = sim.run()
+    # same compiled program reused: no new cache entries
+    assert len(sim._njit_cache) == n_cached
+    assert abs(sum(res2.results[-1].values()) - 1.0) < 1e-9
+    # mutation clears the cache
+    sim.set_config(SimConfig(noise="doppler", temperature=90.0, runs=4,
+                             samples_per_run=5))
+    assert len(sim._njit_cache) == 0
+    res3 = sim.run()
+    assert abs(sum(res3.results[-1].values()) - 1.0) < 1e-9
+
+
+def test_deterministic_run_program_cache(two_atom_register):
+    """The deterministic run() solve is one cached jitted program too,
+    and matches a fresh emulator's states."""
+    seq = make_simple_sequence(two_atom_register, duration=150)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    r1 = sim.run()
+    n_cached = len(sim._njit_cache)
+    assert n_cached >= 1
+    r2 = sim.run()
+    assert len(sim._njit_cache) == n_cached
+    s1 = np.asarray(jax.device_get(r1.states.re))
+    s2 = np.asarray(jax.device_get(r2.states.re))
+    assert np.array_equal(s1, s2)
+    # eval-times mutation invalidates and recompiles with the new grid
+    sim.set_evaluation_times("Full")
+    assert len(sim._njit_cache) == 0
+    r3 = sim.run()
+    assert r3.states.re.shape[0] > s1.shape[0]
