@@ -121,6 +121,18 @@ def main():
     # the fused kernel alone.
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
     out = {"n_qubits": n, "dim": 2**n}
+    if which == "rk4":
+        ck, t_rk, v_rk, g_rk = run(n, fused=True, solver="RK4_PALLAS")
+        print(
+            f"[scaling] N={n} rk4-fused: compile={ck:.1f}s "
+            f"step={t_rk*1e3:.2f}ms value={v_rk:.9f}",
+            file=sys.stderr,
+        )
+        out["rk4_step_s"] = round(t_rk, 6)
+        out["rk4_compile_s"] = round(ck, 1)
+        out["rk4_value"] = v_rk
+        print(json.dumps(out))
+        return
     if which == "krylov":
         ck, t_kr, v_kr, g_kr = run(n, fused=False, solver="KRYLOV_SE")
         print(

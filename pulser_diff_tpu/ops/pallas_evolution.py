@@ -261,8 +261,21 @@ class _Side:
         # tiny side matrices break Mosaic's concat on sliced values
         # ("offset mismatch on non-concat dimension", observed at
         # da=db=2 on hardware) and gain nothing from 128-wide tiles —
-        # fall back to direct per-state matmuls there
-        return self.hr_re.shape[0] >= 8 and self.gc_re.shape[0] >= 8
+        # fall back to direct per-state matmuls there.  PDT_KERNEL_DIRECT
+        # forces the direct form everywhere: the (2da, 2da) block
+        # compositions are the largest VMEM intermediates at big factors
+        # (4 MiB apiece at da=512), so the direct form buys headroom
+        # toward the 128 MiB/core ceiling (see SCALING.md, N=18).
+        if _FORCE_DIRECT:
+            return False
+        da, db = self.hr_re.shape[0], self.gc_re.shape[0]
+        # At >=131072-dim states (N>=17 qubits) the block compositions
+        # alone exceed the VMEM budget — the direct form is required
+        # (hardware: N=17 fused works direct-only, 155.6 ms; N=16 is
+        # timing-neutral between the forms.  SCALING.md).
+        if da * db >= 131072:
+            return False
+        return da >= 8 and db >= 8
 
     def _apply_direct(self, x, y, nb):
         """Per-state direct matmul form (small-dim fallback)."""
@@ -544,6 +557,11 @@ def _load_consts(r: _Refs):
 # statically).  Flag-gated until hardware-validated: static slicing of
 # VALUES is a different Mosaic lowering path than slicing refs.
 _HOIST_STEP_LOADS = bool(int(__import__("os").environ.get("PDT_KERNEL_HOIST", "0")))
+
+# Force the direct 4-matmul stage form (no 2da-block composition) — VMEM
+# headroom lever for the largest fused sizes; parity-pinned in interpret
+# mode (tests/test_pallas.py)
+_FORCE_DIRECT = bool(int(__import__("os").environ.get("PDT_KERNEL_DIRECT", "0")))
 
 
 # ----------------------------------------------------------------------
@@ -1086,11 +1104,14 @@ def _build_call(data, method, interpret, *, bwd, states, slots=None,
         # hi/lo words) needs ~17.2 MiB and the compile fails with
         # "Ran out of memory in memory space vmem".  v5e has 128 MiB of
         # VMEM per core — raise the cap (it is a limit, not an
-        # allocation; small kernels are unaffected).
+        # allocation; small kernels are unaffected).  125 MiB leaves a
+        # sliver for XLA's own windows; the RK4 adjoint at N=18
+        # (118.3 MiB of register-spill scratch) fits under it where the
+        # old 100 MiB cap rejected it (SCALING.md).
         from jax.experimental.pallas import tpu as pltpu
 
         compiler_params = pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            vmem_limit_bytes=125 * 1024 * 1024
         )
     return pl.pallas_call(
         kern,

@@ -548,3 +548,59 @@ print(json.dumps({"v": float(v), "g00": float(g[0, 10]),
     assert abs(out["v"] - float(v_ref)) < 1e-6
     assert abs(out["g00"] - float(g_ref[0, 10])) < 1e-5
     assert abs(out["g01"] - float(g_ref[0, 50])) < 1e-5
+
+
+def test_pallas_direct_form_parity():
+    """PDT_KERNEL_DIRECT=1 (direct 4-matmul stage form, no 2da-block
+    composition — the VMEM-headroom lever for the largest fused sizes)
+    must reproduce the default block-form kernel to f32 roundoff.  Needs
+    da, db >= 8 so the default actually uses blocks: 6 atoms."""
+    import json
+
+    from .conftest import run_isolated
+
+    setup = """
+import numpy as np
+import jax.numpy as jnp
+from pulser_diff_tpu import TpuEmulator
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.ops import pallas_evolution as pe
+from pulser_diff_tpu.solvers import TimeGrid
+from pulser_diff_tpu.core import (ConstantWaveform, MockDevice, Pulse,
+                                  RampWaveform, Register, Sequence)
+reg = Register({f"q{i}": jnp.array([8.0 * (i % 3), 8.0 * (i // 3)])
+                for i in range(6)})
+seq = Sequence(reg, MockDevice)
+seq.declare_channel("ryd", "rydberg_global")
+seq.add(Pulse(RampWaveform(120, 0.5, 2.5), ConstantWaveform(120, -1.0),
+              0.3), "ryd")
+sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+h = sim._hamiltonian
+grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+da, db = h.dim**h._a, h.dim**h._b
+assert da >= 8 and db >= 8, (da, db)
+psi0 = sim.initial_state
+p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+hd = h._ham_data
+
+def loss(streams_re):
+    hd2 = hd._replace(row_streams=Cplx(streams_re, hd.row_streams.im))
+    out = pe.pallas_evolve(hd2, p0, grid.times, "DP5", interpret=True)
+    return jnp.sum(out.re**2 - out.im)
+
+v, g = jax.value_and_grad(loss)(hd.row_streams.re)
+print(json.dumps({"v": float(v), "g0": float(g[0, 5]),
+                  "g1": float(g[0, 20])}))
+"""
+    ref = json.loads(
+        run_isolated("import json\n" + setup).strip().splitlines()[-1]
+    )
+    child = (
+        "import json, os\n"
+        "os.environ['PDT_KERNEL_DIRECT'] = '1'\n" + setup +
+        "assert pe._FORCE_DIRECT\n"
+    )
+    out = json.loads(run_isolated(child).strip().splitlines()[-1])
+    assert abs(out["v"] - ref["v"]) < 1e-6
+    assert abs(out["g0"] - ref["g0"]) < 1e-5
+    assert abs(out["g1"] - ref["g1"]) < 1e-5
