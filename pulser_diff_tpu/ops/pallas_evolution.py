@@ -563,6 +563,14 @@ _HOIST_STEP_LOADS = bool(int(__import__("os").environ.get("PDT_KERNEL_HOIST", "0
 # mode (tests/test_pallas.py)
 _FORCE_DIRECT = bool(int(__import__("os").environ.get("PDT_KERNEL_DIRECT", "0")))
 
+# Restore the wide (round-3) adjoint interval form: all 2S stage sides
+# assembled up front and the cotangent pass run as a separate phase.
+# The default (lean) form assembles sides on demand and fuses the
+# cotangent accumulation into the reversed transpose recursion, roughly
+# halving the adjoint's VMEM live set (the N=18 fused adjoint spilled
+# 143-158 MiB > the 128 MiB/core ceiling in the wide form; SCALING.md).
+_WIDE_ADJ = bool(int(__import__("os").environ.get("PDT_KERNEL_WIDE_ADJ", "0")))
+
 
 # ----------------------------------------------------------------------
 # forward kernels (leading grid axis = run)
@@ -725,7 +733,22 @@ def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
     """Reverse one ERK interval: reconstruct the start state from the
     mirror-node streams, run the exact transpose of the stage recursion
     on the costate, and write the packed per-step coefficient cotangents.
-    Returns (x0, y0, lx', ly', dbar', krbar', kcbar')."""
+    Returns (x0, y0, lx', ly', dbar', krbar', kcbar').
+
+    Dispatches to the lean form (default: sides assembled on demand,
+    cotangent accumulation fused into the reversed recursion — the
+    low-VMEM-live-set form that fits the N=18 adjoint under the 128 MiB
+    ceiling) or the wide round-3 form (PDT_KERNEL_WIDE_ADJ=1)."""
+    fn = _bwd_interval_wide if _WIDE_ADJ else _bwd_interval_lean
+    return fn(
+        r, k, x1, y1, lx, ly, dbar, krbar, kcbar,
+        pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K,
+    )
+
+
+def _bwd_step_prelude(r: _Refs, k, *, S, K):
+    """Per-step h, two-word b-weights and (optionally hoisted) stream
+    loads, shared by both adjoint interval forms."""
     h = r.hs[k, 0]
     if _HOIST_STEP_LOADS:
         hbk, blk = r.hb_hi[k], r.hb_lo[k]
@@ -737,6 +760,145 @@ def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
         bl = [r.hb_lo[k, s] for s in range(S)]
         zstep = None
     bhl = [bh[s] + bl[s] for s in range(S)]
+    return h, bhl, zstep
+
+
+def _stage_cotangent_rows(r: _Refs, side, kbx, kby, ux, uy,
+                          *, pr, pc, nb, K, krbar, kcbar):
+    """One stage's packed scalar cotangent rows + kron-matrix updates
+    (shared by both adjoint forms; identical arithmetic)."""
+    W, V, Wc, Vc = _outer_accumulate(
+        kbx, kby, ux, uy, nb, r.rp[0], r.cp[0]
+    )
+    rows = []
+    for p in range(pr):
+        g_sym = r.rp[p] + r.rpt[p]
+        g_asym = r.rp[p] - r.rpt[p]
+        rows.append(jnp.broadcast_to(jnp.sum(g_sym * W), (1, 128)))
+        rows.append(jnp.broadcast_to(jnp.sum(g_asym * V), (1, 128)))
+    for p in range(pc):
+        g_sym_t = r.cpt[p] + r.cp[p]  # (P + P^T)^T layout for Gc
+        g_asym_t = r.cpt[p] - r.cp[p]
+        rows.append(jnp.broadcast_to(jnp.sum(g_sym_t * Wc), (1, 128)))
+        rows.append(jnp.broadcast_to(jnp.sum(g_asym_t * Vc), (1, 128)))
+    if K:
+        za_bar, zb_bar = _kron_cotangents(side, kbx, kby, ux, uy)
+        for k_ in range(K):
+            rows.append(jnp.broadcast_to(za_bar[k_], (1, 128)))
+            rows.append(jnp.broadcast_to(zb_bar[k_], (1, 128)))
+        krbar, kcbar = _kron_matrix_cotangents(
+            side, kbx, kby, ux, uy, nb, krbar, kcbar
+        )
+    return rows, krbar, kcbar
+
+
+def _bwd_interval_lean(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
+                       *, pr, pc, nb, A, B_np, S, K):
+    """Lean adjoint interval: identical math to the wide form, scheduled
+    for a minimal VMEM live set.
+
+    - Stage sides are assembled ON DEMAND (one live at a time) instead of
+      all 2S up front — side re-assembly is P x da^2 VPU FMAs, noise next
+      to the da^3 MXU matmuls it saves from spilling.
+    - The per-stage cotangent work (outer products, kron/diag cotangents)
+      runs INSIDE the reversed transpose recursion, so stage costates
+      kb_s are consumed immediately instead of accumulating as a list.
+    - The last forward stage application is skipped: fk[S-1] feeds no
+      stage input (A is strictly lower triangular) and the transpose pass
+      recomputes nothing from it.
+
+    Only the cross-stage accumulation ORDER of dbar / kron-matrix
+    cotangents changes (f32 reassociation ~1e-7); every per-value FMA
+    chain is unchanged, so interpret-mode parity with the wide form holds
+    at roundoff."""
+    h, bhl, zstep = _bwd_step_prelude(r, k, S=S, K=K)
+
+    def make_side(s, mirror=False):
+        return r.side(k, s, K=K, pr=pr, pc=pc, mirror=mirror, zstep=zstep)
+
+    # --- reconstruct y_k by reverse-time ERK from y_{k+1} (mirror sides
+    # built per stage, never held) -------------------------------------
+    rkx, rky = [], []
+    for s in range(S):
+        xs_, ys_ = x1, y1
+        for j in range(s):
+            a = A[s][j]
+            if a != 0.0:
+                c = a * h
+                xs_ = xs_ - c * rkx[j]
+                ys_ = ys_ - c * rky[j]
+        kx, ky = make_side(s, mirror=True).apply_minus_iH(xs_, ys_, nb)
+        rkx.append(kx)
+        rky.append(ky)
+    x0, y0 = x1, y1
+    for s in range(S):
+        if B_np[s] == 0.0:
+            continue
+        x0 = x0 - bhl[s] * rkx[s]
+        y0 = y0 - bhl[s] * rky[s]
+
+    # --- recompute forward stage inputs u_s from y_k (fk[S-1] unused) --
+    us = []
+    fkx, fky = [], []
+    for s in range(S):
+        xs_, ys_ = x0, y0
+        for j in range(s):
+            a = A[s][j]
+            if a != 0.0:
+                c = a * h
+                xs_ = xs_ + c * fkx[j]
+                ys_ = ys_ + c * fky[j]
+        us.append((xs_, ys_))
+        if s < S - 1:
+            kx, ky = make_side(s).apply_minus_iH(xs_, ys_, nb)
+            fkx.append(kx)
+            fky.append(ky)
+
+    # --- reversed transpose recursion with fused cotangent work --------
+    w = [None] * S
+    rows_by_stage = [None] * S
+    for s in reversed(range(S)):
+        if B_np[s] != 0.0:
+            gx = bhl[s] * lx
+            gy = bhl[s] * ly
+        else:
+            gx = jnp.zeros_like(lx)
+            gy = jnp.zeros_like(ly)
+        for rr in range(s + 1, S):
+            a = A[rr][s]
+            if a != 0.0:
+                c = a * h
+                gx = gx + c * w[rr][0]
+                gy = gy + c * w[rr][1]
+        side_s = make_side(s)
+        w[s] = side_s.apply_iH_transpose(gx, gy, nb)
+        ux, uy = us[s]
+        rows_by_stage[s], krbar, kcbar = _stage_cotangent_rows(
+            r, side_s, gx, gy, ux, uy,
+            pr=pr, pc=pc, nb=nb, K=K, krbar=krbar, kcbar=kcbar,
+        )
+        dbar = dbar + _diag_cotangent(gx, gy, ux, uy)
+    lx_new, ly_new = lx, ly
+    for s in range(S):
+        lx_new = lx_new + w[s][0]
+        ly_new = ly_new + w[s][1]
+
+    rows = [row for srows in rows_by_stage for row in srows]
+    r_used = len(rows)
+    r_pad = r.zbar.shape[1]
+    if r_used < r_pad:
+        rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
+    r.zbar[k] = jnp.concatenate(rows, axis=0)
+
+    return x0, y0, lx_new, ly_new, dbar, krbar, kcbar
+
+
+def _bwd_interval_wide(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
+                       *, pr, pc, nb, A, B_np, S, K):
+    """Wide (round-3) adjoint interval: all stage sides assembled up
+    front, cotangent pass as a separate phase.  Kept behind
+    PDT_KERNEL_WIDE_ADJ=1 as the A/B reference for the lean form."""
+    h, bhl, zstep = _bwd_step_prelude(r, k, S=S, K=K)
 
     sides = [r.side(k, s, K=K, pr=pr, pc=pc, zstep=zstep)
              for s in range(S)]
@@ -814,27 +976,11 @@ def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
     for s in range(S):
         kbx, kby = kb[s]
         ux, uy = us[s]
-        W, V, Wc, Vc = _outer_accumulate(
-            kbx, kby, ux, uy, nb, r.rp[0], r.cp[0]
+        srows, krbar, kcbar = _stage_cotangent_rows(
+            r, sides[s], kbx, kby, ux, uy,
+            pr=pr, pc=pc, nb=nb, K=K, krbar=krbar, kcbar=kcbar,
         )
-        for p in range(pr):
-            g_sym = r.rp[p] + r.rpt[p]
-            g_asym = r.rp[p] - r.rpt[p]
-            rows.append(jnp.broadcast_to(jnp.sum(g_sym * W), (1, 128)))
-            rows.append(jnp.broadcast_to(jnp.sum(g_asym * V), (1, 128)))
-        for p in range(pc):
-            g_sym_t = r.cpt[p] + r.cp[p]  # (P + P^T)^T layout for Gc
-            g_asym_t = r.cpt[p] - r.cp[p]
-            rows.append(jnp.broadcast_to(jnp.sum(g_sym_t * Wc), (1, 128)))
-            rows.append(jnp.broadcast_to(jnp.sum(g_asym_t * Vc), (1, 128)))
-        if K:
-            za_bar, zb_bar = _kron_cotangents(sides[s], kbx, kby, ux, uy)
-            for k_ in range(K):
-                rows.append(jnp.broadcast_to(za_bar[k_], (1, 128)))
-                rows.append(jnp.broadcast_to(zb_bar[k_], (1, 128)))
-            krbar, kcbar = _kron_matrix_cotangents(
-                sides[s], kbx, kby, ux, uy, nb, krbar, kcbar
-            )
+        rows.extend(srows)
         dbar = dbar + _diag_cotangent(kbx, kby, ux, uy)
 
     r_used = len(rows)

@@ -550,6 +550,42 @@ print(json.dumps({"v": float(v), "g00": float(g[0, 10]),
     assert abs(out["g01"] - float(g_ref[0, 50])) < 1e-5
 
 
+def test_pallas_lean_vs_wide_adjoint_parity(two_atom_register):
+    """The lean adjoint interval (default: on-demand side assembly,
+    cotangent work fused into the reversed recursion — the low-VMEM form
+    that fits the N=18 adjoint under the 128 MiB ceiling) must match the
+    wide round-3 form: per-value FMA chains are identical, only the
+    cross-stage accumulation order of dbar / kron-matrix cotangents
+    changes (f32 reassociation).  Flipped in-process: the dispatch reads
+    the module global at trace time and nothing here is jitted."""
+    from pulser_diff_tpu.ops import pallas_evolution as pe
+
+    sim, h, grid, p0 = _setup(two_atom_register)
+    hd = h._ham_data
+
+    def loss(streams_re, diag):
+        hd2 = hd._replace(
+            row_streams=Cplx(streams_re, hd.row_streams.im), int_diag=diag
+        )
+        out = pallas_evolve(hd2, p0, grid.times, "DP5", interpret=True)
+        return jnp.sum(out.re**2 - out.im)
+
+    args = (hd.row_streams.re, hd.int_diag)
+    assert not pe._WIDE_ADJ
+    v_lean, g_lean = jax.value_and_grad(loss, argnums=(0, 1))(*args)
+    pe._WIDE_ADJ = True
+    try:
+        v_wide, g_wide = jax.value_and_grad(loss, argnums=(0, 1))(*args)
+    finally:
+        pe._WIDE_ADJ = False
+    assert float(jnp.abs(v_lean - v_wide)) == 0.0
+    assert float(jnp.abs(g_lean[0] - g_wide[0]).max()) == 0.0
+    # diag cotangent accumulates across stages in reversed order in the
+    # lean form: reassociation-only difference
+    scale = float(jnp.abs(g_wide[1]).max()) + 1e-12
+    assert float(jnp.abs(g_lean[1] - g_wide[1]).max()) < 1e-6 * scale + 1e-9
+
+
 def test_pallas_direct_form_parity():
     """PDT_KERNEL_DIRECT=1 (direct 4-matmul stage form, no 2da-block
     composition — the VMEM-headroom lever for the largest fused sizes)
