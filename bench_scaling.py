@@ -133,6 +133,37 @@ def main():
         out["rk4_value"] = v_rk
         print(json.dumps(out))
         return
+    if which == "f32":
+        # HBM-resident f32 XLA stepper: the gradient path past the fused
+        # kernels' VMEM ceiling (N >= 18); optionally compare vs fused
+        # forward accuracy by running "fused" separately
+        ck, t_32, v_32, g_32 = run(n, fused=False, solver="DP5_SE_F32")
+        print(
+            f"[scaling] N={n} f32-xla: compile={ck:.1f}s "
+            f"step={t_32*1e3:.2f}ms value={v_32:.9f}",
+            file=sys.stderr,
+        )
+        out["f32_step_s"] = round(t_32, 6)
+        out["f32_compile_s"] = round(ck, 1)
+        out["f32_value"] = v_32
+        out["f32_grad"] = [float(x) for x in np.asarray(g_32).ravel()[:8]]
+        print(json.dumps(out))
+        return
+    if which == "f32vs64":
+        c32, t_32, v_32, g_32 = run(n, fused=False, solver="DP5_SE_F32")
+        c64, t_64, v_64, g_64 = run(n, fused=False)
+        print(
+            f"[scaling] N={n} f32 {t_32*1e3:.2f}ms vs f64 {t_64*1e3:.2f}ms "
+            f"(x{t_64/t_32:.1f}); |dv|={abs(v_32-v_64):.3g} "
+            f"|dg|={np.abs(g_32-g_64).max():.3g}",
+            file=sys.stderr,
+        )
+        out["f32_step_s"] = round(t_32, 6)
+        out["f64_step_s"] = round(t_64, 6)
+        out["value_diff"] = float(abs(v_32 - v_64))
+        out["grad_diff"] = float(np.abs(g_32 - g_64).max())
+        print(json.dumps(out))
+        return
     if which == "krylov":
         ck, t_kr, v_kr, g_kr = run(n, fused=False, solver="KRYLOV_SE")
         print(

@@ -412,20 +412,42 @@ class TpuEmulator:
 
     _PALLAS_METHODS = {"RK4_PALLAS": "RK4", "DP5_PALLAS": "DP5"}
 
+    # Hardware-verified single-chip ceiling of the fused ADJOINT kernel:
+    # at dim = 2^18 (N=18 qubits, 512x512 factors) Mosaic's register
+    # allocator spills ~155 MiB past the 128 MiB/core VMEM regardless of
+    # kernel scheduling (SCALING.md).  At/above this size the default
+    # DP5_SE solve routes to the HBM-resident f32 XLA stepper instead —
+    # same f32-accuracy class, no VMEM wall (N=18: 0.33 s vs f64's 8.3 s).
+    _FUSED_DIM_CAP = 2**18
+
     def _fused_eligible(self, ham_data) -> bool:
         """Whether the fused Pallas kernel should take this solve by
         DEFAULT: any interaction kind on an accelerator backend (on CPU
-        the kernel only runs interpreted, far slower than the XLA path).
+        the kernel only runs interpreted, far slower than the XLA path),
+        below the adjoint VMEM ceiling (_FUSED_DIM_CAP).
         XY sequences route through the kernel's kron-pair terms; since
         round 3 the adjoint also emits kron PART-MATRIX cotangents, so
         qubit-distance gradients flow through the fused path too
         (tests/test_pallas.py::test_pallas_xy_distance_grad_end_to_end).
-        Opt out with run(..., fused=False)."""
+        Opt out with run(..., fused=False); explicitly pass DP5_PALLAS
+        for the fused forward-only path above the cap (N=18 forward runs
+        in 98.5 ms — only the adjoint hits the wall)."""
         from pulser_diff_tpu.ops.pallas_evolution import _NB_MAX
 
+        h = self._hamiltonian
         return (
             jax.default_backend() != "cpu"
             and int(self._initial_state.shape[1]) <= _NB_MAX
+            and (h.dim ** h._size) < self._FUSED_DIM_CAP
+        )
+
+    def _f32_xla_eligible(self) -> bool:
+        """Above the fused ceiling the f32 XLA stepper is the default
+        fast path on accelerators (fused=False restores f64)."""
+        h = self._hamiltonian
+        return (
+            jax.default_backend() != "cpu"
+            and (h.dim ** h._size) >= self._FUSED_DIM_CAP
         )
 
     def _solve_states(
@@ -444,22 +466,26 @@ class TpuEmulator:
         da, db = h.dim**h._a, h.dim**h._b
         opts = dict(solver_opts or {})
         fused = opts.pop("fused", None)
-        if (
-            solver == SolverType.DP5_SE
-            and fused is not False
-            and self._fused_eligible(ham_data)
-        ):
-            # TPU default: the DP5-stage fused kernel matches the f64
-            # XLA stepper to ~1e-6 (compensated f32 arithmetic) at
-            # kernel speed — the reference's default solver is DP5
-            # (reference backend.py:487-494).  Opt out with
-            # run(..., fused=False).
-            solver = SolverType.DP5_PALLAS
+        if solver == SolverType.DP5_SE and fused is not False:
+            if self._fused_eligible(ham_data):
+                # TPU default: the DP5-stage fused kernel matches the f64
+                # XLA stepper to ~1e-6 (compensated f32 arithmetic) at
+                # kernel speed — the reference's default solver is DP5
+                # (reference backend.py:487-494).  Opt out with
+                # run(..., fused=False).
+                solver = SolverType.DP5_PALLAS
+            elif self._f32_xla_eligible():
+                # past the fused adjoint's VMEM ceiling: HBM-resident
+                # f32 stepper (N=18: 0.33 s fwd+grad vs f64's 8.3 s,
+                # |dv| 3.4e-6 / |dg| 1.6e-6 — SCALING.md)
+                solver = SolverType.DP5_SE_F32
         if solver in (
             SolverType.DP5_SE,
             SolverType.RK4_SE,
             SolverType.KRYLOV_SE,
             SolverType.DP5_SE_ADAPTIVE,
+            SolverType.DP5_SE_F32,
+            SolverType.RK4_SE_F32,
         ):
             psi0 = self._initial_state  # (dim, nb)
             nb = psi0.shape[1]

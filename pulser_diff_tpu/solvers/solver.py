@@ -64,6 +64,12 @@ class SolverType:
     # reference's pyqtorch solver is adaptive); bounded lax.while_loop
     # with a continuous-adjoint custom VJP (differentiable)
     DP5_SE_ADAPTIVE = "DP5_SE_ADAPTIVE"
+    # f32 XLA steppers (HBM-resident, matmuls pinned to HIGHEST
+    # precision): the gradient path for states past the fused kernels'
+    # single-chip VMEM ceiling (N >= 18 qubits, SCALING.md) — everything
+    # the f64 stepper does at ~f32-rounding accuracy and MXU speed
+    DP5_SE_F32 = "DP5_SE_F32"
+    RK4_SE_F32 = "RK4_SE_F32"
 
 
 @dataclass(frozen=True)
@@ -185,18 +191,22 @@ def _se_rhs(ham: FactoredHamiltonian, t: jax.Array, psi: Cplx) -> Cplx:
 
 
 def _explicit_rk_step(rhs, t0, h, y, c_nodes, a_coeffs, b_weights):
-    """Generic explicit Runge-Kutta step over Cplx pytrees."""
+    """Generic explicit Runge-Kutta step over Cplx pytrees.
+
+    Tableau constants are cast to Python floats: numpy f64 scalars are
+    strongly typed under x64 and would silently promote an f32 carry
+    (the DP5_SE_F32/RK4_SE_F32 modes) back to f64."""
     ks = []
     for i, ci in enumerate(c_nodes):
         yi = y
         for j, aij in enumerate(a_coeffs[i]):
             if aij != 0.0:
-                yi = yi + ks[j] * (aij * h)
-        ks.append(rhs(t0 + ci * h, yi))
+                yi = yi + ks[j] * (float(aij) * h)
+        ks.append(rhs(t0 + float(ci) * h, yi))
     out = y
     for bi, ki in zip(b_weights, ks):
         if bi != 0.0:
-            out = out + ki * (bi * h)
+            out = out + ki * (float(bi) * h)
     return out
 
 
@@ -949,6 +959,37 @@ def _integrate(
     return out
 
 
+# f32 solver aliases -> the underlying f64-machinery stepper they run
+_F32_SOLVERS = {
+    SolverType.DP5_SE_F32: SolverType.DP5_SE,
+    SolverType.RK4_SE_F32: SolverType.RK4_SE,
+}
+
+
+def _cast_ham(ham: FactoredHamiltonian, dtype) -> FactoredHamiltonian:
+    """Cast every float leaf of the factored Hamiltonian (linear, so
+    autodiff routes cotangents back to the original dtype exactly)."""
+
+    def c(x):
+        if x is None:
+            return None
+        if isinstance(x, Cplx):
+            return Cplx(x.re.astype(dtype), x.im.astype(dtype))
+        return jnp.asarray(x).astype(dtype)
+
+    return ham._replace(
+        row_parts=c(ham.row_parts),
+        col_parts=c(ham.col_parts),
+        row_streams=c(ham.row_streams),
+        col_streams=c(ham.col_streams),
+        int_diag=c(ham.int_diag),
+        kron_row=c(ham.kron_row),
+        kron_col=c(ham.kron_col),
+        kron_streams=c(ham.kron_streams),
+        sample_dt=c(ham.sample_dt),
+    )
+
+
 def sesolve(
     ham: FactoredHamiltonian,
     psi0: Cplx,
@@ -971,7 +1012,32 @@ def sesolve(
     reference backend.py:430-451); remat=None picks checkpointing
     automatically from memory footprint; n_segments=None auto-enables
     sqrt-checkpointing for large states.
+
+    DP5_SE_F32 / RK4_SE_F32 run the same steppers with every operand cast
+    to f32 and matmuls pinned at Precision.HIGHEST — the HBM-resident
+    gradient path for states past the fused Pallas kernels' VMEM ceiling
+    (the N=18 fused adjoint spills past 128 MiB/core regardless of
+    scheduling, SCALING.md).  TPU f64 matmuls are VPU-emulated and slow;
+    f32 rides the MXU.  Rounding random-walks at ~1e-6 over reference-
+    scale grids (166 steps), the same accuracy class as the fused kernel.
     """
+    if solver in _F32_SOLVERS:
+        f32 = jnp.float32
+        ham32 = _cast_ham(ham, f32)
+        psi32 = Cplx(psi0.re.astype(f32), psi0.im.astype(f32))
+        grid32 = TimeGrid(
+            times=grid.times.astype(f32),
+            write_slots=grid.write_slots,
+            n_eval=grid.n_eval,
+        )
+        # DEFAULT f32 matmul precision on TPU is bf16-pass based (~1e-3
+        # relative) — pin every dot traced in the solve to HIGHEST
+        with jax.default_matmul_precision("highest"):
+            return sesolve(
+                ham32, psi32, grid32, _F32_SOLVERS[solver], substeps,
+                krylov_dim, krylov_tol, rtol, atol, max_iters,
+                remat, n_segments,
+            )
     n_steps = grid.times.shape[0] * substeps
     if remat is None:
         remat = _auto_remat(psi0, n_steps)

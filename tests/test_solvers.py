@@ -489,3 +489,45 @@ def test_krylov_gradient_matches_dp5(two_atom_register):
     assert np.isfinite(float(g_kr))
     assert abs(float(v_dp) - float(v_kr)) < 1e-6
     assert abs(float(g_dp) - float(g_kr)) < 1e-5
+
+
+def test_f32_solver_matches_f64(two_atom_register):
+    """DP5_SE_F32 (the HBM-resident gradient path for states past the
+    fused kernels' VMEM ceiling, N >= 18) tracks the f64 stepper at f32
+    rounding: values ~1e-6, gradients routed back to the caller's f64
+    leaves.  Also pins that the stepper really runs in f32 (a silent
+    numpy-scalar promotion to f64 would make this mode a slow no-op)."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.solvers import TimeGrid, sesolve
+
+    seq = make_rich_sequence(two_atom_register)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    da, db = h.dim**h._a, h.dim**h._b
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+    hd = h._ham_data
+
+    def loss(streams_re, solver):
+        hd2 = hd._replace(
+            row_streams=Cplx(streams_re, hd.row_streams.im)
+        )
+        out = sesolve(hd2, p0, grid, solver=solver)
+        assert out.re.dtype == (
+            jnp.float32 if solver == SolverType.DP5_SE_F32 else jnp.float64
+        )
+        last = out[out.re.shape[0] - 1]
+        return jnp.sum(last.re**2 - last.im)
+
+    s0 = hd.row_streams.re
+    v64, g64 = jax.value_and_grad(
+        lambda s: loss(s, SolverType.DP5_SE)
+    )(s0)
+    v32, g32 = jax.value_and_grad(
+        lambda s: loss(s, SolverType.DP5_SE_F32)
+    )(s0)
+    assert g32.dtype == jnp.float64  # cotangents cast back to the leaves
+    assert abs(float(v64 - v32)) < 5e-6
+    scale = float(jnp.abs(g64).max())
+    assert float(jnp.abs(g64 - g32).max()) < 1e-4 * scale + 1e-8
