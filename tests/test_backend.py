@@ -152,3 +152,37 @@ def test_sampling_and_weights(simple_seq):
     # weights normalised
     w = res[len(res) - 1]._weights()
     assert abs(float(jnp.sum(w)) - 1.0) < 1e-9
+
+
+def test_solver_routing_dim_cap(two_atom_register, monkeypatch):
+    """Default-path routing by state size on accelerator backends: below
+    the fused adjoint's VMEM ceiling (dim < 2^18) DP5_SE takes the fused
+    kernel, at/above it the HBM-resident f32 XLA stepper (SCALING.md —
+    the N=18 fused adjoint cannot compile under 128 MiB/core).  On the
+    CPU backend both stay False (interpret-mode Pallas is slower than
+    XLA; f32 buys nothing)."""
+    seq_small = make_simple_sequence(two_atom_register, duration=60)
+    sim_small = TpuEmulator.from_sequence(seq_small)
+
+    reg18 = Register(
+        {
+            f"q{i}": jnp.array([10.0 * (i % 4), 10.0 * (i // 4)])
+            for i in range(18)
+        }
+    )
+    seq18 = Sequence(reg18, MockDevice)
+    seq18.declare_channel("ryd", "rydberg_global")
+    seq18.add(Pulse.ConstantPulse(60, 1.0, 0.0, 0.0), "ryd")
+    sim18 = TpuEmulator.from_sequence(
+        seq18, sampling_rate=0.25, evaluation_times="Minimal"
+    )
+
+    # CPU backend: neither fast path engages
+    assert not sim_small._fused_eligible(sim_small._hamiltonian._ham_data)
+    assert not sim18._f32_xla_eligible()
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert sim_small._fused_eligible(sim_small._hamiltonian._ham_data)
+    assert not sim_small._f32_xla_eligible()
+    assert not sim18._fused_eligible(sim18._hamiltonian._ham_data)
+    assert sim18._f32_xla_eligible()

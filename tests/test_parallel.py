@@ -168,6 +168,44 @@ def test_sharded_sesolve_matches_unsharded(mesh8):
         sharded_sesolve(hd, Cplx(psi0.re[:, :4], psi0.im[:, :4]), grid, mesh)
 
 
+def test_sharded_sesolve_f32_mode(mesh8):
+    """DP5_SE_F32 composes with the sharded solve (the multi-chip
+    continuation of the f32 scaling path, SCALING.md): the f32 cast
+    happens inside sesolve, the sharding constraints stay on the caller's
+    arrays, and XLA partitions the f32 program identically."""
+    from pulser_diff_tpu.core import Register
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.parallel import sharded_sesolve
+    from pulser_diff_tpu.solvers import SolverType, TimeGrid, sesolve
+
+    reg = Register(
+        {
+            f"q{i}": jnp.array([8.0 * np.cos(a), 8.0 * np.sin(a)])
+            for i, a in enumerate(np.linspace(0, 2 * np.pi, 6, endpoint=False))
+        }
+    )
+    seq = make_simple_sequence(reg, duration=60)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    p0 = sim.initial_state
+    psi0 = Cplx(p0.re.T.reshape(1, 8, 8), p0.im.T.reshape(1, 8, 8))
+    hd = h._ham_data
+    mesh = make_mesh({"state": 8})
+
+    plain64 = sesolve(hd, psi0, grid)
+    shard32 = sharded_sesolve(
+        hd, psi0, grid, mesh, solver=SolverType.DP5_SE_F32
+    )
+    assert shard32.re.dtype == jnp.float32
+    assert len({s.device for s in shard32.re.addressable_shards}) == 8
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(plain64.re)),
+        np.asarray(jax.device_get(shard32.re)),
+        atol=5e-6,
+    )
+
+
 def test_sharded_sesolve_xy_kron_terms(mesh8):
     """Sharded statevector solve with XY kron-pair terms: the
     R @ Psi @ C^T einsums must partition correctly too."""
