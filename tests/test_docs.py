@@ -70,3 +70,8 @@ def test_gate_optimization_mini_convergence():
 def test_noisy_simulation_runs(monkeypatch):
     monkeypatch.setenv("PDT_DOCS_CI", "1")
     runpy.run_path(os.path.join(DOCS, "noisy_simulation.py"), run_name="docs")
+
+
+def test_large_scale_runs(monkeypatch):
+    monkeypatch.setenv("PDT_DOCS_CI", "1")
+    runpy.run_path(os.path.join(DOCS, "large_scale.py"), run_name="docs")
