@@ -301,6 +301,64 @@ def test_abstract_repr_xy():
     assert abs(np.linalg.norm(psi) - 1) < 1e-8
 
 
+def test_abstract_repr_digital_three_level():
+    """Digital (raman) + rydberg channels in one sequence: the 'all'
+    3-level basis.  Replays the fixture and matches the natively-built
+    equivalent exactly (states, basis selection, digital measurement)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pulser_diff_tpu import TpuEmulator
+    from pulser_diff_tpu.core import (
+        BlackmanWaveform,
+        ConstantWaveform,
+        MockDevice,
+        Pulse,
+        RampWaveform,
+        Register,
+        Sequence,
+    )
+    from pulser_diff_tpu.interop import from_abstract_repr
+
+    seq = from_abstract_repr(_load_fixture("abstract_seq_digital.json"))
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    assert sim.basis_name == "all"  # 3-level: [r, g, h]
+    assert sim.dim == 3
+    assert sim._meas_basis == "digital"
+    res = sim.run()
+    psi = res.states.to_numpy()[-1, :, 0]
+    assert abs(np.linalg.norm(psi) - 1) < 1e-8
+
+    # natively-built equivalent
+    reg = Register(
+        {"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])}
+    )
+    seq2 = Sequence(reg, MockDevice)
+    seq2.declare_channel("ram", "raman_global")
+    seq2.declare_channel("ryd", "rydberg_global")
+    seq2.add(
+        Pulse(BlackmanWaveform(120, 1.2), ConstantWaveform(120, 0.0), 0.0),
+        "ram",
+    )
+    seq2.add(
+        Pulse(RampWaveform(100, 0.5, 2.0), ConstantWaveform(100, -1.0), 0.3),
+        "ryd",
+    )
+    seq2.delay(16, "ram")
+    seq2.add(
+        Pulse(
+            ConstantWaveform(80, 1.5), RampWaveform(80, -0.5, 0.5),
+            1.2, post_phase_shift=0.4,
+        ),
+        "ram",
+    )
+    seq2.measure("digital")
+    sim2 = TpuEmulator.from_sequence(seq2, evaluation_times="Minimal")
+    res2 = sim2.run()
+    psi2 = res2.states.to_numpy()[-1, :, 0]
+    np.testing.assert_allclose(psi, psi2, atol=1e-12)
+
+
 # ----------------------------------------------------------------------
 # live-object sequence replay (duck-typed stand-in graph shaped like
 # pulser's Sequence internals — proves from_pulser_sequence end-to-end
