@@ -116,9 +116,10 @@ def run(n_qubits: int, fused: bool, n_timings: int = 3, solver: str | None = Non
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     # Optional path selector: "fused" / "f64" / "both" (default) /
-    # "krylov" (KRYLOV_SE on the f64 XLA path).  At N=18 the f64 XLA
-    # path is impractically slow to even compile, so the probe can run
-    # the fused kernel alone.
+    # "rk4" (fused RK4 stages) / "krylov" (KRYLOV_SE, f64 XLA) /
+    # "f32" (DP5_SE_F32, the HBM-resident stepper for N >= 18) /
+    # "f32vs64" (f32 and f64 back-to-back with value/grad diffs).
+    # At N >= 18 prefer "f32": the f64 path costs minutes per probe.
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
     out = {"n_qubits": n, "dim": 2**n}
     if which == "rk4":

@@ -56,6 +56,7 @@ _DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude", "leakage"}
 _RUN_OPTIONS = {
     "substeps", "max_step", "krylov_dim", "krylov_tol",
     "rtol", "atol", "max_iters", "fused", "superop",
+    "remat", "n_segments",
 }
 
 
@@ -418,28 +419,36 @@ class TpuEmulator:
     # kernel scheduling (SCALING.md).  At/above this size the default
     # DP5_SE solve routes to the HBM-resident f32 XLA stepper instead —
     # same f32-accuracy class, no VMEM wall (N=18: 0.33 s vs f64's 8.3 s).
+    # The FORWARD kernels (incl. the Monte-Carlo grid, which never runs
+    # the adjoint inside run()) keep going one size further: N=18 forward
+    # is hardware-verified at 98.5 ms (SCALING.md).
     _FUSED_DIM_CAP = 2**18
+    _FUSED_FWD_DIM_CAP = 2**19
 
-    def _fused_eligible(self, ham_data) -> bool:
+    def _fused_backend_ok(self) -> bool:
+        from pulser_diff_tpu.ops.pallas_evolution import _NB_MAX
+
+        return (
+            jax.default_backend() != "cpu"
+            and int(self._initial_state.shape[1]) <= _NB_MAX
+        )
+
+    def _fused_eligible(self, ham_data, forward_only: bool = False) -> bool:
         """Whether the fused Pallas kernel should take this solve by
         DEFAULT: any interaction kind on an accelerator backend (on CPU
         the kernel only runs interpreted, far slower than the XLA path),
-        below the adjoint VMEM ceiling (_FUSED_DIM_CAP).
+        below the adjoint VMEM ceiling (_FUSED_DIM_CAP) — or the
+        forward-only ceiling for paths that never differentiate (the
+        noisy run() sampling batch).
         XY sequences route through the kernel's kron-pair terms; since
         round 3 the adjoint also emits kron PART-MATRIX cotangents, so
         qubit-distance gradients flow through the fused path too
         (tests/test_pallas.py::test_pallas_xy_distance_grad_end_to_end).
-        Opt out with run(..., fused=False); explicitly pass DP5_PALLAS
-        for the fused forward-only path above the cap (N=18 forward runs
-        in 98.5 ms — only the adjoint hits the wall)."""
-        from pulser_diff_tpu.ops.pallas_evolution import _NB_MAX
-
+        Opt out with run(..., fused=False); run(fused=True) or
+        DP5_PALLAS force the fused path above the default cap."""
         h = self._hamiltonian
-        return (
-            jax.default_backend() != "cpu"
-            and int(self._initial_state.shape[1]) <= _NB_MAX
-            and (h.dim ** h._size) < self._FUSED_DIM_CAP
-        )
+        cap = self._FUSED_FWD_DIM_CAP if forward_only else self._FUSED_DIM_CAP
+        return self._fused_backend_ok() and (h.dim ** h._size) < cap
 
     def _f32_xla_eligible(self) -> bool:
         """Above the fused ceiling the f32 XLA stepper is the default
@@ -467,7 +476,14 @@ class TpuEmulator:
         opts = dict(solver_opts or {})
         fused = opts.pop("fused", None)
         if solver == SolverType.DP5_SE and fused is not False:
-            if self._fused_eligible(ham_data):
+            if fused is True and self._fused_backend_ok():
+                # explicit opt-IN: honor it regardless of the adjoint dim
+                # cap (forward-only use above the cap works — N=18 fused
+                # forward is 98.5 ms; a grad above the cap fails at
+                # compile with Mosaic's VMEM error rather than being
+                # silently rerouted to a different numerical path)
+                solver = SolverType.DP5_PALLAS
+            elif self._fused_eligible(ham_data):
                 # TPU default: the DP5-stage fused kernel matches the f64
                 # XLA stepper to ~1e-6 (compensated f32 arithmetic) at
                 # kernel speed — the reference's default solver is DP5
@@ -497,7 +513,10 @@ class TpuEmulator:
                 krylov_dim=krylov_dim,
                 **{
                     k: opts[k]
-                    for k in ("rtol", "atol", "max_iters", "krylov_tol")
+                    for k in (
+                        "rtol", "atol", "max_iters", "krylov_tol",
+                        "remat", "n_segments",
+                    )
                     if k in opts
                 },
             )  # (n_eval, nb, da, db)
@@ -730,7 +749,9 @@ class TpuEmulator:
         fused_mc = solver in self._PALLAS_METHODS or (
             solver == SolverType.DP5_SE
             and options.get("fused", None) is not False
-            and self._fused_eligible(h._ham_data)
+            # run()'s noisy batch never differentiates, so the MC kernel
+            # is gated by the FORWARD VMEM ceiling, not the adjoint one
+            and self._fused_eligible(h._ham_data, forward_only=True)
         )
         fused_method = self._PALLAS_METHODS.get(solver, "DP5")
 
@@ -928,6 +949,19 @@ class TpuEmulator:
         prog = self._njit_cache.get(cache_key)
         if prog is None:
 
+            # vmapped fallback: fused=False dodges vmap-of-pallas (does
+            # not lower); past the forward VMEM ceiling the per-run solve
+            # still deserves the f32 stepper, not VPU-emulated f64 —
+            # unless the user explicitly asked for f64 with fused=False
+            fb_solver = solver
+            if (
+                not fused_mc
+                and solver == SolverType.DP5_SE
+                and options.get("fused", None) is not False
+                and self._f32_xla_eligible()
+            ):
+                fb_solver = SolverType.DP5_SE_F32
+
             def _counts(stack_, n_per_run_, key_):
                 hams = jax.vmap(build_fn)(stack_)
                 if fused_mc:
@@ -935,8 +969,8 @@ class TpuEmulator:
                 else:
                     states = jax.vmap(
                         lambda hd: self._solve_states(
-                            hd, None, solver, substeps, krylov_dim, grid,
-                            solver_opts={**options, "fused": False},
+                            hd, None, fb_solver, substeps, krylov_dim,
+                            grid, solver_opts={**options, "fused": False},
                         )
                     )(hams)
                 weights = self._batched_weights(states)

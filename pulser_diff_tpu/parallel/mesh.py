@@ -52,10 +52,14 @@ def _solve_states_from_draws(sim, draws, solver, substeps, krylov_dim, grid):
     hd = h.build_data(draws)
     # fused=False: these paths vmap/shard the solve through XLA's SPMD
     # partitioner; vmap-of-pallas does not lower on this backend (the
-    # single-launch MC batching lives in ops.pallas_evolution instead)
+    # single-launch MC batching lives in ops.pallas_evolution instead).
+    # remat=True: the solver's automatic residual-budget heuristics see
+    # only the PER-RUN state, but this solve is vmapped over the runs
+    # batch — per-step checkpointing keeps reverse-mode memory at
+    # O(runs * steps * state) instead of O(runs * steps * stages * state).
     return sim._solve_states(
         hd, None, solver, substeps, krylov_dim, grid,
-        solver_opts={"fused": False},
+        solver_opts={"fused": False, "remat": True},
     )
 
 
