@@ -186,3 +186,61 @@ def test_solver_routing_dim_cap(two_atom_register, monkeypatch):
     assert not sim_small._f32_xla_eligible()
     assert not sim18._fused_eligible(sim18._hamiltonian._ham_data)
     assert sim18._f32_xla_eligible()
+
+
+def test_solver_routing_above_cap(two_atom_register, monkeypatch):
+    """Routing above the adjoint dim cap (simulated by lowering the cap
+    on a 2-atom system with a faked accelerator backend): the default
+    DP5_SE goes to the f32 XLA stepper, while an explicit run(fused=True)
+    is honored and routes to the fused kernel — never silently
+    rerouted to a different numerical path."""
+    import pulser_diff_tpu.backend as be
+    import pulser_diff_tpu.ops.pallas_evolution as pe
+    from pulser_diff_tpu.solvers import SolverType
+
+    seq = make_simple_sequence(two_atom_register, duration=60)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    hd = sim._hamiltonian._ham_data
+    from pulser_diff_tpu.solvers import TimeGrid
+
+    grid = TimeGrid.make(
+        sim._hamiltonian.sampling_times, sim._eval_times_array
+    )
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(type(sim), "_FUSED_DIM_CAP", 1)
+
+    seen = {}
+    real_sesolve = be.sesolve
+
+    def spy_sesolve(ham, psi0, g, solver=SolverType.DP5_SE, **kw):
+        seen["solver"] = solver
+        return real_sesolve(ham, psi0, g, solver=solver, **kw)
+
+    monkeypatch.setattr(be, "sesolve", spy_sesolve)
+
+    # default (fused unset): f32 XLA above the cap
+    sim._solve_states(hd, None, SolverType.DP5_SE, 1, 12, grid)
+    assert seen["solver"] == SolverType.DP5_SE_F32
+
+    # fused=False: the f64 parity path, never f32
+    sim._solve_states(
+        hd, None, SolverType.DP5_SE, 1, 12, grid,
+        solver_opts={"fused": False},
+    )
+    assert seen["solver"] == SolverType.DP5_SE
+
+    # explicit fused=True: the fused kernel, even above the cap
+    real_pallas = pe.fused_evolve_states
+    called = {}
+
+    def spy_pallas(method, interpret, slots, n_eval, last_slot, data):
+        called["method"] = method
+        # force interpret on the faked-tpu backend so it runs on CPU
+        return real_pallas(method, True, slots, n_eval, last_slot, data)
+
+    monkeypatch.setattr(pe, "fused_evolve_states", spy_pallas)
+    sim._solve_states(
+        hd, None, SolverType.DP5_SE, 1, 12, grid,
+        solver_opts={"fused": True},
+    )
+    assert called["method"] == "DP5"
