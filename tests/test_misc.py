@@ -306,3 +306,36 @@ def test_bench_interp_matrix_is_jax_free_and_parity():
     assert proc.returncode == 0, proc.stderr[-800:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     assert out["ok"] and np.isfinite(out["sum"])
+
+
+def test_export_step_f32_solver(tmp_path, two_atom_register):
+    """The f32 XLA stepper (the N>=18 gradient path) is pure StableHLO —
+    it must export/reload like the f64 path."""
+    from pulser_diff_tpu import SolverType
+    from pulser_diff_tpu.model import QuantumModel
+    from pulser_diff_tpu.ops import total_magnetization
+    from pulser_diff_tpu.utils import export_step, load_step
+    from pulser_diff_tpu.core import MockDevice, Pulse, Sequence
+
+    seq = Sequence(two_atom_register, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    om = seq.declare_variable("om")
+    seq.add(Pulse.ConstantPulse(200, om, -1.0, 0.0), "ryd")
+    model = QuantumModel(
+        seq, {"om": jnp.asarray(1.8)}, solver=SolverType.DP5_SE_F32
+    )
+    obs = total_magnetization(2)
+    exp_fn = model.expectation_fn(obs)
+
+    def loss(p):
+        _, vals = exp_fn(p)
+        return vals[-1].real
+
+    step = jax.jit(jax.value_and_grad(loss))
+    p0 = {"om": jnp.asarray(1.8)}
+    v_ref, g_ref = step(p0)
+    path = export_step(step, (p0,), str(tmp_path / "step32.bin"))
+    loaded = load_step(path)
+    v2, g2 = loaded(p0)
+    assert abs(float(v2) - float(v_ref)) < 1e-12
+    assert abs(float(g2["om"]) - float(g_ref["om"])) < 1e-12
