@@ -623,9 +623,12 @@ def main():
     if not tpu_up:
         _TPU_WEDGED = True  # skip all TPU attempts below
     try:
+        # min-of-10: the remote-tunnel dispatch floor varies a few ms
+        # call-to-call, and each extra timing costs ~30 ms — cheap
+        # insurance that the recorded number captures the low tail
         t_fused, v_fused, g_fused = _tpu_with_retries(
             lambda to: jax_tpu_subprocess(
-                params0, fused=True, n_timings=5, timeout=to
+                params0, fused=True, n_timings=10, timeout=to
             ),
             "jax/TPU fused",
         )
