@@ -549,7 +549,12 @@ class TpuEmulator:
                 jnp.transpose(states.re.reshape(n_eval, nb, dim), (0, 2, 1)),
                 jnp.transpose(states.im.reshape(n_eval, nb, dim), (0, 2, 1)),
             )
-        elif solver in (SolverType.DP5_ME, SolverType.RK4_ME):
+        elif solver in (
+            SolverType.DP5_ME,
+            SolverType.RK4_ME,
+            SolverType.DP5_ME_F32,
+            SolverType.RK4_ME_F32,
+        ):
             psi0 = self._initial_state
             rho0 = Cplx(
                 psi0.re @ psi0.re.T + psi0.im @ psi0.im.T,
@@ -736,6 +741,8 @@ class TpuEmulator:
         if noise & _LINDBLAD_NOISES and solver not in (
             SolverType.DP5_ME,
             SolverType.RK4_ME,
+            SolverType.DP5_ME_F32,
+            SolverType.RK4_ME_F32,
         ):
             solver = SolverType.DP5_ME
 

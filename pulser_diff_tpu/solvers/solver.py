@@ -70,6 +70,11 @@ class SolverType:
     # the f64 stepper does at ~f32-rounding accuracy and MXU speed
     DP5_SE_F32 = "DP5_SE_F32"
     RK4_SE_F32 = "RK4_SE_F32"
+    # f32 master-equation steppers: halve rho's memory footprint (the
+    # binding constraint for 10+-atom density matrices / sharded_mesolve)
+    # and run the superop/factored RHS matmuls at MXU speed
+    DP5_ME_F32 = "DP5_ME_F32"
+    RK4_ME_F32 = "RK4_ME_F32"
 
 
 @dataclass(frozen=True)
@@ -973,6 +978,10 @@ _F32_SOLVERS = {
     SolverType.DP5_SE_F32: SolverType.DP5_SE,
     SolverType.RK4_SE_F32: SolverType.RK4_SE,
 }
+_F32_ME_SOLVERS = {
+    SolverType.DP5_ME_F32: SolverType.DP5_ME,
+    SolverType.RK4_ME_F32: SolverType.RK4_ME,
+}
 
 
 def _cast_ham(ham: FactoredHamiltonian, dtype) -> FactoredHamiltonian:
@@ -1081,6 +1090,26 @@ def mesolve(
     form for reference-scale ME workloads); pass False to force the
     factored per-site RHS, True to force vectorization.
     """
+    if solver in _F32_ME_SOLVERS:
+        f32 = jnp.float32
+        ham32 = _cast_ham(ham, f32)
+        rho32 = Cplx(rho0.re.astype(f32), rho0.im.astype(f32))
+        col32 = collapse._replace(
+            ops=None if collapse.ops is None else Cplx(
+                collapse.ops.re.astype(f32), collapse.ops.im.astype(f32)
+            )
+        )
+        grid32 = TimeGrid(
+            times=grid.times.astype(f32),
+            write_slots=grid.write_slots,
+            n_eval=grid.n_eval,
+        )
+        with jax.default_matmul_precision("highest"):
+            return mesolve(
+                ham32, rho32, col32, n_qudits, qudit_dim, grid32,
+                _F32_ME_SOLVERS[solver], substeps, remat, n_segments,
+                superop,
+            )
     n_steps = grid.times.shape[0] * substeps
     if remat is None:
         remat = _auto_remat(rho0, n_steps)

@@ -531,3 +531,60 @@ def test_f32_solver_matches_f64(two_atom_register):
     assert abs(float(v64 - v32)) < 5e-6
     scale = float(jnp.abs(g64).max())
     assert float(jnp.abs(g64 - g32).max()) < 1e-4 * scale + 1e-8
+
+
+def test_f32_mesolve_matches_f64(two_atom_register):
+    """DP5_ME_F32 (f32 Lindblad stepper — halves rho's footprint for the
+    sharded_mesolve scaling path) tracks the f64 master equation at f32
+    rounding on both the superop and factored RHS forms."""
+    from pulser_diff_tpu import SimConfig
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.solvers import TimeGrid, mesolve
+
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.3)
+    seq = make_simple_sequence(two_atom_register, duration=80)
+    sim = TpuEmulator.from_sequence(
+        seq, config=cfg, evaluation_times="Minimal"
+    )
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim.initial_state
+    rho0 = Cplx(
+        psi0.re @ psi0.re.T + psi0.im @ psi0.im.T,
+        psi0.im @ psi0.re.T - psi0.re @ psi0.im.T,
+    )
+    for superop in (True, False):
+        r64 = mesolve(
+            h._ham_data, rho0, h._collapse_ops, h._size, h.dim, grid,
+            solver=SolverType.DP5_ME, superop=superop,
+        )
+        r32 = mesolve(
+            h._ham_data, rho0, h._collapse_ops, h._size, h.dim, grid,
+            solver=SolverType.DP5_ME_F32, superop=superop,
+        )
+        assert r32.re.dtype == jnp.float32
+        d = np.abs(
+            np.asarray(jax.device_get(r64.re))
+            - np.asarray(jax.device_get(r32.re))
+        ).max()
+        assert d < 5e-6, (superop, d)
+
+    # gradient through the f32 ME path routes back to f64 leaves
+    def loss(streams_re, solver):
+        from pulser_diff_tpu.cplx import Cplx as _C
+
+        hd2 = h._ham_data._replace(
+            row_streams=_C(streams_re, h._ham_data.row_streams.im)
+        )
+        out = mesolve(
+            hd2, rho0, h._collapse_ops, h._size, h.dim, grid, solver=solver
+        )
+        last = out[out.re.shape[0] - 1]
+        return jnp.sum(last.re**2)
+
+    s0 = h._ham_data.row_streams.re
+    g64 = jax.grad(lambda s: loss(s, SolverType.DP5_ME))(s0)
+    g32 = jax.grad(lambda s: loss(s, SolverType.DP5_ME_F32))(s0)
+    assert g32.dtype == jnp.float64
+    scale = float(jnp.abs(g64).max()) + 1e-12
+    assert float(jnp.abs(g64 - g32).max()) < 1e-4 * scale + 1e-8
