@@ -499,6 +499,7 @@ class TpuEmulator:
             SolverType.DP5_SE,
             SolverType.RK4_SE,
             SolverType.KRYLOV_SE,
+            SolverType.KRYLOV_SE_F32,
             SolverType.DP5_SE_ADAPTIVE,
             SolverType.DP5_SE_F32,
             SolverType.RK4_SE_F32,

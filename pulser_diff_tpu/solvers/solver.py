@@ -70,6 +70,9 @@ class SolverType:
     # the f64 stepper does at ~f32-rounding accuracy and MXU speed
     DP5_SE_F32 = "DP5_SE_F32"
     RK4_SE_F32 = "RK4_SE_F32"
+    # f32 CF4-Magnus Krylov: the Lanczos recursion is matvec-dominated,
+    # so f64 runs VPU-emulated — the f32 cast rides the MXU instead
+    KRYLOV_SE_F32 = "KRYLOV_SE_F32"
     # f32 master-equation steppers: halve rho's memory footprint (the
     # binding constraint for 10+-atom density matrices / sharded_mesolve)
     # and run the superop/factored RHS matmuls at MXU speed
@@ -243,7 +246,10 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
     if solver == SolverType.KRYLOV_SE:
         # 4th-order commutator-free Magnus (CF4, Blanes-Moan): two Lanczos
         # exponentials per step built from the two Gauss-point Hamiltonians.
-        sq3 = np.sqrt(3.0)
+        # Python floats (weak-typed), NOT np.float64 scalars: numpy
+        # scalars are strongly typed and would promote the whole f32
+        # Lanczos recursion back to f64 under KRYLOV_SE_F32
+        sq3 = float(np.sqrt(3.0))
         c1, c2 = 0.5 - sq3 / 6, 0.5 + sq3 / 6
         a1, a2 = (3 - 2 * sq3) / 12, (3 + 2 * sq3) / 12
 
@@ -977,6 +983,7 @@ def _integrate(
 _F32_SOLVERS = {
     SolverType.DP5_SE_F32: SolverType.DP5_SE,
     SolverType.RK4_SE_F32: SolverType.RK4_SE,
+    SolverType.KRYLOV_SE_F32: SolverType.KRYLOV_SE,
 }
 _F32_ME_SOLVERS = {
     SolverType.DP5_ME_F32: SolverType.DP5_ME,
@@ -1031,8 +1038,9 @@ def sesolve(
     automatically from memory footprint; n_segments=None auto-enables
     sqrt-checkpointing for large states.
 
-    DP5_SE_F32 / RK4_SE_F32 run the same steppers with every operand cast
-    to f32 and matmuls pinned at Precision.HIGHEST — the HBM-resident
+    DP5_SE_F32 / RK4_SE_F32 / KRYLOV_SE_F32 run the same steppers with
+    every operand cast to f32 and matmuls pinned at
+    Precision.HIGHEST — the HBM-resident
     gradient path for states past the fused Pallas kernels' VMEM ceiling
     (the N=18 fused adjoint spills past 128 MiB/core regardless of
     scheduling, SCALING.md).  TPU f64 matmuls are VPU-emulated and slow;
@@ -1048,12 +1056,16 @@ def sesolve(
             write_slots=grid.write_slots,
             n_eval=grid.n_eval,
         )
+        # a happy-breakdown threshold below f32 eps never fires (tol^2
+        # underflows), leaving denormal Lanczos betas unmasked — clamp it
+        # to the f32-meaningful floor
+        krylov_tol32 = max(krylov_tol, 1e-7)
         # DEFAULT f32 matmul precision on TPU is bf16-pass based (~1e-3
         # relative) — pin every dot traced in the solve to HIGHEST
         with jax.default_matmul_precision("highest"):
             return sesolve(
                 ham32, psi32, grid32, _F32_SOLVERS[solver], substeps,
-                krylov_dim, krylov_tol, rtol, atol, max_iters,
+                krylov_dim, krylov_tol32, rtol, atol, max_iters,
                 remat, n_segments,
             )
     n_steps = grid.times.shape[0] * substeps

@@ -491,6 +491,50 @@ def test_krylov_gradient_matches_dp5(two_atom_register):
     assert abs(float(g_dp) - float(g_kr)) < 1e-5
 
 
+def test_krylov_f32_matches_f64(two_atom_register):
+    """KRYLOV_SE_F32 (f32 Lanczos — on TPU the f64 recursion is
+    VPU-emulated, measured 3.75 s vs the fused path's 30 ms at N=12)
+    tracks the f64 Krylov solve at f32 rounding, runs in f32 end-to-end,
+    and routes gradients back to f64 leaves."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.solvers import TimeGrid, sesolve
+
+    seq = make_simple_sequence(
+        two_atom_register, duration=48, omega=1.7, delta=-0.6
+    )
+    sim = TpuEmulator.from_sequence(
+        seq, sampling_rate=0.25, evaluation_times="Minimal"
+    )
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, 2, 2), psi0.im.T.reshape(1, 2, 2))
+    hd = h._ham_data
+
+    def loss(streams_re, solver):
+        hd2 = hd._replace(row_streams=Cplx(streams_re, hd.row_streams.im))
+        out = sesolve(hd2, p0, grid, solver=solver, krylov_dim=4)
+        assert out.re.dtype == (
+            jnp.float32
+            if solver == SolverType.KRYLOV_SE_F32
+            else jnp.float64
+        )
+        last = out[out.re.shape[0] - 1]
+        return jnp.sum(last.re**2 - last.im)
+
+    s0 = hd.row_streams.re
+    v64, g64 = jax.value_and_grad(
+        lambda s: loss(s, SolverType.KRYLOV_SE)
+    )(s0)
+    v32, g32 = jax.value_and_grad(
+        lambda s: loss(s, SolverType.KRYLOV_SE_F32)
+    )(s0)
+    assert g32.dtype == jnp.float64
+    assert abs(float(v64 - v32)) < 5e-6
+    scale = float(jnp.abs(g64).max())
+    assert float(jnp.abs(g64 - g32).max()) < 1e-4 * scale + 1e-8
+
+
 def test_f32_solver_matches_f64(two_atom_register):
     """DP5_SE_F32 (the HBM-resident gradient path for states past the
     fused kernels' VMEM ceiling, N >= 18) tracks the f64 stepper at f32
