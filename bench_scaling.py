@@ -117,6 +117,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     # Optional path selector: "fused" / "f64" / "both" (default) /
     # "rk4" (fused RK4 stages) / "krylov" (KRYLOV_SE, f64 XLA) /
+    # "krylov32" (KRYLOV_SE_F32, f32 Lanczos on the MXU) /
     # "f32" (DP5_SE_F32, the HBM-resident stepper for N >= 18) /
     # "f32vs64" (f32 and f64 back-to-back with value/grad diffs).
     # At N >= 18 prefer "f32": the f64 path costs minutes per probe.
@@ -163,6 +164,23 @@ def main():
         out["f64_step_s"] = round(t_64, 6)
         out["value_diff"] = float(abs(v_32 - v_64))
         out["grad_diff"] = float(np.abs(g_32 - g_64).max())
+        print(json.dumps(out))
+        return
+    if which == "krylov32":
+        # f32 Lanczos (KRYLOV_SE_F32): the MXU-speed Krylov mode; value
+        # comparable offline against the f64 probes' printed value
+        ck, t_k32, v_k32, g_k32 = run(n, fused=False, solver="KRYLOV_SE_F32")
+        print(
+            f"[scaling] N={n} krylov-f32: compile={ck:.1f}s "
+            f"step={t_k32*1e3:.2f}ms value={v_k32:.9f}",
+            file=sys.stderr,
+        )
+        out["krylov32_step_s"] = round(t_k32, 6)
+        out["krylov32_compile_s"] = round(ck, 1)
+        out["krylov32_value"] = v_k32
+        out["krylov32_grad"] = [
+            float(x) for x in np.asarray(g_k32).ravel()[:8]
+        ]
         print(json.dumps(out))
         return
     if which == "krylov":
