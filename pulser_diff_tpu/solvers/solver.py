@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -267,6 +267,15 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
             batch axis is vmapped around this function so the scan over
             grid intervals runs once for the whole batch."""
             h = (t1 - t0) / substeps
+            # f32 (KRYLOV_SE_F32): reverse-mode through the Lanczos
+            # recursion overflows in f32 — use the continuous-adjoint
+            # custom VJP; f64 keeps the exact discrete adjoint (verified
+            # against DP5 gradients to 4e-5)
+            cadj = psi.re.dtype == jnp.float32
+            parts = _ApplyParts(
+                ham.row_parts, ham.col_parts, ham.int_diag,
+                ham.kron_row, ham.kron_col,
+            )
 
             def sub(i, p):
                 ts = t0 + i * h
@@ -277,8 +286,16 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
                     zr = _mix(zr1, zr2, wa, wb)
                     zc = _mix(zc1, zc2, wa, wb)
                     zd = _mix_opt(zd1, zd2, wa, wb)
-                    apply = lambda v: h_apply_batched(ham, zr, zc, zd, v)
-                    p = _krylov_expm(apply, p, h / 2, krylov_dim, krylov_tol)
+                    if cadj:
+                        p = _krylov_expm_cadj(
+                            krylov_dim, krylov_tol, parts, zr, zc, zd,
+                            h / 2, p,
+                        )
+                    else:
+                        apply = lambda v: h_apply_batched(ham, zr, zc, zd, v)
+                        p = _krylov_expm(
+                            apply, p, h / 2, krylov_dim, krylov_tol
+                        )
                 return p
 
             if substeps == 1:
@@ -476,6 +493,9 @@ def _make_se_step_adaptive(ham, substeps: int, rtol: float = 1e-8,
     return step
 
 
+_KRYLOV_F32_REL_TOL = 3e-4  # ~5x sqrt(f32 eps): floor for beta/scale
+
+
 def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
     """exp(-i h H) psi via an m-dimensional Lanczos subspace.
 
@@ -488,9 +508,25 @@ def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
     later vectors/couplings are masked to zero, so exp(T) decouples from
     the garbage block instead of dividing by a denormal.
 
+    In f32 the breakdown threshold is additionally RELATIVE to the local
+    spectral scale (running max of |alpha|, beta): the Lanczos residual
+    bottoms out at ~eps * ||H|| (rounding noise), which for production
+    Hamiltonian scales sits far ABOVE any fixed absolute tol — near an
+    eigenstate (e.g. the all-ground start of a pulse while the amplitude
+    ramp is still ~0) the residual is pure f32 noise, and reverse-mode
+    through q = w/||w|| amplifies cotangents by ~||H||/beta per masked-
+    too-late direction: the backward sweep overflows to inf/NaN within a
+    few steps (diagnosed at N=12, 120-step grids).  Masking relative to
+    scale kills exactly the directions whose computed values are noise.
+    f64 keeps the absolute threshold unchanged: its noise floor
+    (~1e-14 * scale) sits below the 1e-12 default tol for this problem
+    class, and the golden-model pins (1e-11) depend on where breakdown
+    fires.
+
     One state per subspace: batch is handled by vmap upstream.
     """
     dt = psi.dtype
+    rel_tol = _KRYLOV_F32_REL_TOL if dt == jnp.float32 else 0.0
     nrm = jnp.sqrt(jnp.sum(psi.abs2()))
     safe_nrm = jnp.where(nrm > 0, nrm, 1.0)
     q = psi * (1.0 / safe_nrm)
@@ -504,10 +540,11 @@ def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
     state_axes = tuple(range(1, q.re.ndim + 1))
 
     def body(carry, j):
-        Q_re, Q_im, beta_prev, alive = carry
+        Q_re, Q_im, beta_prev, alive, scale = carry
         qj = Cplx(Q_re[j], Q_im[j])
         w = apply(qj)
         alpha = jnp.sum(w.re * qj.re + w.im * qj.im)
+        scale = jnp.maximum(scale, jnp.maximum(jnp.abs(alpha), beta_prev))
         w = w - qj * alpha
         jprev = jnp.maximum(j - 1, 0)
         prev = Cplx(Q_re[jprev], Q_im[jprev])
@@ -535,8 +572,11 @@ def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
         # reverse-mode produces NaN whenever the Krylov space exhausts
         # (guaranteed when m exceeds the state dimension)
         s2 = jnp.sum(w.abs2())
-        ok = (s2 > tol * tol).astype(dt)
-        beta = jnp.sqrt(jnp.where(s2 > tol * tol, s2, 1.0)) * ok
+        thr2 = jnp.maximum(
+            jnp.asarray(tol * tol, dt), (rel_tol * scale) ** 2
+        )
+        ok = (s2 > thr2).astype(dt)
+        beta = jnp.sqrt(jnp.where(s2 > thr2, s2, 1.0)) * ok
         alive = alive * ok
         safe_beta = jnp.where(beta > 0, beta, 1.0)
         q_next = w * (alive / safe_beta)
@@ -548,11 +588,17 @@ def _krylov_expm(apply, psi: Cplx, h, m: int, tol: float = 1e-12) -> Cplx:
         Q_im = Q_im.at[jn].set(
             keep * q_next.im + (1.0 - keep) * Q_im[jn]
         )
-        return (Q_re, Q_im, beta, alive), (alpha, beta * alive)
+        return (Q_re, Q_im, beta, alive, scale), (alpha, beta * alive)
 
-    (Q_re, Q_im, _, _), (alphas, betas) = jax.lax.scan(
+    (Q_re, Q_im, _, _, _), (alphas, betas) = jax.lax.scan(
         body,
-        (Q_re0, Q_im0, jnp.asarray(0.0, dt), jnp.asarray(1.0, dt)),
+        (
+            Q_re0,
+            Q_im0,
+            jnp.asarray(0.0, dt),
+            jnp.asarray(1.0, dt),
+            jnp.asarray(0.0, dt),
+        ),
         jnp.arange(m),
     )
     qs_c = Cplx(Q_re, Q_im)
@@ -621,6 +667,89 @@ def _expm_sym_e1_jvp(primals, tangents):
     du_re = du_re + (V @ (g_re * v0)) * dh
     du_im = du_im + (V @ (g_im * v0)) * dh
     return (u_re, u_im), (du_re, du_im)
+
+
+# ----------------------------------------------------------------------
+# Continuous-adjoint Krylov exponential (the f32 gradient path)
+# ----------------------------------------------------------------------
+# Reverse-mode THROUGH the Lanczos recursion is numerically fragile in
+# f32: near an eigenstate (e.g. the all-ground start of a pulse while the
+# amplitude ramp is ~0) the early residual norms beta are small relative
+# to the spectral scale, and the basis-rotation sensitivities ~1/beta
+# only cancel against the matching small expm weights through the
+# reorthogonalization's cross terms — a cancellation f64 carries out to
+# ~1e-13 but f32 loses entirely, overflowing the backward sweep to
+# inf/NaN within a few steps (diagnosed at N=12, 120-step grids: the f64
+# discrete adjoint matches DP5 gradients to 4e-5 on the same problem
+# while f32 hits inf).  The f32 path therefore differentiates the EXACT
+# map instead of the algorithm:
+#
+#   cot_psi = exp(+i h H) ct                      (unitary adjoint)
+#   <ct, d exp(-i h H) psi> = h * Int_0^1 Im( u(s)^H dH v(s) ) ds,
+#       v(s) = exp(-i h s H) psi,  u(s) = exp(-i h s H) cot_psi
+#
+# with the s-integral evaluated by fixed Gauss-Legendre quadrature.  The
+# bias is O(Krylov truncation error) + O(quadrature error) — both far
+# below the f32 rounding floor for production step sizes.
+_KRYLOV_ADJ_NODES = (0.5 - np.sqrt(15) / 10, 0.5, 0.5 + np.sqrt(15) / 10)
+_KRYLOV_ADJ_WEIGHTS = (5 / 18, 4 / 9, 5 / 18)
+
+
+class _ApplyParts(NamedTuple):
+    """The FactoredHamiltonian fields h_apply_batched actually reads."""
+
+    row_parts: jax.Array
+    col_parts: jax.Array
+    int_diag: jax.Array
+    kron_row: Optional[jax.Array]
+    kron_col: Optional[jax.Array]
+
+
+def _apply_parts(parts: _ApplyParts, zr: Cplx, zc: Cplx,
+                 zk: Optional[Cplx], v: Cplx) -> Cplx:
+    return h_apply_batched(parts, zr, zc, zk, v)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _krylov_expm_cadj(
+    m: int, tol: float, parts: _ApplyParts, zr: Cplx, zc: Cplx,
+    zk: Optional[Cplx], h, psi: Cplx,
+) -> Cplx:
+    apply = lambda v: _apply_parts(parts, zr, zc, zk, v)
+    return _krylov_expm(apply, psi, h, m, tol)
+
+
+def _krylov_expm_cadj_fwd(m, tol, parts, zr, zc, zk, h, psi):
+    out = _krylov_expm_cadj(m, tol, parts, zr, zc, zk, h, psi)
+    return out, (parts, zr, zc, zk, h, psi, out)
+
+
+def _krylov_expm_cadj_bwd(m, tol, res, ct):
+    parts, zr, zc, zk, h, psi, out = res
+    apply = lambda v: _apply_parts(parts, zr, zc, zk, v)
+    # unitary adjoint: VJP w.r.t. psi of the exact map is exp(+i h H) ct
+    lam = _krylov_expm(apply, ct, -h, m, tol)
+    g_ops = None
+    for s, wq in zip(_KRYLOV_ADJ_NODES, _KRYLOV_ADJ_WEIGHTS):
+        v_s = _krylov_expm(apply, psi, h * s, m, tol)
+        u_s = _krylov_expm(apply, lam, h * s, m, tol)
+        _, vjp_f = jax.vjp(
+            lambda p_, a_, b_, c_: _apply_parts(p_, a_, b_, c_, v_s),
+            parts, zr, zc, zk,
+        )
+        # <ct_F, X> == wq * h * Im(u_s^H X)
+        g = vjp_f(Cplx(-(wq * h) * u_s.im, (wq * h) * u_s.re))
+        g_ops = g if g_ops is None else jax.tree.map(
+            lambda a, b: a + b, g_ops, g
+        )
+    g_parts, g_zr, g_zc, g_zk = g_ops
+    # d/dh exp(-i h H) psi = -i H out  ->  <ct, .> = Im(ct^H (H out))
+    z = apply(out)
+    g_h = jnp.sum(ct.re * z.im - ct.im * z.re)
+    return (g_parts, g_zr, g_zc, g_zk, g_h, lam)
+
+
+_krylov_expm_cadj.defvjp(_krylov_expm_cadj_fwd, _krylov_expm_cadj_bwd)
 
 
 # ----------------------------------------------------------------------

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 from pulser_diff_tpu import SolverType, TpuEmulator
 from pulser_diff_tpu.core import (
     BlackmanWaveform,
+    ConstantWaveform,
+    CustomWaveform,
     InterpolatedWaveform,
     Microwave,
     MockDevice,
@@ -533,6 +535,69 @@ def test_krylov_f32_matches_f64(two_atom_register):
     assert abs(float(v64 - v32)) < 5e-6
     scale = float(jnp.abs(g64).max())
     assert float(jnp.abs(g64 - g32).max()) < 1e-4 * scale + 1e-8
+
+
+def test_krylov_f32_near_eigenstate_gradients():
+    """Regression (round 4): KRYLOV_SE_F32 gradients through an evolution
+    whose amplitude ramps up from ~0 — the all-ground start is then a
+    near-eigenstate of the (diagonal-dominated) Hamiltonian, so the early
+    Lanczos residual norms beta are small relative to the spectral scale.
+    Reverse-mode THROUGH the f32 Lanczos recursion overflows to inf/NaN
+    here (the ~1/beta basis-rotation sensitivities only cancel against
+    the matching small expm weights in f64; minimal CPU repro: 9 atoms at
+    6 um spacing, 120-step grid — N=12 at 10 um on the bench_scaling
+    workload is the production shape).  The continuous-adjoint custom
+    VJP (solver._krylov_expm_cadj) differentiates the EXACT map instead
+    and must match the f64 Krylov discrete adjoint.  The fixed-step DP5
+    stepper diverges outright at this interaction scale (||H|| past its
+    stability limit at 4 ns steps) — the exponential integrator is the
+    only stable fixed-step mode, which is why its gradients must work."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.ops.linalg import _interpolate_sine_np
+    from pulser_diff_tpu.solvers import TimeGrid, sesolve
+
+    dur, n_params = 480, 4
+    coords = [(6.0 * (i % 4), 6.0 * (i // 4)) for i in range(9)]
+    reg = Register.from_coordinates(coords, prefix="q")
+    M = jnp.asarray(_interpolate_sine_np(n_params, dur))
+
+    def make_loss(solver):
+        def loss(p):
+            seq = Sequence(reg, MockDevice)
+            seq.declare_channel("ryd", "rydberg_global")
+            amp = seq.declare_variable("amp", size=dur)
+            seq.add(
+                Pulse(
+                    CustomWaveform(amp, duration=dur),
+                    ConstantWaveform(dur, -2.0),
+                    0.0,
+                ),
+                "ryd",
+            )
+            built = seq.build(amp=M @ p)
+            sim = TpuEmulator.from_sequence(
+                built, sampling_rate=0.25, evaluation_times="Minimal"
+            )
+            h = sim._hamiltonian
+            grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+            psi0 = sim.initial_state
+            p0 = Cplx(
+                psi0.re.T.reshape(1, 16, 32), psi0.im.T.reshape(1, 16, 32)
+            )
+            st = sesolve(h._ham_data, p0, grid, solver=solver)
+            last = st[st.re.shape[0] - 1]
+            # all-ground population ([r, g] ordering -> last ket index)
+            return last.re[0, -1, -1] ** 2 + last.im[0, -1, -1] ** 2
+
+        return loss
+
+    p = jnp.linspace(1.0, 3.0, n_params)
+    v64, g64 = jax.value_and_grad(make_loss(SolverType.KRYLOV_SE))(p)
+    v32, g32 = jax.value_and_grad(make_loss(SolverType.KRYLOV_SE_F32))(p)
+    assert np.isfinite(np.asarray(g32)).all()
+    assert abs(float(v64) - float(v32)) < 1e-4
+    scale = float(jnp.abs(g64).max())
+    assert float(jnp.abs(g64 - g32).max()) < 1e-3 * scale + 1e-8
 
 
 def test_f32_solver_matches_f64(two_atom_register):
