@@ -395,8 +395,14 @@ class QuantumModel:
     # ------------------------------------------------------------------
     # pure functional solves
     # ------------------------------------------------------------------
-    def _states_fn(self, params: Mapping[str, Any]):
-        """(eval_times, states) as a pure function of params (jittable)."""
+    def _states_fn(
+        self, params: Mapping[str, Any], force_no_fused: bool = False
+    ):
+        """(eval_times, states) as a pure function of params (jittable).
+
+        ``force_no_fused`` pins the XLA stepper: used when this function
+        is wrapped in ``jax.vmap`` (population fallback) — vmap-of-
+        pallas_call does not lower on this backend (CLAUDE.md)."""
         sim = self._make_emulator(params)
         h = sim._hamiltonian
         noise = set(h.config.noise_types)
@@ -411,9 +417,12 @@ class QuantumModel:
         substeps = int(self.options.get("substeps", self._default_substeps()))
         krylov_dim = int(self.options.get("krylov_dim", 12))
         grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+        opts = self.options
+        if force_no_fused:
+            opts = {**dict(opts), "fused": False}
         states = sim._solve_states(
             h._ham_data, None, solver, substeps, krylov_dim, grid,
-            solver_opts=self.options,
+            solver_opts=opts,
         )
         return sim._eval_times_array, states
 
@@ -432,6 +441,100 @@ class QuantumModel:
             times, states = self._states_fn(params)
             vals = _expect(obs, states)
             return times, vals.re
+
+        return fn
+
+    def expectation_population_fn(
+        self, obs: Optional[Cplx] = None
+    ) -> Callable[[Mapping[str, Any]], tuple]:
+        """Pure fn: a STACK of parameter candidates -> (eval_times,
+        (P, n_eval) expectation values) — the population/multi-start
+        evaluation path.
+
+        Every leaf of the input dict carries a leading population axis P
+        (P independent candidate parameter sets).  On an accelerator
+        below the fused adjoint cap, the P candidate Hamiltonians are
+        built under ``jax.vmap`` and solved in ONE fused kernel launch —
+        the population rides the Monte-Carlo kernel's runs-axis grid
+        (ops/pallas_evolution.pallas_evolve_mc).  vmap-of-pallas does not
+        lower on this backend, and P sequential solves would each pay
+        the ~25 ms remote-tunnel dispatch floor, so this is the only
+        shape that makes population evaluation cheap.  Elsewhere (CPU,
+        above the cap, Lindblad noise) the XLA stepper is vmapped.
+
+        Differentiable: the gradient of a per-candidate loss summed over
+        the population yields independent per-candidate gradients in one
+        backward pass (candidates do not interact).
+
+        The reference has no population machinery (its training loop
+        rebuilds one torch graph per step, reference model.py:405-431);
+        this is a TPU-native extension in the SURVEY.md §2.4 family of
+        batched axes.
+        """
+        if obs is None:
+            obs = total_magnetization(len(self.register.qubit_ids), dense=False)
+        obs = as_cplx(obs, dtype=default_dtype())
+
+        def fn(param_stack):
+            first = {k: v[0] for k, v in param_stack.items()}
+            sim = self._make_emulator(first)
+            h = sim._hamiltonian
+            noise = set(h.config.noise_types)
+            from pulser_diff_tpu.backend import _LINDBLAD_NOISES
+
+            solver = self.solver
+            fused_opt = self.options.get("fused", None)
+            use_fused = (
+                solver in TpuEmulator._PALLAS_METHODS
+                or (
+                    solver == SolverType.DP5_SE
+                    and fused_opt is not False
+                    and sim._fused_eligible(h._ham_data)
+                )
+            ) and not (noise & _LINDBLAD_NOISES)
+            if not use_fused:
+                # vmapped XLA stepper (CPU / above the fused cap /
+                # Lindblad): fused pinned off so vmap never sees a
+                # pallas_call
+                times = sim._eval_times_array
+                states = jax.vmap(
+                    lambda p: self._states_fn(p, force_no_fused=True)[1]
+                )(param_stack)
+                vals = jax.vmap(lambda s: _expect(obs, s).re)(states)
+                return times, vals
+
+            from pulser_diff_tpu.ops.pallas_evolution import pallas_evolve_mc
+
+            substeps = int(
+                self.options.get("substeps", self._default_substeps())
+            )
+            grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+            hams = jax.vmap(
+                lambda p: self._make_emulator(p)._hamiltonian._ham_data
+            )(param_stack)
+            psi0 = sim._initial_state  # (dim, nb)
+            nb = psi0.shape[1]
+            da, db = h.dim**h._a, h.dim**h._b
+            dim = da * db
+            p0 = Cplx(
+                psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
+            )
+            method = TpuEmulator._PALLAS_METHODS.get(solver, "DP5")
+            st = pallas_evolve_mc(
+                hams, p0, grid.refined(substeps), method=method,
+                interpret=jax.default_backend() == "cpu",
+            )  # (P, n_eval, nb, da, db)
+            P, n_eval = st.re.shape[:2]
+            states = Cplx(
+                jnp.transpose(
+                    st.re.reshape(P, n_eval, nb, dim), (0, 1, 3, 2)
+                ),
+                jnp.transpose(
+                    st.im.reshape(P, n_eval, nb, dim), (0, 1, 3, 2)
+                ),
+            )
+            vals = jax.vmap(lambda s: _expect(obs, s).re)(states)
+            return sim._eval_times_array, vals
 
         return fn
 
@@ -587,3 +690,97 @@ class QuantumModel:
         self.params = dict(params)
         self.update_sequence()
         return losses
+
+    def fit_population(
+        self,
+        loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+        param_stack: Mapping[str, jax.Array],
+        epochs: int = 50,
+        optimizer: Any = None,
+        obs: Optional[Cplx] = None,
+        verbose: bool = False,
+        steps_per_call: int = 1,
+    ) -> tuple[list, dict[str, jax.Array]]:
+        """Multi-start optimization: P parameter candidates advance in
+        lock-step, each epoch solving ALL candidates in one fused kernel
+        launch (``expectation_population_fn``) and applying independent
+        optimizer updates (the summed loss's gradient separates per
+        candidate; optax moments are elementwise, so the stacked state
+        is P independent optimizers).
+
+        Args:
+            loss_fn: (eval_times, (n_eval,) expectations) -> scalar —
+                the SAME signature as ``fit``; it is vmapped over the
+                population.
+            param_stack: dict of trainable leaves, each with a leading
+                population axis P (e.g. P random restarts around an
+                initial guess).
+            steps_per_call: optimizer steps fused into one jitted
+                ``lax.scan`` program (same dispatch-floor amortization
+                as ``fit``).
+
+        Returns ``(losses, final_stack)`` where ``losses`` is one (P,)
+        array per epoch; the best final candidate is loaded into
+        ``self.params``.
+        """
+        import optax
+
+        optimizer = optimizer or optax.adam(1e-2)
+        pop_fn = self.expectation_population_fn(obs)
+
+        def total_loss(stack):
+            times, vals = pop_fn(stack)
+            per = jax.vmap(lambda v: loss_fn(times, v))(vals)
+            return jnp.sum(per), per
+
+        clamped = {
+            name: (c["min"], c["max"]) for name, c in self.constraints.items()
+        }
+
+        def clamp(stack):
+            return {
+                name: (
+                    jnp.clip(v, *clamped[name]) if name in clamped else v
+                )
+                for name, v in stack.items()
+            }
+
+        def one_step(carry, _):
+            stack, opt_state = carry
+            (_, per), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                stack
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, stack)
+            stack = clamp(optax.apply_updates(stack, updates))
+            return (stack, opt_state), per
+
+        stack = {k: jnp.asarray(v, default_dtype()) for k, v in param_stack.items()}
+        opt_state = optimizer.init(stack)
+        losses: list = []
+
+        @partial(jax.jit, static_argnames="length")
+        def scan_k(carry, length):
+            return jax.lax.scan(one_step, carry, None, length=length)
+
+        carry = (stack, opt_state)
+        done = 0
+        while done < epochs:
+            k = min(max(steps_per_call, 1), epochs - done)
+            carry, chunk = scan_k(carry, length=k)
+            chunk = np.asarray(jax.device_get(chunk))  # (k, P)
+            losses.extend(list(chunk))
+            done += k
+            if verbose:
+                print(
+                    f"epoch {done - 1}: best={chunk[-1].min():.6f} "
+                    f"median={np.median(chunk[-1]):.6f}"
+                )
+        stack = dict(carry[0])
+
+        # load the best final candidate (evaluate once more for the
+        # post-update losses)
+        _, final_per = jax.jit(total_loss)(stack)
+        best = int(np.argmin(np.asarray(jax.device_get(final_per))))
+        self.params = {k: v[best] for k, v in stack.items()}
+        self.update_sequence()
+        return losses, stack

@@ -253,3 +253,107 @@ def test_training_custom_waveform(reg2):
 
     losses = model.fit(loss, epochs=120, optimizer=optax.adam(5e-2))
     assert losses[-1] < ATOL_OPTIM**2
+
+
+def test_population_matches_individual(reg2):
+    """expectation_population_fn: the vmapped XLA fallback (CPU default)
+    must equal per-candidate expectation_fn exactly, and the fused MC
+    route (explicit PALLAS solver, interpret mode on CPU) must match at
+    the f32-kernel bar."""
+    from pulser_diff_tpu.solvers import SolverType
+
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq, {"omega": jnp.asarray(1.0), "det": jnp.asarray(0.0)}
+    )
+    stack = {
+        "omega": jnp.asarray([1.0, 1.4, 2.1]),
+        "det": jnp.asarray([0.0, -0.4, 0.3]),
+    }
+    fn1 = model.expectation_fn()
+    pfn = model.expectation_population_fn()
+    _, vals = jax.jit(pfn)(stack)
+    assert vals.shape[0] == 3
+    for i in range(3):
+        _, vi = fn1({"omega": stack["omega"][i], "det": stack["det"][i]})
+        assert np.allclose(
+            np.asarray(jax.device_get(vals[i])),
+            np.asarray(jax.device_get(vi)),
+            atol=1e-9,
+        )
+
+    model_f = QuantumModel(
+        _param_seq(reg2),
+        {"omega": jnp.asarray(1.0), "det": jnp.asarray(0.0)},
+        solver=SolverType.DP5_PALLAS,
+    )
+    _, vals_f = jax.jit(model_f.expectation_population_fn())(stack)
+    assert np.abs(
+        np.asarray(jax.device_get(vals_f)) - np.asarray(jax.device_get(vals))
+    ).max() < 5e-5
+
+
+def test_population_gradients_independent(reg2):
+    """The summed population loss's gradient must separate into the
+    per-candidate gradients (candidates don't interact), through the
+    fused MC kernel's adjoint."""
+    from pulser_diff_tpu.solvers import SolverType
+
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq,
+        {"omega": jnp.asarray(1.0), "det": jnp.asarray(0.0)},
+        solver=SolverType.DP5_PALLAS,
+    )
+    pfn = model.expectation_population_fn()
+    fn1 = model.expectation_fn()
+    stack = {
+        "omega": jnp.asarray([1.1, 1.7]),
+        "det": jnp.asarray([-0.2, 0.4]),
+    }
+
+    def pop_loss(s):
+        _, vals = pfn(s)
+        return jnp.sum(vals[:, -1] ** 2)
+
+    g = jax.jit(jax.grad(pop_loss))(stack)
+
+    def one_loss(om, de):
+        _, v = fn1({"omega": om, "det": de})
+        return v[-1] ** 2
+
+    for i in range(2):
+        gi = jax.grad(one_loss, argnums=(0, 1))(
+            stack["omega"][i], stack["det"][i]
+        )
+        assert abs(float(g["omega"][i]) - float(gi[0])) < 5e-4
+        assert abs(float(g["det"][i]) - float(gi[1])) < 5e-4
+
+
+def test_fit_population_improves(reg2):
+    """Multi-start training: every candidate's loss decreases, the best
+    final candidate is loaded into model.params."""
+    seq = _param_seq(reg2)
+    model = QuantumModel(
+        seq, {"omega": jnp.asarray(1.0), "det": jnp.asarray(0.0)}
+    )
+    _, v_target = model.expectation_fn()(
+        {"omega": jnp.asarray(1.6), "det": jnp.asarray(-0.4)}
+    )
+    target = float(v_target[-1])
+
+    def loss(times, vals):
+        return (vals[-1] - target) ** 2
+
+    stack = {
+        "omega": jnp.asarray([0.8, 1.2, 1.9]),
+        "det": jnp.asarray([0.2, -0.1, -0.6]),
+    }
+    losses, final_stack = model.fit_population(
+        loss, stack, epochs=60, optimizer=optax.adam(5e-2), steps_per_call=20
+    )
+    assert len(losses) == 60 and losses[0].shape == (3,)
+    assert losses[-1].min() < losses[0].min()
+    # the loaded params reproduce the best candidate's loss
+    _, v = model.expectation_fn()(model.params)
+    assert (float(v[-1]) - target) ** 2 <= losses[-1].min() + 1e-9
