@@ -720,8 +720,9 @@ class QuantumModel:
                 as ``fit``).
 
         Returns ``(losses, final_stack)`` where ``losses`` is one (P,)
-        array per epoch; the best final candidate is loaded into
-        ``self.params``.
+        array per epoch; the best candidate SEEN AT ANY EPOCH (tracked
+        inside the scan, like the staged-Adam docs schedules) is loaded
+        into ``self.params``.
         """
         import optax
 
@@ -746,13 +747,26 @@ class QuantumModel:
             }
 
         def one_step(carry, _):
-            stack, opt_state = carry
+            stack, opt_state, best_loss, best_stack = carry
             (_, per), grads = jax.value_and_grad(total_loss, has_aux=True)(
                 stack
             )
+            # best-EVER tracking per candidate, inside the scan (the
+            # pre-update params produced `per`, so compare before the
+            # update — non-convex restarts can overshoot at the end)
+            improved = per < best_loss
+            best_loss = jnp.where(improved, per, best_loss)
+            best_stack = {
+                k: jnp.where(
+                    improved.reshape((-1,) + (1,) * (v.ndim - 1)),
+                    stack[k],
+                    v,
+                )
+                for k, v in best_stack.items()
+            }
             updates, opt_state = optimizer.update(grads, opt_state, stack)
             stack = clamp(optax.apply_updates(stack, updates))
-            return (stack, opt_state), per
+            return (stack, opt_state, best_loss, best_stack), per
 
         stack = {k: jnp.asarray(v, default_dtype()) for k, v in param_stack.items()}
         opt_state = optimizer.init(stack)
@@ -762,7 +776,13 @@ class QuantumModel:
         def scan_k(carry, length):
             return jax.lax.scan(one_step, carry, None, length=length)
 
-        carry = (stack, opt_state)
+        P = next(iter(stack.values())).shape[0]
+        carry = (
+            stack,
+            opt_state,
+            jnp.full((P,), jnp.inf, default_dtype()),
+            {k: v for k, v in stack.items()},
+        )
         done = 0
         while done < epochs:
             k = min(max(steps_per_call, 1), epochs - done)
@@ -775,12 +795,21 @@ class QuantumModel:
                     f"epoch {done - 1}: best={chunk[-1].min():.6f} "
                     f"median={np.median(chunk[-1]):.6f}"
                 )
-        stack = dict(carry[0])
+        stack, _, best_loss, best_stack = carry
 
-        # load the best final candidate (evaluate once more for the
-        # post-update losses)
+        # load the best candidate seen at any epoch, unless the FINAL
+        # stack improves on it (the last update's params were never
+        # loss-evaluated inside the scan)
         _, final_per = jax.jit(total_loss)(stack)
-        best = int(np.argmin(np.asarray(jax.device_get(final_per))))
-        self.params = {k: v[best] for k, v in stack.items()}
+        final_per = np.asarray(jax.device_get(final_per))
+        best_loss = np.asarray(jax.device_get(best_loss))
+        i_fin = int(np.argmin(final_per))
+        i_ever = int(np.argmin(best_loss))
+        if final_per[i_fin] <= best_loss[i_ever]:
+            self.params = {k: v[i_fin] for k, v in stack.items()}
+        else:
+            self.params = {
+                k: v[i_ever] for k, v in dict(best_stack).items()
+            }
         self.update_sequence()
-        return losses, stack
+        return losses, dict(stack)
