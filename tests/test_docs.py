@@ -75,3 +75,8 @@ def test_noisy_simulation_runs(monkeypatch):
 def test_large_scale_runs(monkeypatch):
     monkeypatch.setenv("PDT_DOCS_CI", "1")
     runpy.run_path(os.path.join(DOCS, "large_scale.py"), run_name="docs")
+
+
+def test_multi_start_runs(monkeypatch):
+    monkeypatch.setenv("PDT_DOCS_CI", "1")
+    runpy.run_path(os.path.join(DOCS, "multi_start.py"), run_name="docs")
