@@ -56,7 +56,7 @@ _DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude", "leakage"}
 _RUN_OPTIONS = {
     "substeps", "max_step", "krylov_dim", "krylov_tol",
     "rtol", "atol", "max_iters", "fused", "superop",
-    "remat", "n_segments",
+    "remat", "n_segments", "n_traj",
 }
 
 
@@ -744,12 +744,19 @@ class TpuEmulator:
             SolverType.RK4_ME,
             SolverType.DP5_ME_F32,
             SolverType.RK4_ME_F32,
+            SolverType.MCWF,
+            SolverType.MCWF_F32,
         ):
             solver = SolverType.DP5_ME
 
         substeps = self._auto_substeps(options)
         krylov_dim = int(options.get("krylov_dim", 12))
         grid = TimeGrid.make(h.sampling_times, self._eval_times_array)
+
+        if solver in (SolverType.MCWF, SolverType.MCWF_F32):
+            return self._run_mcwf(
+                solver, substeps, grid, options, meas_errors, noise, cfg_nm
+            )
 
         # batched solves (vmapped over noise configs/draws) cannot route
         # through vmap-of-pallas (does not lower on this backend); fused
@@ -858,6 +865,124 @@ class TpuEmulator:
             cfg_nm.runs, meas_errors, fused_mc, _solve_mc_fused,
             solver, substeps, krylov_dim, grid, options, "stoch",
         )
+
+    def _run_mcwf(
+        self,
+        solver: str,
+        substeps: int,
+        grid: TimeGrid,
+        options: Mapping[str, Any],
+        meas_errors: Optional[Mapping[str, float]],
+        noise: set,
+        cfg_nm,
+    ) -> NoisyResults:
+        """Quantum-jump (MCWF) trajectory path: Lindblad noise at
+        STATEVECTOR cost (solvers/mcwf.py).
+
+        The reference can only reach these channels through the full
+        density matrix (ref backend.py:495-509, forced DP5_ME routing);
+        the unraveling reproduces the same master equation as an average
+        over R = ``n_traj`` trajectories (default ``config.runs``) whose
+        drift stage math is one MXU-batched statevector solve.  Composes
+        with the stochastic Hamiltonian noises (doppler / amplitude
+        sigma > 0): each trajectory then draws its own Hamiltonian, and
+        the per-trajectory solves are vmapped (XLA stepper — never
+        vmap-of-pallas).  Bitstring sampling + SPAM detection flips run
+        on device; the whole pipeline is ONE jitted program cached on
+        the emulator, like the other noisy paths.
+        """
+        from pulser_diff_tpu.solvers.mcwf import mcsolve
+
+        h = self._hamiltonian
+        if _f(cfg_nm.state_prep_error) > 0:
+            raise NotImplementedError(
+                "MCWF does not support SPAM state-preparation error "
+                "(eta > 0); use the density-matrix solvers for that "
+                "combination."
+            )
+        psi0 = self._initial_state  # (dim, nb)
+        if psi0.shape[1] != 1:
+            raise ValueError(
+                "MCWF requires a single (non-batched) initial state."
+            )
+        n_traj = int(options.get("n_traj", cfg_nm.runs))
+        drift = (
+            SolverType.DP5_SE
+            if solver == SolverType.MCWF
+            else SolverType.DP5_SE_F32
+        )
+        da, db = h.dim**h._a, h.dim**h._b
+        dim = da * db
+        p0 = Cplx(
+            psi0.re[:, 0].reshape(da, db), psi0.im[:, 0].reshape(da, db)
+        )
+        collapse = h._collapse_ops
+        stochastic = ("doppler" in noise) or (
+            "amplitude" in noise and _f(cfg_nm.amp_sigma) > 0
+        )
+        eps = eps_p = 0.0
+        if meas_errors is not None:
+            eps = _f(meas_errors["epsilon"])
+            eps_p = _f(meas_errors["epsilon_prime"])
+        samples_per_run = cfg_nm.samples_per_run
+        n_per_run = jnp.full((n_traj,), samples_per_run, jnp.int32)
+        n_max = int(samples_per_run)
+        n_slots = h._count_noise_slots()
+
+        cache_key = (
+            "mcwf", str(solver), int(substeps), n_traj, stochastic,
+            float(eps), float(eps_p),
+            tuple(sorted((k, str(v)) for k, v in options.items())),
+        )
+        prog = self._njit_cache.get(cache_key)
+        if prog is None:
+            ham_data = h._ham_data
+
+            def _counts(key_):
+                k_h, k_mc, k_s = jax.random.split(key_, 3)
+                if stochastic:
+                    hams = jax.vmap(
+                        lambda k: h.build_data(
+                            draw_noise(k, cfg_nm, h._size, n_slots)
+                        )
+                    )(jax.random.split(k_h, n_traj))
+                    st = jax.vmap(
+                        lambda hd, kk: mcsolve(
+                            hd, p0, collapse, h._size, h.dim, grid, kk,
+                            1, drift, substeps,
+                        ).states
+                    )(hams, jax.random.split(k_mc, n_traj))
+                    # (R, n_eval, 1, da, db) -> (R, n_eval, dim, 1)
+                    n_eval = st.re.shape[1]
+                    states = Cplx(
+                        st.re.reshape(n_traj, n_eval, dim)[..., None],
+                        st.im.reshape(n_traj, n_eval, dim)[..., None],
+                    )
+                else:
+                    mc = mcsolve(
+                        ham_data, p0, collapse, h._size, h.dim, grid,
+                        k_mc, n_traj, drift, substeps,
+                    )
+                    st = mc.states  # (n_eval, R, da, db)
+                    n_eval = st.re.shape[0]
+                    states = Cplx(
+                        jnp.transpose(
+                            st.re.reshape(n_eval, n_traj, dim), (1, 0, 2)
+                        )[..., None],
+                        jnp.transpose(
+                            st.im.reshape(n_eval, n_traj, dim), (1, 0, 2)
+                        )[..., None],
+                    )
+                weights = self._batched_weights(states)
+                return _device_sample_counts(
+                    weights, n_per_run, n_max, k_s, h._size, eps, eps_p
+                )
+
+            prog = jax.jit(_counts)
+            self._njit_cache[cache_key] = prog
+        key = jax.random.PRNGKey(int(self._rng.integers(0, 2**31 - 1)))
+        counts_np = np.asarray(jax.device_get(prog(key)))
+        return self._noisy_from_counts(counts_np, n_traj, samples_per_run)
 
     # -- noisy sampling: fully on device, one host transfer --------------
     def _batched_weights(self, states_all: Cplx) -> jax.Array:

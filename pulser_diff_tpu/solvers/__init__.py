@@ -1,3 +1,4 @@
+from pulser_diff_tpu.solvers.mcwf import McwfResult, mcsolve
 from pulser_diff_tpu.solvers.solver import (
     SolverType,
     TimeGrid,
@@ -5,4 +6,11 @@ from pulser_diff_tpu.solvers.solver import (
     sesolve,
 )
 
-__all__ = ["SolverType", "TimeGrid", "sesolve", "mesolve"]
+__all__ = [
+    "SolverType",
+    "TimeGrid",
+    "sesolve",
+    "mesolve",
+    "mcsolve",
+    "McwfResult",
+]

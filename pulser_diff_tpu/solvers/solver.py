@@ -78,6 +78,12 @@ class SolverType:
     # and run the superop/factored RHS matmuls at MXU speed
     DP5_ME_F32 = "DP5_ME_F32"
     RK4_ME_F32 = "RK4_ME_F32"
+    # Monte-Carlo wavefunction (quantum-jump) unraveling of the Lindblad
+    # equation: open-system dynamics at STATEVECTOR cost, trajectories
+    # batched on the MXU (solvers/mcwf.py) — the scaling path past
+    # mesolve's dim^2 memory wall
+    MCWF = "MCWF"
+    MCWF_F32 = "MCWF_F32"
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,208 @@
+"""Monte-Carlo wavefunction (quantum-jump) solver tests.
+
+Physics pins:
+  - no jump channels -> trajectories identical to sesolve;
+  - 1-qubit pure relaxation with H = 0 -> analytic exp(-gamma t) decay
+    and one-jump-per-trajectory statistics;
+  - trajectory-averaged projectors reproduce mesolve's density matrix
+    (the defining property of the unraveling), deterministic under a
+    fixed PRNG key;
+  - backend routing: run(solver=MCWF) -> NoisyResults, composes with
+    stochastic doppler noise, program cached, eta rejected.
+
+Extends the reference's Lindblad surface (ref backend.py:495-509) —
+the reference has no trajectory unraveling at all.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pulser_diff_tpu import SimConfig, SolverType, TpuEmulator
+from pulser_diff_tpu.cplx import Cplx
+from pulser_diff_tpu.core import Pulse, Register, Sequence, MockDevice
+from pulser_diff_tpu.simresults import NoisyResults
+from pulser_diff_tpu.solvers import TimeGrid, mcsolve
+
+from .conftest import make_simple_sequence
+
+
+def _mc_inputs(sim):
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim._initial_state
+    da, db = h.dim**h._a, h.dim**h._b
+    p0 = Cplx(psi0.re[:, 0].reshape(da, db), psi0.im[:, 0].reshape(da, db))
+    return h, grid, p0
+
+
+def _psi_np(states: Cplx) -> np.ndarray:
+    """(n_eval, R, da, db) -> complex (n_eval, R, dim)."""
+    re = np.asarray(jax.device_get(states.re))
+    im = np.asarray(jax.device_get(states.im))
+    z = re + 1j * im
+    return z.reshape(z.shape[0], z.shape[1], -1)
+
+
+def test_mcwf_no_collapse_matches_sesolve(two_atom_register):
+    seq = make_simple_sequence(two_atom_register, duration=160)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    h, grid, p0 = _mc_inputs(sim)
+    mc = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+        jax.random.PRNGKey(0), n_traj=3,
+    )
+    assert int(np.asarray(mc.n_jumps).max()) == 0
+    psi = _psi_np(mc.states)  # (n_eval, 3, dim)
+    ref = sim.run(fused=False).states  # (n_eval, dim, 1)
+    ref_np = (
+        np.asarray(jax.device_get(ref.re))
+        + 1j * np.asarray(jax.device_get(ref.im))
+    )[:, :, 0]
+    for r in range(3):
+        assert np.abs(psi[:, r] - ref_np).max() < 1e-9
+
+
+def test_mcwf_relaxation_analytic():
+    """H = 0, pure relaxation from |r>: P_r(t) = exp(-gamma t), each
+    trajectory jumps exactly once (g is dark)."""
+    reg = Register({"q0": jnp.array([0.0, 0.0])})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(400, 0.0, 0.0, 0.0), "ryd")
+    gamma = 4.0
+    cfg = SimConfig(noise="relaxation", relaxation_rate=gamma)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Full")
+    # basis ground-rydberg = [r, g]: |r> = e_0
+    sim.set_initial_state(jnp.array([1.0, 0.0]))
+    h, grid, p0 = _mc_inputs(sim)
+    R = 2000
+    mc = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+        jax.random.PRNGKey(7), n_traj=R,
+    )
+    psi = _psi_np(mc.states)  # (n_eval, R, 2)
+    pop_r = (np.abs(psi[:, :, 0]) ** 2).mean(axis=1)
+    t = np.asarray(jax.device_get(sim.evaluation_times))
+    ref = np.exp(-gamma * t)
+    assert np.abs(pop_r - ref).max() < 4.0 / np.sqrt(R)
+    # jump statistics: each trajectory jumps 0 or 1 times; the mean
+    # equals the total decay probability
+    nj = np.asarray(mc.n_jumps)
+    assert nj.max() <= 1
+    p_decay = 1.0 - np.exp(-gamma * t[-1])
+    assert abs(nj.mean() - p_decay) < 4.0 / np.sqrt(R)
+
+
+def test_mcwf_average_matches_mesolve(two_atom_register):
+    """E[|psi><psi|] over trajectories = mesolve rho(t) — driven 2-atom
+    sequence with dephasing, fixed key (deterministic)."""
+    seq = make_simple_sequence(two_atom_register, duration=200)
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.25)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times=0.1)
+    rho_ref = sim.run()  # routed to DP5_ME (pinned vs golden elsewhere)
+    ref = np.asarray(jax.device_get(rho_ref.states.re)) + 1j * np.asarray(
+        jax.device_get(rho_ref.states.im)
+    )
+    h, grid, p0 = _mc_inputs(sim)
+    R = 600
+    mc = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+        jax.random.PRNGKey(42), n_traj=R,
+    )
+    psi = _psi_np(mc.states)  # (n_eval, R, 4)
+    rho_avg = np.einsum("trk,trl->tkl", psi, psi.conj()) / R
+    assert np.abs(rho_avg - ref).max() < 4.0 / np.sqrt(R)
+    # trajectories stay normalized
+    norms = (np.abs(psi) ** 2).sum(-1)
+    assert np.abs(norms - 1.0).max() < 1e-8
+
+
+def test_mcwf_f32_average(two_atom_register):
+    seq = make_simple_sequence(two_atom_register, duration=160)
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.3)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    ref_states = sim.run().states
+    ref = np.asarray(jax.device_get(ref_states.re)) + 1j * np.asarray(
+        jax.device_get(ref_states.im)
+    )
+    h, grid, p0 = _mc_inputs(sim)
+    R = 400
+    mc = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+        jax.random.PRNGKey(3), n_traj=R, solver=SolverType.DP5_SE_F32,
+    )
+    assert mc.states.re.dtype == jnp.float32
+    psi = _psi_np(mc.states)
+    rho_avg = np.einsum("trk,trl->tkl", psi, psi.conj()) / R
+    assert np.abs(rho_avg - ref).max() < 5.0 / np.sqrt(R)
+
+
+def test_mcwf_reproducible(two_atom_register):
+    seq = make_simple_sequence(two_atom_register, duration=120)
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.2)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    h, grid, p0 = _mc_inputs(sim)
+    a = mcsolve(h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+                jax.random.PRNGKey(11), n_traj=16)
+    b = mcsolve(h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+                jax.random.PRNGKey(11), n_traj=16)
+    assert np.array_equal(np.asarray(a.states.re), np.asarray(b.states.re))
+    assert np.array_equal(np.asarray(a.n_jumps), np.asarray(b.n_jumps))
+
+
+def test_mcwf_run_routing(two_atom_register):
+    """run(solver=MCWF): NoisyResults whose populations track mesolve."""
+    seq = make_simple_sequence(two_atom_register, duration=200)
+    cfg = SimConfig(
+        noise="dephasing", dephasing_rate=0.25, runs=100, samples_per_run=40
+    )
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times=0.25)
+    res = sim.run(solver=SolverType.MCWF)
+    assert isinstance(res, NoisyResults)
+    n_cached = len(sim._njit_cache)
+    res2 = sim.run(solver=SolverType.MCWF)
+    assert len(sim._njit_cache) == n_cached  # program reused
+    rho_mc = np.asarray(jax.device_get(res.states.re))
+    rho_ref = sim.run()  # DP5_ME
+    ref_diag = np.asarray(
+        jax.device_get(
+            jnp.diagonal(rho_ref.states.re, axis1=-2, axis2=-1)
+        )
+    )
+    mc_diag = np.diagonal(rho_mc, axis1=-2, axis2=-1)
+    # 100 runs x 40 samples: statistical tolerance
+    assert np.abs(mc_diag - ref_diag).max() < 0.08
+    assert abs(sum(res2.results[-1].values()) - 1.0) < 1e-9
+
+
+def test_mcwf_with_doppler(two_atom_register):
+    """MCWF composes with stochastic Hamiltonian noise (per-trajectory
+    doppler draws, vmapped solves)."""
+    seq = make_simple_sequence(two_atom_register, duration=120)
+    cfg = SimConfig(
+        noise=("dephasing", "doppler"),
+        dephasing_rate=0.1,
+        temperature=60.0,
+        runs=8,
+        samples_per_run=10,
+    )
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    res = sim.run(solver=SolverType.MCWF)
+    assert isinstance(res, NoisyResults)
+    rho = np.asarray(jax.device_get(res.states.re))
+    tr = np.trace(rho, axis1=1, axis2=2)
+    assert np.abs(tr - 1).max() < 1e-8
+
+
+def test_mcwf_eta_rejected(two_atom_register):
+    seq = make_simple_sequence(two_atom_register, duration=100)
+    cfg = SimConfig(
+        noise=("dephasing", "SPAM"), dephasing_rate=0.1, eta=0.2,
+        epsilon=0.0, epsilon_prime=0.0, runs=4, samples_per_run=4,
+    )
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    with pytest.raises(NotImplementedError):
+        sim.run(solver=SolverType.MCWF)
