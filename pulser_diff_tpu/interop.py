@@ -240,6 +240,8 @@ def _device_from_abstract(d: Any) -> Device:
             basis=spec.get("basis", "ground-rydberg"),
             max_abs_detuning=spec.get("max_abs_detuning"),
             max_amp=spec.get("max_amp"),
+            min_retarget_interval=spec.get("min_retarget_interval", 0) or 0,
+            fixed_retarget_t=spec.get("fixed_retarget_t", 0) or 0,
             max_targets=spec.get("max_targets"),
             clock_period=spec.get("clock_period", 1),
             min_duration=spec.get("min_duration", 1),
@@ -253,6 +255,8 @@ def _device_from_abstract(d: Any) -> Device:
         name=d.get("name", "AbstractDevice"),
         dimensions=d.get("dimensions", 2),
         rydberg_level=d.get("rydberg_level", 70),
+        max_atom_num=d.get("max_atom_num"),
+        max_radial_distance=d.get("max_radial_distance"),
         min_atom_distance=d.get("min_atom_distance", 0.0) or 0.0,
         interaction_coeff_xy=d.get("interaction_coeff_xy"),
         supports_slm_mask=d.get("supports_slm_mask", False),
@@ -337,3 +341,273 @@ def from_abstract_repr(obj: Any) -> Sequence:
     if d.get("measurement"):
         seq.measure(d["measurement"])
     return seq
+
+
+# ----------------------------------------------------------------------
+# abstract-repr EXPORT (the inverse of from_abstract_repr)
+# ----------------------------------------------------------------------
+def _scalar(x: Any, what: str) -> float:
+    """Concrete scalar -> float; reject deferred Exprs (built seqs only)."""
+    from pulser_diff_tpu.core.variables import Expr
+
+    if isinstance(x, Expr):
+        raise ValueError(
+            f"Cannot serialize a parametrized {what}: call build() first "
+            "(to_abstract_repr handles BUILT sequences only)."
+        )
+    return float(np.asarray(x))
+
+
+def _waveform_to_abstract(wf: Any) -> dict:
+    if wf.is_parametrized:
+        raise ValueError(
+            "Cannot serialize a parametrized waveform: call build() first."
+        )
+    name = type(wf).__name__
+    if name == "ConstantWaveform":
+        return {
+            "kind": "constant",
+            "duration": int(wf.duration),
+            "value": _scalar(wf.value, "waveform value"),
+        }
+    if name == "RampWaveform":
+        return {
+            "kind": "ramp",
+            "duration": int(wf.duration),
+            "start": _scalar(wf.start, "ramp start"),
+            "stop": _scalar(wf.stop, "ramp stop"),
+        }
+    if name == "BlackmanWaveform":
+        return {
+            "kind": "blackman",
+            "duration": int(wf.duration),
+            "area": _scalar(wf.area, "blackman area"),
+        }
+    if name == "KaiserWaveform":
+        return {
+            "kind": "kaiser",
+            "duration": int(wf.duration),
+            "area": _scalar(wf.area, "kaiser area"),
+            "beta": float(wf.beta),
+        }
+    if name == "InterpolatedWaveform":
+        n = int(np.asarray(wf.values).shape[0])
+        times = (
+            np.linspace(0.0, 1.0, n)
+            if wf.times is None
+            else np.asarray(wf.times, dtype=float)
+        )
+        return {
+            "kind": "interpolated",
+            "duration": int(wf.duration),
+            "values": np.asarray(wf.values, dtype=float).tolist(),
+            "times": times.tolist(),
+        }
+    if name == "CustomWaveform":
+        return {
+            "kind": "custom",
+            "samples": np.asarray(wf._sample_arr, dtype=float).tolist(),
+        }
+    if name == "CompositeWaveform":
+        return {
+            "kind": "composite",
+            "waveforms": [_waveform_to_abstract(w) for w in wf._waveforms],
+        }
+    raise ValueError(f"Cannot serialize waveform type '{name}'.")
+
+
+def _eom_to_abstract(e: Any) -> dict:
+    out = {
+        "mod_bandwidth": float(e.mod_bandwidth),
+        "limiting_beam": str(e.limiting_beam),
+        "max_limiting_amp": float(e.max_limiting_amp),
+        "intermediate_detuning": float(e.intermediate_detuning),
+        "controlled_beams": [str(b) for b in e.controlled_beams],
+    }
+    if e.custom_buffer_time is not None:
+        out["custom_buffer_time"] = int(e.custom_buffer_time)
+    return out
+
+
+def _device_to_abstract(dev: Device) -> Any:
+    """A known module-level device serializes as its name; anything else
+    as a full spec dict (the form _device_from_abstract reads back)."""
+    from pulser_diff_tpu.core import devices as _devices
+
+    if getattr(_devices, dev.name, None) == dev:
+        return dev.name
+    chs = {}
+    for ch in dev.channels:
+        spec: dict[str, Any] = {
+            "addressing": ch.addressing,
+            "basis": ch.basis,
+        }
+        for k in (
+            "max_abs_detuning",
+            "max_amp",
+            "max_targets",
+            "max_duration",
+            "mod_bandwidth",
+        ):
+            v = getattr(ch, k)
+            if v is not None:
+                spec[k] = float(v) if k != "max_targets" else int(v)
+        for k, dflt in (
+            ("min_retarget_interval", 0),
+            ("fixed_retarget_t", 0),
+            ("clock_period", 1),
+            ("min_duration", 1),
+        ):
+            v = getattr(ch, k)
+            if v != dflt:
+                spec[k] = int(v)
+        if ch.eom_config is not None:
+            spec["eom_config"] = _eom_to_abstract(ch.eom_config)
+        chs[ch.name] = spec
+    out: dict[str, Any] = {
+        "name": dev.name,
+        "dimensions": int(dev.dimensions),
+        "rydberg_level": int(dev.rydberg_level),
+        "min_atom_distance": float(dev.min_atom_distance),
+        "supports_slm_mask": bool(dev.supports_slm_mask),
+        "channels": chs,
+    }
+    if dev.max_atom_num is not None:
+        out["max_atom_num"] = int(dev.max_atom_num)
+    if dev.max_radial_distance is not None:
+        out["max_radial_distance"] = float(dev.max_radial_distance)
+    if dev.interaction_coeff_xy is not None:
+        out["interaction_coeff_xy"] = float(dev.interaction_coeff_xy)
+    return out
+
+
+def to_abstract_repr(seq: Sequence, name: str = "pulser_diff_tpu") -> str:
+    """Serialize a BUILT native Sequence to the pulser abstract-repr JSON
+    dialect that :func:`from_abstract_repr` reads back (the subset of
+    pulser's `Sequence.to_abstract_repr()` schema this framework
+    supports: register, device, channel declarations, pulse / delay /
+    target / EOM operations, SLM mask, magnetic field, measurement).
+
+    Round trip: ``from_abstract_repr(to_abstract_repr(seq))`` reproduces
+    the sequence's sampled streams exactly (tests/test_interop.py).  The
+    reference leans on pulser's own serialization for this surface
+    (reference pyproject.toml:29-34 pins pulser-core); here export needs
+    no pulser install.
+    """
+    import json
+
+    if seq.is_parametrized():
+        raise ValueError(
+            "to_abstract_repr handles BUILT sequences only: call "
+            "seq.build(**values) first."
+        )
+    d: dict[str, Any] = {
+        "version": "1",
+        "name": name,
+        "device": _device_to_abstract(seq.device),
+        "register": [
+            {
+                "name": str(qid),
+                "x": float(np.asarray(c)[0]),
+                "y": float(np.asarray(c)[1]),
+            }
+            for qid, c in seq.register.qubits.items()
+        ],
+    }
+    if seq._in_xy:
+        d["magnetic_field"] = [float(v) for v in seq.magnetic_field]
+    channels: dict[str, Any] = {}
+    operations: list[dict[str, Any]] = []
+    measurement = None
+    for call in seq._calls:
+        if call.name == "declare_channel":
+            ch_name, ch_id, initial_target = call.args
+            if initial_target is None:
+                channels[ch_name] = ch_id
+            else:
+                tgt = (
+                    [str(initial_target)]
+                    if isinstance(initial_target, str)
+                    else [str(t) for t in initial_target]
+                )
+                channels[ch_name] = {
+                    "channel_id": ch_id,
+                    "initial_target": tgt,
+                }
+        elif call.name == "add":
+            pulse, ch_name = call.args
+            if call.kwargs.get("_eom"):
+                op = {
+                    "op": "add_eom_pulse",
+                    "channel": ch_name,
+                    "duration": int(pulse.duration),
+                    "phase": _scalar(pulse.phase, "phase"),
+                    "post_phase_shift": _scalar(
+                        pulse.post_phase_shift, "post_phase_shift"
+                    ),
+                    "protocol": call.kwargs.get("protocol", "min-delay"),
+                }
+            else:
+                op = {
+                    "op": "pulse",
+                    "channel": ch_name,
+                    "amplitude": _waveform_to_abstract(pulse.amplitude),
+                    "detuning": _waveform_to_abstract(pulse.detuning),
+                    "phase": _scalar(pulse.phase, "phase"),
+                    "post_phase_shift": _scalar(
+                        pulse.post_phase_shift, "post_phase_shift"
+                    ),
+                    "protocol": call.kwargs.get("protocol", "min-delay"),
+                }
+            operations.append(op)
+        elif call.name == "delay":
+            duration, ch_name = call.args
+            operations.append(
+                {
+                    "op": "delay",
+                    "time": int(duration),
+                    "channel": ch_name,
+                }
+            )
+        elif call.name == "target":
+            qubits, ch_name = call.args
+            tgt = (
+                [str(qubits)]
+                if isinstance(qubits, str)
+                else sorted(str(q) for q in qubits)
+            )
+            operations.append(
+                {"op": "target", "qubits": tgt, "channel": ch_name}
+            )
+        elif call.name == "enable_eom_mode":
+            ch_name, amp_on, det_on, det_off_opt = call.args
+            operations.append(
+                {
+                    "op": "enable_eom_mode",
+                    "channel": ch_name,
+                    "amp_on": _scalar(amp_on, "amp_on"),
+                    "detuning_on": _scalar(det_on, "detuning_on"),
+                    "optimal_detuning_off": _scalar(
+                        det_off_opt, "optimal_detuning_off"
+                    ),
+                }
+            )
+        elif call.name == "disable_eom_mode":
+            operations.append(
+                {"op": "disable_eom_mode", "channel": call.args[0]}
+            )
+        elif call.name == "measure":
+            measurement = call.args[0]
+        elif call.name == "config_slm_mask":
+            d["slm_mask_targets"] = sorted(
+                str(q) for q in seq._slm_mask_targets
+            )
+        else:  # pragma: no cover - future call kinds
+            raise ValueError(
+                f"Cannot serialize sequence call '{call.name}'."
+            )
+    d["channels"] = channels
+    d["operations"] = operations
+    if measurement is not None:
+        d["measurement"] = measurement
+    return json.dumps(d)

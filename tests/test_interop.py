@@ -360,6 +360,124 @@ def test_abstract_repr_digital_three_level():
 
 
 # ----------------------------------------------------------------------
+# abstract-repr EXPORT round trip (to_abstract_repr ∘ from_abstract_repr)
+# ----------------------------------------------------------------------
+_ALL_FIXTURES = [
+    "abstract_seq_blockade.json",
+    "abstract_seq_device.json",
+    "abstract_seq_digital.json",
+    "abstract_seq_eom.json",
+    "abstract_seq_local.json",
+    "abstract_seq_slm.json",
+    "abstract_seq_xy.json",
+]
+
+
+def _assert_same_nested(d1, d2):
+    assert type(d1) is type(d2)
+    if isinstance(d1, dict):
+        assert set(d1) == set(d2)
+        for k in d1:
+            _assert_same_nested(d1[k], d2[k])
+    else:
+        np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+@pytest.mark.parametrize("fixture", _ALL_FIXTURES)
+def test_to_abstract_repr_round_trip(fixture):
+    """Every feature class the loader supports (global/local channels,
+    retargets, EOM blocks, SLM masks, XY + magnetic field, digital,
+    inline device specs, all waveform kinds) survives
+    from_abstract_repr -> to_abstract_repr -> from_abstract_repr with
+    bit-identical sampled streams."""
+    from pulser_diff_tpu.core import sample
+    from pulser_diff_tpu.interop import from_abstract_repr, to_abstract_repr
+
+    seq1 = from_abstract_repr(_load_fixture(fixture))
+    js = to_abstract_repr(seq1)
+    seq2 = from_abstract_repr(js)
+
+    assert seq2.get_duration() == seq1.get_duration()
+    assert seq2._measurement == seq1._measurement
+    assert seq2._slm_mask_targets == seq1._slm_mask_targets
+    assert seq2._in_xy == seq1._in_xy
+    np.testing.assert_array_equal(seq2.magnetic_field, seq1.magnetic_field)
+    assert set(seq2.declared_channels) == set(seq1.declared_channels)
+    assert seq2.device.channel_objects.keys() == (
+        seq1.device.channel_objects.keys()
+    )
+
+    mods = (False, True) if fixture == "abstract_seq_eom.json" else (False,)
+    for mod in mods:
+        n1 = sample(seq1, modulation=mod).to_nested_dict()
+        n2 = sample(seq2, modulation=mod).to_nested_dict()
+        _assert_same_nested(n1, n2)
+
+
+def test_to_abstract_repr_rejects_parametrized():
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        MockDevice,
+        Pulse,
+        Register,
+        Sequence,
+    )
+    from pulser_diff_tpu.interop import to_abstract_repr
+
+    reg = Register({"q0": np.array([0.0, 0.0])})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    omega = seq.declare_variable("omega")
+    seq.add(
+        Pulse(ConstantWaveform(100, omega), ConstantWaveform(100, 0.0), 0.0),
+        "ryd",
+    )
+    with pytest.raises(ValueError, match="BUILT"):
+        to_abstract_repr(seq)
+    # building resolves it
+    built = seq.build(omega=1.5)
+    js = to_abstract_repr(built)
+    assert '"value": 1.5' in js
+
+
+def test_to_abstract_repr_named_device_and_targets():
+    """Known module-level devices serialize as their name; target ops and
+    initial targets round trip."""
+    import json
+
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        MockDevice,
+        Pulse,
+        Register,
+        Sequence,
+        sample,
+    )
+    from pulser_diff_tpu.interop import from_abstract_repr, to_abstract_repr
+
+    reg = Register({"a": np.array([0.0, 0.0]), "b": np.array([6.0, 0.0])})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("loc", "rydberg_local", initial_target="a")
+    seq.add(
+        Pulse(ConstantWaveform(100, 1.0), ConstantWaveform(100, 0.0), 0.0),
+        "loc",
+    )
+    seq.target("b", "loc")
+    seq.add(
+        Pulse(ConstantWaveform(80, 2.0), ConstantWaveform(80, 0.5), 0.3),
+        "loc",
+    )
+    js = to_abstract_repr(seq)
+    d = json.loads(js)
+    assert d["device"] == "MockDevice"
+    assert d["channels"]["loc"]["initial_target"] == ["a"]
+    seq2 = from_abstract_repr(js)
+    n1 = sample(seq).to_nested_dict()
+    n2 = sample(seq2).to_nested_dict()
+    _assert_same_nested(n1, n2)
+
+
+# ----------------------------------------------------------------------
 # live-object sequence replay (duck-typed stand-in graph shaped like
 # pulser's Sequence internals — proves from_pulser_sequence end-to-end
 # without a pulser install; VERDICT.md round-2 missing #4)
