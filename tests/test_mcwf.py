@@ -197,6 +197,44 @@ def test_mcwf_with_doppler(two_atom_register):
     assert np.abs(tr - 1).max() < 1e-8
 
 
+def test_mcwf_leakage_three_level(two_atom_register):
+    """MCWF with a leakage channel (with_leakage=True -> qudit d=3):
+    trajectory average matches mesolve on the extended space, and the
+    leaked population is visibly nonzero."""
+    L = np.zeros((3, 3))
+    L[2, 1] = 1.0  # |x><g|
+    seq = make_simple_sequence(two_atom_register, duration=160)
+    cfg = SimConfig(
+        noise="eff_noise", eff_noise_rates=(0.6,), eff_noise_opers=(L,),
+        with_leakage=True,
+    )
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    ref_states = sim.run().states
+    ref = np.asarray(jax.device_get(ref_states.re)) + 1j * np.asarray(
+        jax.device_get(ref_states.im)
+    )
+    h, grid, p0 = _mc_inputs(sim)
+    assert h.dim == 3
+    R = 600
+    mc = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+        jax.random.PRNGKey(5), n_traj=R,
+    )
+    psi = _psi_np(mc.states)  # (n_eval, R, 9)
+    rho_avg = np.einsum("trk,trl->tkl", psi, psi.conj()) / R
+    assert np.abs(rho_avg - ref).max() < 4.0 / np.sqrt(R)
+    # leakage actually happened: some trajectories jumped
+    assert int(np.asarray(mc.n_jumps).sum()) > 0
+    leaked = float(np.trace(ref[-1]).real - 1.0)
+    x_pop = sum(
+        float(rho_avg[-1, k, k].real)
+        for k in range(9)
+        if 2 in (k // 3, k % 3)
+    )
+    assert x_pop > 0.01
+    assert abs(leaked) < 1e-6  # mesolve stays trace-preserving
+
+
 def test_mcwf_eta_rejected(two_atom_register):
     seq = make_simple_sequence(two_atom_register, duration=100)
     cfg = SimConfig(
