@@ -249,6 +249,12 @@ class SimConfig:
         relevant = NoiseModel._find_relevant_params(
             self.noise, self.eta, self.amp_sigma, lw_f
         )
+        # runs/samples_per_run always survive the conversion: pulser may
+        # treat them as irrelevant for pure Lindblad noise (its only
+        # Lindblad route is the deterministic mesolve), but here
+        # run(solver=MCWF) consumes them as the trajectory count and
+        # per-trajectory shot count (backend._run_mcwf).
+        relevant |= {"runs", "samples_per_run"}
         kwargs: dict[str, Any] = {"noise_types": tuple(self.noise)}
         name_map = {
             "state_prep_error": "eta",

@@ -160,8 +160,16 @@ def test_mcwf_run_routing(two_atom_register):
         noise="dephasing", dephasing_rate=0.25, runs=100, samples_per_run=40
     )
     sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times=0.25)
+    # regression: runs/samples_per_run must survive the SimConfig ->
+    # NoiseModel conversion even for pure Lindblad noise (pulser treats
+    # them as irrelevant there, but MCWF consumes them as the trajectory
+    # count) — a silent drop to the 15 x 5 defaults once cost a 0.09
+    # population bias at the bench's R=1024.
+    assert sim.config.runs == 100
+    assert sim.config.samples_per_run == 40
     res = sim.run(solver=SolverType.MCWF)
     assert isinstance(res, NoisyResults)
+    assert sum(res[-1].bitstring_counts.values()) == 100 * 40
     n_cached = len(sim._njit_cache)
     res2 = sim.run(solver=SolverType.MCWF)
     assert len(sim._njit_cache) == n_cached  # program reused
