@@ -917,6 +917,35 @@ class TpuEmulator:
             psi0.re[:, 0].reshape(da, db), psi0.im[:, 0].reshape(da, db)
         )
         collapse = h._collapse_ops
+        if collapse.ops is not None:
+            # MCWF resolves at most one jump per integration step, so the
+            # per-step jump probability must stay small for the average
+            # to track mesolve. Warn (host-side, concrete values) when
+            # the rate bound sum_m lambda_max(L_m^+ L_m) times the step
+            # exceeds 10%.
+            import warnings
+
+            lz = np.asarray(
+                jax.device_get(collapse.ops.re)
+            ) + 1j * np.asarray(jax.device_get(collapse.ops.im))
+            q = np.einsum("mji,mjk->mik", lz.conj(), lz)
+            rate_bound = float(
+                sum(np.linalg.eigvalsh(qm).max() for qm in q)
+            )
+            t_np = np.asarray(jax.device_get(grid.times), dtype=np.float64)
+            dt_max = float(np.diff(t_np).max()) / max(int(substeps), 1)
+            p_step = rate_bound * dt_max
+            if p_step > 0.1:
+                rec = int(np.ceil(p_step / 0.05)) * max(int(substeps), 1)
+                warnings.warn(
+                    f"MCWF per-step jump probability bound is "
+                    f"{p_step:.2f} (> 0.1): the one-jump-per-step "
+                    f"resolution will bias trajectory averages away from "
+                    f"the master equation. Pass run(substeps={rec}) or "
+                    f"use the density-matrix solvers.",
+                    UserWarning,
+                    stacklevel=3,
+                )
         stochastic = ("doppler" in noise) or (
             "amplitude" in noise and _f(cfg_nm.amp_sigma) > 0
         )

@@ -358,6 +358,16 @@ def _scalar(x: Any, what: str) -> float:
     return float(np.asarray(x))
 
 
+def _target_list(x: Any) -> list[str]:
+    """Qubit id(s) -> list of string ids.  Native QubitIds may be ints
+    (Sequence._as_targets accepts them); abstract repr names are strings,
+    so int ids round-trip as their string form (matching the register's
+    exported names)."""
+    if isinstance(x, str) or not hasattr(x, "__iter__"):
+        return [str(x)]
+    return [str(t) for t in x]
+
+
 def _waveform_to_abstract(wf: Any) -> dict:
     if wf.is_parametrized:
         raise ValueError(
@@ -525,14 +535,9 @@ def to_abstract_repr(seq: Sequence, name: str = "pulser_diff_tpu") -> str:
             if initial_target is None:
                 channels[ch_name] = ch_id
             else:
-                tgt = (
-                    [str(initial_target)]
-                    if isinstance(initial_target, str)
-                    else [str(t) for t in initial_target]
-                )
                 channels[ch_name] = {
                     "channel_id": ch_id,
-                    "initial_target": tgt,
+                    "initial_target": _target_list(initial_target),
                 }
         elif call.name == "add":
             pulse, ch_name = call.args
@@ -571,13 +576,12 @@ def to_abstract_repr(seq: Sequence, name: str = "pulser_diff_tpu") -> str:
             )
         elif call.name == "target":
             qubits, ch_name = call.args
-            tgt = (
-                [str(qubits)]
-                if isinstance(qubits, str)
-                else sorted(str(q) for q in qubits)
-            )
             operations.append(
-                {"op": "target", "qubits": tgt, "channel": ch_name}
+                {
+                    "op": "target",
+                    "qubits": sorted(_target_list(qubits)),
+                    "channel": ch_name,
+                }
             )
         elif call.name == "enable_eom_mode":
             ch_name, amp_on, det_on, det_off_opt = call.args

@@ -765,8 +765,16 @@ class QuantumModel:
                 for k, v in best_stack.items()
             }
             updates, opt_state = optimizer.update(grads, opt_state, stack)
-            stack = clamp(optax.apply_updates(stack, updates))
-            return (stack, opt_state, best_loss, best_stack), per
+            new_stack = clamp(optax.apply_updates(stack, updates))
+            # also emit the PRE-update stack: the loop below runs
+            # epochs + 1 steps so the final stack's loss is evaluated by
+            # the same compiled program (no separate jit(total_loss)
+            # forward compile), and the last emitted pre-update stack IS
+            # the stack after `epochs` updates.
+            return (new_stack, opt_state, best_loss, best_stack), (
+                per,
+                stack,
+            )
 
         stack = {k: jnp.asarray(v, default_dtype()) for k, v in param_stack.items()}
         opt_state = optimizer.init(stack)
@@ -784,32 +792,31 @@ class QuantumModel:
             {k: v for k, v in stack.items()},
         )
         done = 0
-        while done < epochs:
-            k = min(max(steps_per_call, 1), epochs - done)
-            carry, chunk = scan_k(carry, length=k)
+        final_stack = stack
+        # remainder chunk FIRST: at most two distinct static scan
+        # lengths get compiled (one when steps_per_call divides
+        # epochs + 1), instead of a trailing length-1 program
+        k0 = max(steps_per_call, 1)
+        rem = (epochs + 1) % k0
+        plan = ([rem] if rem else []) + [k0] * ((epochs + 1) // k0)
+        for k in plan:
+            carry, (chunk, pre) = scan_k(carry, length=k)
             chunk = np.asarray(jax.device_get(chunk))  # (k, P)
             losses.extend(list(chunk))
+            final_stack = {name: v[-1] for name, v in pre.items()}
             done += k
             if verbose:
                 print(
                     f"epoch {done - 1}: best={chunk[-1].min():.6f} "
                     f"median={np.median(chunk[-1]):.6f}"
                 )
-        stack, _, best_loss, best_stack = carry
-
-        # load the best candidate seen at any epoch, unless the FINAL
-        # stack improves on it (the last update's params were never
-        # loss-evaluated inside the scan)
-        _, final_per = jax.jit(total_loss)(stack)
-        final_per = np.asarray(jax.device_get(final_per))
+        # step epochs+1's loss evaluation covered the final stack, so
+        # best-ever tracking already includes it; drop that extra entry
+        # from the reported per-epoch losses
+        losses = losses[:epochs]
+        _, _, best_loss, best_stack = carry
         best_loss = np.asarray(jax.device_get(best_loss))
-        i_fin = int(np.argmin(final_per))
         i_ever = int(np.argmin(best_loss))
-        if final_per[i_fin] <= best_loss[i_ever]:
-            self.params = {k: v[i_fin] for k, v in stack.items()}
-        else:
-            self.params = {
-                k: v[i_ever] for k, v in dict(best_stack).items()
-            }
+        self.params = {k: v[i_ever] for k, v in dict(best_stack).items()}
         self.update_sequence()
-        return losses, dict(stack)
+        return losses, dict(final_stack)

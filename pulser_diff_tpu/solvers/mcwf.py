@@ -66,14 +66,13 @@ from pulser_diff_tpu.solvers.solver import (
     _DP5_A,
     _DP5_B,
     _DP5_C,
+    _RK4_A,
+    _RK4_B,
     _RK4_C,
     _explicit_rk_step,
     _group_collapse,
     _se_rhs,
 )
-
-_RK4_A = [[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]]
-_RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
 
 class McwfResult(NamedTuple):
@@ -291,7 +290,12 @@ def mcsolve(
         cum = jnp.cumsum(w, axis=0)
         kstar = jnp.sum(
             (cum < (us * tot)[None, :]).astype(jnp.int32), axis=0
-        )  # (R,) in [0, M-1]
+        )
+        # f32 guard: tree-reduced sum(w) can exceed cumsum(w)[-1] by an
+        # ulp, making every `cum < us*tot` true and kstar == M — which
+        # would select an all-zero one-hot and zero the trajectory
+        # permanently. Clip to the last channel instead.
+        kstar = jnp.minimum(kstar, M - 1)  # (R,) in [0, M-1]
         onehot = (
             jnp.arange(M, dtype=jnp.int32)[:, None] == kstar[None, :]
         ).astype(dtype)  # (M, R)

@@ -196,6 +196,8 @@ _DP5_A = [
 _DP5_B = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784, 11 / 84])
 
 _RK4_C = np.array([0.0, 0.5, 0.5, 1.0])
+_RK4_A = [[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]]
+_RK4_B = np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6])
 
 
 def _se_rhs(ham: FactoredHamiltonian, t: jax.Array, psi: Cplx) -> Cplx:
@@ -231,7 +233,7 @@ def _make_se_step(ham, solver: str, substeps: int, krylov_dim: int,
         c, A, B = (
             (_DP5_C, _DP5_A, _DP5_B)
             if solver == SolverType.DP5_SE
-            else (_RK4_C, [[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]], np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6]))
+            else (_RK4_C, _RK4_A, _RK4_B)
         )
 
         def step(psi: Cplx, t0, t1):
@@ -834,7 +836,7 @@ def _make_me_step(ham, collapse, n, d, solver, substeps):
     c, A, B = (
         (_DP5_C, _DP5_A, _DP5_B)
         if solver in (SolverType.DP5_ME,)
-        else (_RK4_C, [[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]], np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6]))
+        else (_RK4_C, _RK4_A, _RK4_B)
     )
     groups = _group_collapse(collapse, n, d)
 
@@ -952,8 +954,7 @@ def _make_me_step_superop(ham, collapse, n, d, solver, substeps):
     c, A, B = (
         (_DP5_C, _DP5_A, _DP5_B)
         if solver in (SolverType.DP5_ME,)
-        else (_RK4_C, [[], [0.5], [0.0, 0.5], [0.0, 0.0, 1.0]],
-              np.array([1 / 6, 1 / 3, 1 / 3, 1 / 6]))
+        else (_RK4_C, _RK4_A, _RK4_B)
     )
     S0, S = _superop_terms(ham, collapse, n, d)
     dim = ham.dim

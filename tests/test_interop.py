@@ -477,6 +477,47 @@ def test_to_abstract_repr_named_device_and_targets():
     _assert_same_nested(n1, n2)
 
 
+def test_to_abstract_repr_int_qubit_ids():
+    """Non-string qubit ids (Sequence._as_targets accepts ints) export
+    as their string form and round trip at the sampled-stream level —
+    a bare int target once crashed the exporter with TypeError."""
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        MockDevice,
+        Pulse,
+        Register,
+        Sequence,
+        sample,
+    )
+    from pulser_diff_tpu.interop import from_abstract_repr, to_abstract_repr
+
+    reg = Register({0: np.array([0.0, 0.0]), 1: np.array([6.0, 0.0])})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("loc", "rydberg_local", initial_target=0)
+    seq.add(
+        Pulse(ConstantWaveform(100, 1.0), ConstantWaveform(100, 0.0), 0.0),
+        "loc",
+    )
+    seq.target(1, "loc")
+    seq.add(
+        Pulse(ConstantWaveform(80, 2.0), ConstantWaveform(80, 0.5), 0.3),
+        "loc",
+    )
+    seq2 = from_abstract_repr(to_abstract_repr(seq))
+    n1 = sample(seq).to_nested_dict()
+    n2 = sample(seq2).to_nested_dict()
+    # int ids stringify on export: compare per-qubit local streams
+    # under str(qid)
+    for basis, per_qubit in n1["Local"].items():
+        assert set(str(q) for q in per_qubit) == set(n2["Local"][basis])
+        for qid, dat1 in per_qubit.items():
+            dat2 = n2["Local"][basis][str(qid)]
+            for key in ("amp", "det", "phase"):
+                np.testing.assert_array_equal(
+                    np.asarray(dat1[key]), np.asarray(dat2[key])
+                )
+
+
 # ----------------------------------------------------------------------
 # live-object sequence replay (duck-typed stand-in graph shaped like
 # pulser's Sequence internals — proves from_pulser_sequence end-to-end

@@ -243,6 +243,25 @@ def test_mcwf_leakage_three_level(two_atom_register):
     assert abs(leaked) < 1e-6  # mesolve stays trace-preserving
 
 
+def test_mcwf_fast_rate_warns(two_atom_register):
+    """Collapse rates fast relative to the integration step trigger a
+    warning (one-jump-per-step resolution would bias the average)."""
+    seq = make_simple_sequence(two_atom_register, duration=400)
+    cfg = SimConfig(noise="dephasing", dephasing_rate=80.0, runs=2,
+                    samples_per_run=2)
+    sim = TpuEmulator.from_sequence(
+        seq, sampling_rate=0.05, config=cfg, evaluation_times="Minimal"
+    )
+    with pytest.warns(UserWarning, match="per-step jump probability"):
+        sim.run(solver=SolverType.MCWF)
+    # a sufficient substeps count silences it
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error", UserWarning)
+        sim.run(solver=SolverType.MCWF, substeps=40)
+
+
 def test_mcwf_eta_rejected(two_atom_register):
     seq = make_simple_sequence(two_atom_register, duration=100)
     cfg = SimConfig(
