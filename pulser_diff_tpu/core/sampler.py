@@ -221,7 +221,6 @@ def _sample_channel(
     segments_phase: list[jax.Array] = []
     slots: list[_PulseTargetSlot] = []
     cursor = 0
-    phase_offset = jnp.asarray(0.0, dt)
     last_phase = jnp.asarray(0.0, dt)
 
     for slot in seq._schedule[name]:
@@ -236,13 +235,14 @@ def _sample_channel(
             p = slot.pulse
             amp = p.amplitude.samples.astype(dt)
             det = p.detuning.samples.astype(dt)
-            ph = jnp.asarray(p.phase, dt) + phase_offset
+            # per-(basis, qubit) phase reference captured at add time
+            # (advanced by phase_shift() and post_phase_shift across all
+            # channels of the basis — pulser semantics, Sequence.add)
+            ph = jnp.asarray(p.phase, dt) + jnp.asarray(slot.phase_ref, dt)
             segments_amp.append(amp)
             segments_det.append(det)
             segments_phase.append(jnp.broadcast_to(ph, (n,)))
             last_phase = ph
-            pps = jnp.asarray(p.post_phase_shift, dt)
-            phase_offset = phase_offset + pps
             slots.append(_PulseTargetSlot(slot.ti, slot.tf, slot.targets))
         else:
             if n > 0:

@@ -36,6 +36,11 @@ class _TimeSlot:
     # "eom_delay" only: the locked off-detuning the drive idles at while
     # waiting inside an EOM block (amp 0, phase holds its last value)
     det_off: float = 0.0
+    # "pulse" only: the targets' accumulated phase reference at add time
+    # (per-(basis, qubit), advanced by phase_shift() and by each pulse's
+    # post_phase_shift — pulser semantics, shared across channels of the
+    # same basis). The sampler emits pulse.phase + phase_ref.
+    phase_ref: Any = 0.0
 
 
 @dataclass
@@ -43,6 +48,22 @@ class _Call:
     name: str
     args: tuple
     kwargs: dict
+
+
+def _same_phase_ref(refs: list) -> bool:
+    """All-equal check that tolerates traced (JAX) phase values: concrete
+    values compare as floats; traced values only pass when they are the
+    same object (a traced per-qubit mismatch cannot be decided at trace
+    time, so it is conservatively rejected)."""
+    if len(refs) <= 1:
+        return True
+    try:
+        import jax
+
+        vals = {float(np.asarray(jax.device_get(r))) for r in refs}
+        return len(vals) == 1
+    except Exception:  # noqa: BLE001 - tracer leak / non-scalar
+        return all(r is refs[0] for r in refs)
 
 
 class Sequence:
@@ -65,6 +86,12 @@ class Sequence:
         self._eom_state: dict[str, tuple] = {}
         # closed/open EOM intervals per channel: [ti, tf | None]
         self._eom_blocks: dict[str, list[list]] = {}
+        # per-(basis, qubit) phase bookkeeping (pulser's _basis_ref):
+        # accumulated reference, last shift time (phase barrier), last
+        # time the qubit was driven on that basis
+        self._phase_ref: dict[tuple, Any] = {}
+        self._phase_last_t: dict[tuple, int] = {}
+        self._last_used: dict[tuple, int] = {}
 
     # ------------------------------------------------------------------
     # properties
@@ -229,16 +256,29 @@ class Sequence:
                     float(np.max(np.abs(np.asarray(det_s)))),
                     duration,
                 )
+        tgt = self._last_target[channel]
+        basis = ch.basis
+        refs = [self._phase_ref.get((basis, q), 0.0) for q in sorted(tgt, key=str)]
+        if not _same_phase_ref(refs):
+            raise ValueError(
+                "Cannot do a multiple-target pulse on qubits with "
+                "different phase references for the same basis."
+            )
+        phase_ref = refs[0] if refs else 0.0
         t0 = self.get_duration(channel)
         if protocol == "wait-for-all":
             t0 = max(t0, self.get_duration())
         elif protocol == "min-delay":
-            tgt = self._last_target[channel]
             for other, slots in self._schedule.items():
                 if other == channel or not slots:
                     continue
                 if self._last_target_at_end(other) & tgt:
                     t0 = max(t0, slots[-1].tf)
+        # phase barrier: a pulse cannot start before the last phase
+        # shift registered on its targets (pulser Schedule.add_pulse's
+        # phase_barrier_ts)
+        for q in tgt:
+            t0 = max(t0, self._phase_last_t.get((basis, q), 0))
         ti, tf = t0, t0 + duration
         if ti > self.get_duration(channel):
             # implicit delay on this channel
@@ -247,8 +287,22 @@ class Sequence:
                           self._last_target[channel])
             )
         self._schedule[channel].append(
-            _TimeSlot("pulse", ti, tf, self._last_target[channel], pulse)
+            _TimeSlot(
+                "pulse", ti, tf, self._last_target[channel], pulse,
+                phase_ref=phase_ref,
+            )
         )
+        for q in tgt:
+            self._last_used[(basis, q)] = tf
+        if not (
+            isinstance(pulse.post_phase_shift, (int, float))
+            and float(pulse.post_phase_shift) == 0.0
+        ):
+            for q in tgt:
+                self._phase_ref[(basis, q)] = (
+                    self._phase_ref.get((basis, q), 0.0)
+                    + pulse.post_phase_shift
+                )
 
     def _last_target_at_end(self, channel: str) -> frozenset:
         return self._last_target[channel]
@@ -405,6 +459,44 @@ class Sequence:
             )
         self._calls.append(_Call("disable_eom_mode", (channel,), {}))
 
+    def phase_shift(
+        self, phi: Any, *targets: QubitId, basis: str = "digital"
+    ) -> None:
+        """Shift the phase reference of ``targets`` on ``basis`` by
+        ``phi`` (pulser's ``Sequence.phase_shift``): every later pulse on
+        a channel of that basis targeting those qubits picks up the
+        accumulated reference on top of its own phase, and a pulse
+        targeting qubits with *different* references raises.  ``phi`` may
+        be a deferred Expr in a parametrized sequence."""
+        if basis not in ("ground-rydberg", "digital", "XY"):
+            raise ValueError(f"No phase reference for basis '{basis}'.")
+        if not targets:
+            raise ValueError("phase_shift requires at least one target.")
+        tgt = self._as_targets(list(targets))
+        if isinstance(phi, Expr) or self.is_parametrized():
+            self._to_build_calls.append(
+                _Call("phase_shift", (phi,) + tuple(targets), {"basis": basis})
+            )
+            return
+        for q in tgt:
+            key = (basis, q)
+            self._phase_ref[key] = self._phase_ref.get(key, 0.0) + phi
+            self._phase_last_t[key] = self._last_used.get(key, 0)
+        self._calls.append(
+            _Call("phase_shift", (phi,) + tuple(targets), {"basis": basis})
+        )
+
+    def current_phase_ref(
+        self, qubit: QubitId, basis: str = "digital"
+    ) -> Any:
+        """The accumulated phase reference of ``qubit`` on ``basis``
+        (pulser's ``Sequence.current_phase_ref``)."""
+        if basis not in ("ground-rydberg", "digital", "XY"):
+            raise ValueError(f"No phase reference for basis '{basis}'.")
+        if qubit not in set(self._register.qubit_ids):
+            raise ValueError(f"Unknown qubit id: {qubit}")
+        return self._phase_ref.get((basis, qubit), 0.0)
+
     def target(self, qubits: QubitId | Iterable[QubitId], channel: str) -> None:
         ch = self._check_channel(channel)
         if ch.is_global:
@@ -494,6 +586,11 @@ class Sequence:
 
                     dur = int(np.round(np.asarray(jax.device_get(dur.evaluate(values)))))
                 new.delay(dur, channel)
+            elif call.name == "phase_shift":
+                phi = call.args[0]
+                if isinstance(phi, Expr):
+                    phi = phi.evaluate(values)
+                new.phase_shift(phi, *call.args[1:], **call.kwargs)
             else:
                 getattr(new, call.name)(*call.args, **call.kwargs)
         return new

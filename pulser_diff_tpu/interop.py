@@ -155,12 +155,18 @@ def from_pulser_sequence(pseq: Any) -> Sequence:
                     seq.target(sorted(slot.targets), name)
             else:  # a pulser Pulse
                 p = slot.type
+                # pulser's Sequence._add folds the targets' accumulated
+                # phase reference (phase_shift + earlier post_phase_
+                # shifts) into the SCHEDULED pulse's phase, so slot
+                # phases are already effective — replay with
+                # post_phase_shift=0 or the native per-qubit ref
+                # bookkeeping would add the shifts a second time.
                 seq.add(
                     Pulse(
                         from_pulser_waveform(p.amplitude),
                         from_pulser_waveform(p.detuning),
                         float(p.phase),
-                        float(getattr(p, "post_phase_shift", 0.0)),
+                        0.0,
                     ),
                     name,
                     protocol="no-delay",
@@ -336,6 +342,17 @@ def from_abstract_repr(obj: Any) -> Sequence:
             )
         elif tag == "disable_eom_mode":
             seq.disable_eom_mode(op["channel"])
+        elif tag == "phase_shift":
+            targets = (
+                op["targets"]
+                if isinstance(op["targets"], list)
+                else [op["targets"]]
+            )
+            seq.phase_shift(
+                float(op["phi"]),
+                *targets,
+                basis=op.get("basis", "digital"),
+            )
         else:
             raise ValueError(f"Unknown abstract operation '{tag}'.")
     if d.get("measurement"):
@@ -599,6 +616,15 @@ def to_abstract_repr(seq: Sequence, name: str = "pulser_diff_tpu") -> str:
         elif call.name == "disable_eom_mode":
             operations.append(
                 {"op": "disable_eom_mode", "channel": call.args[0]}
+            )
+        elif call.name == "phase_shift":
+            operations.append(
+                {
+                    "op": "phase_shift",
+                    "phi": _scalar(call.args[0], "phase shift"),
+                    "targets": [str(q) for q in call.args[1:]],
+                    "basis": call.kwargs.get("basis", "digital"),
+                }
             )
         elif call.name == "measure":
             measurement = call.args[0]

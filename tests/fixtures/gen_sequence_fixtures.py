@@ -14,9 +14,15 @@ pulser scheduling + sampling semantics the product follows:
       no-delay      starts at the channel's own end.
   - ``target()`` occupies ``max(fixed_retarget_t, min_retarget_interval)``
     ns (the min interval only once the channel has output).
-  - phase streams: a pulse holds ``phase + accumulated post_phase_shift``
-    over its window; delays/gaps hold the LAST pulse's phase; the
-    accumulator advances by each pulse's own ``post_phase_shift``.
+  - phase streams: a pulse holds ``phase + phase_ref`` over its window,
+    where ``phase_ref`` is the targets' accumulated per-(basis, qubit)
+    phase reference at add time (pulser's ``_basis_ref``): advanced by
+    ``phase_shift()`` and by each pulse's ``post_phase_shift`` on its
+    OWN targets, shared across channels of the same basis; a pulse whose
+    targets carry different references is an error; a pulse cannot start
+    before the last phase shift registered on its targets (the phase
+    barrier, tagged at the qubit's last-used time); delays/gaps hold the
+    LAST pulse's phase.
   - per-qubit assembly (pulser SequenceSamples.to_nested_dict): channels
     in declaration order; amplitudes and detunings ADD on shared qubits;
     phase takes the latest channel's value wherever that channel's amp is
@@ -80,14 +86,25 @@ class _Chan:
 def schedule(program, qubit_ids):
     chans = {}
     slm_targets = frozenset(program.get("slm_mask", []))
+    refs = {}  # (basis, qubit) -> accumulated phase reference
+    shift_t = {}  # (basis, qubit) -> time of last phase_shift (barrier)
+    last_used = {}  # (basis, qubit) -> last driven time
     for op in program["ops"]:
         kind = op[0]
         if kind == "declare":
             _, name, spec = op
             chans[name] = _Chan(spec, qubit_ids)
+        elif kind == "phase_shift":
+            _, phi, targets, basis = op
+            for q in targets:
+                refs[(basis, q)] = refs.get((basis, q), 0.0) + phi
+                shift_t[(basis, q)] = last_used.get((basis, q), 0)
         elif kind == "pulse":
             _, name, amp, det, phase, pps, protocol = op
             ch = chans[name]
+            tgt_refs = {refs.get((ch.basis, q), 0.0) for q in ch.target}
+            assert len(tgt_refs) <= 1, "mixed phase references"
+            ref = tgt_refs.pop() if tgt_refs else 0.0
             d = amp["duration"]
             t0 = ch.end
             if protocol == "wait-for-all":
@@ -98,9 +115,15 @@ def schedule(program, qubit_ids):
                         continue
                     if oc.target & ch.target:
                         t0 = max(t0, oc.end)
+            for q in ch.target:
+                t0 = max(t0, shift_t.get((ch.basis, q), 0))
             ch.slots.append(
-                ("pulse", t0, t0 + d, ch.target, (amp, det, phase, pps))
+                ("pulse", t0, t0 + d, ch.target, (amp, det, phase, ref))
             )
+            for q in ch.target:
+                last_used[(ch.basis, q)] = t0 + d
+                if pps:
+                    refs[(ch.basis, q)] = refs.get((ch.basis, q), 0.0) + pps
         elif kind == "delay":
             _, name, d = op
             ch = chans[name]
@@ -128,19 +151,17 @@ def sample_channel(ch, total):
     phase = np.zeros(total)
     pulse_slots = []
     last_phase = 0.0
-    phase_offset = 0.0
     cursor = 0
     for kind, ti, tf, targets, payload in ch.slots:
         if ti > cursor:  # gap holds last phase, zero drive
             phase[cursor:ti] = last_phase
         if kind == "pulse":
-            a, d, ph, pps = payload
+            a, d, ph, ref = payload
             amp[ti:tf] = wf_samples(a)
             det[ti:tf] = wf_samples(d)
-            cur = ph + phase_offset
+            cur = ph + ref
             phase[ti:tf] = cur
             last_phase = cur
-            phase_offset += pps
             pulse_slots.append((ti, tf, targets))
         else:
             phase[ti:tf] = last_phase
@@ -245,7 +266,9 @@ def programs():
             # output so min_retarget_interval applies)
             ["target", "l", ["q2"]],
             # this local pulse waits on the global one (q2 in global's
-            # targets); carries a phase of its own
+            # targets); q2's reference carries the global pulse's 0.5
+            # post_phase_shift (refs are per-qubit, shared across
+            # channels of the basis), so it emits 1.1 + 0.5
             ["pulse", "l", rwf(80, 0.0, 2.2), cwf(80, 0.7), 1.1, 0.0,
              "min-delay"],
             ["delay", "g", 60],
@@ -331,6 +354,37 @@ def programs():
              "min-delay"],
             ["pulse", "ryd", rwf(60, 2.0, 0.0), cwf(60, 0.0), 0.1, 0.0,
              "no-delay"],
+        ],
+    }
+
+    # 6. explicit phase_shift(): a subset shift picked up by a local
+    #    pulse; equal shifts on ALL qubits picked up by a global pulse
+    #    (mixed refs on a global pulse would be an error); a shift on an
+    #    idle channel's target exercises the phase barrier tagging
+    local_ryd2 = {
+        "addressing": "Local", "basis": "ground-rydberg",
+        "initial_target": ["q1"], "min_retarget_interval": 0,
+        "fixed_retarget_t": 0,
+    }
+    out["phase_shift_refs"] = {
+        "qubits": ["q0", "q1"],
+        "ops": [
+            ["declare", "g", GLOBAL_RYD],
+            ["declare", "l", local_ryd2],
+            ["pulse", "l", cwf(100, 1.0), cwf(100, 0.0), 0.2, 0.0,
+             "min-delay"],
+            # shift only q1: the next local pulse on q1 emits 0.4 + 0.9
+            ["phase_shift", 0.9, ["q1"], "ground-rydberg"],
+            ["pulse", "l", cwf(80, 1.5), cwf(80, 0.3), 0.4, 0.0,
+             "min-delay"],
+            # equalize the refs (shift q0 by the same amount), then a
+            # global pulse picks up the common 0.9 reference
+            ["phase_shift", 0.9, ["q0"], "ground-rydberg"],
+            ["pulse", "g", cwf(120, 2.0), cwf(120, -0.4), 0.1, 0.25,
+             "min-delay"],
+            # the global post_phase_shift advanced both refs to 1.15
+            ["pulse", "l", cwf(60, 1.2), cwf(60, 0.0), 0.0, 0.0,
+             "min-delay"],
         ],
     }
 

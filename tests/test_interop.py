@@ -477,6 +477,44 @@ def test_to_abstract_repr_named_device_and_targets():
     _assert_same_nested(n1, n2)
 
 
+def test_abstract_repr_phase_shift_round_trip():
+    """phase_shift ops export and read back; the reconstructed sequence
+    reproduces the phase streams (refs picked up by later pulses)."""
+    import json
+
+    from pulser_diff_tpu.core import (
+        ConstantWaveform,
+        MockDevice,
+        Pulse,
+        Register,
+        Sequence,
+        sample,
+    )
+    from pulser_diff_tpu.interop import from_abstract_repr, to_abstract_repr
+
+    reg = Register({"a": np.array([0.0, 0.0]), "b": np.array([6.0, 0.0])})
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("loc", "raman_local", initial_target="a")
+    seq.add(
+        Pulse(ConstantWaveform(60, 1.0), ConstantWaveform(60, 0.0), 0.1),
+        "loc",
+    )
+    seq.phase_shift(0.8, "a", basis="digital")
+    seq.add(
+        Pulse(ConstantWaveform(40, 1.5), ConstantWaveform(40, 0.2), 0.3),
+        "loc",
+    )
+    js = to_abstract_repr(seq)
+    ops = json.loads(js)["operations"]
+    assert {"op": "phase_shift", "phi": 0.8, "targets": ["a"],
+            "basis": "digital"} in ops
+    seq2 = from_abstract_repr(js)
+    assert seq2.current_phase_ref("a", "digital") == 0.8
+    n1 = sample(seq).to_nested_dict(all_local=True)
+    n2 = sample(seq2).to_nested_dict(all_local=True)
+    _assert_same_nested(n1, n2)
+
+
 def test_to_abstract_repr_int_qubit_ids():
     """Non-string qubit ids (Sequence._as_targets accepts ints) export
     as their string form and round trip at the sampled-stream level —

@@ -158,6 +158,93 @@ def test_phase_forward_fill_and_post_phase_shift():
     assert ph[80] == pytest.approx(0.6)  # 0.1 + accumulated 0.5
 
 
+def test_phase_shift_refs():
+    """phase_shift(): per-(basis, qubit) references (pulser semantics) —
+    later pulses pick up the accumulated reference, refs are shared
+    across channels of the same basis, and a multi-target pulse on
+    mixed references raises."""
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.declare_channel("l", "rydberg_local", initial_target="q0")
+    seq.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.1), "l")
+    seq.phase_shift(0.7, "q0", basis="ground-rydberg")
+    assert seq.current_phase_ref("q0", "ground-rydberg") == pytest.approx(0.7)
+    assert seq.current_phase_ref("q1", "ground-rydberg") == 0.0
+    # local pulse on q0 picks up the 0.7 reference
+    seq.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.2), "l")
+    ph_l = np.asarray(sample(seq).channel_samples["l"].phase)
+    assert ph_l[60] == pytest.approx(0.9)
+    # a global pulse now sees mixed refs (q0: 0.7, q1: 0)
+    with pytest.raises(ValueError, match="different phase references"):
+        seq.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.0), "g")
+    # equalizing the refs allows it, and the common ref is picked up
+    seq.phase_shift(0.7, "q1", basis="ground-rydberg")
+    seq.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.05), "g")
+    ph_g = np.asarray(sample(seq).channel_samples["g"].phase)
+    assert ph_g[-1] == pytest.approx(0.75)
+    # wrong basis: shifts on "digital" don't touch ground-rydberg pulses
+    seq2 = Sequence(r, MockDevice)
+    seq2.declare_channel("g", "rydberg_global")
+    seq2.phase_shift(1.3, "q0", "q1", basis="digital")
+    seq2.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.2), "g")
+    assert np.asarray(sample(seq2).channel_samples["g"].phase)[
+        -1
+    ] == pytest.approx(0.2)
+    with pytest.raises(ValueError, match="No phase reference"):
+        seq2.phase_shift(0.1, "q0", basis="bogus")
+    with pytest.raises(ValueError, match="at least one target"):
+        seq2.phase_shift(0.1)
+
+
+def test_phase_shift_cross_channel_post_phase():
+    """post_phase_shift advances the targets' per-qubit refs across
+    channels of the same basis (pulser), not a per-channel accumulator:
+    a local pulse after a global post_phase_shift picks it up."""
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.declare_channel("l", "rydberg_local", initial_target="q1")
+    seq.add(
+        Pulse.ConstantPulse(50, 1.0, 0.0, 0.0, post_phase_shift=0.5), "g"
+    )
+    seq.add(Pulse.ConstantPulse(50, 1.0, 0.0, 0.3), "l")
+    ph = np.asarray(sample(seq).channel_samples["l"].phase)
+    assert ph[-1] == pytest.approx(0.8)
+
+
+def test_phase_shift_parametrized_and_barrier():
+    """Deferred phase_shift with a variable phi builds correctly; the
+    phase barrier keeps a no-delay pulse from starting before the last
+    shift on its targets."""
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    phi = seq.declare_variable("phi")
+    seq.declare_channel("g", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.1), "g")
+    seq.phase_shift(phi, "q0", "q1", basis="ground-rydberg")
+    seq.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.0), "g")
+    built = seq.build(phi=0.25)
+    ph = np.asarray(sample(built).channel_samples["g"].phase)
+    assert ph[-1] == pytest.approx(0.25)
+    assert built.current_phase_ref("q1", "ground-rydberg") == pytest.approx(
+        0.25
+    )
+    # barrier: channel B idle; q0 driven on A (digital) until t=40, the
+    # shift is tagged at that last-used time; a no-delay pulse on B
+    # targeting q0 must still start at 40, not 0
+    seq3 = Sequence(r, MockDevice)
+    seq3.declare_channel("a", "raman_local", initial_target="q0")
+    seq3.declare_channel("b", "raman_local", initial_target="q0")
+    seq3.add(Pulse.ConstantPulse(40, 1.0, 0.0, 0.0), "a")
+    seq3.phase_shift(0.4, "q0", basis="digital")
+    seq3.add(
+        Pulse.ConstantPulse(30, 1.0, 0.0, 0.0), "b", protocol="no-delay"
+    )
+    slot = seq3._schedule["b"][-1]
+    assert slot.ti == 40 and slot.phase_ref == pytest.approx(0.4)
+
+
 def test_output_modulation():
     """with_modulation applies pulser's exact channel transfer function:
     normalized Blackman window of width 2*rise_time, zero-padded for

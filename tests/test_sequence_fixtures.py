@@ -101,6 +101,9 @@ def _build_sequence(prog):
             seq.delay(op[2], op[1])
         elif kind == "target":
             seq.target(op[2], op[1])
+        elif kind == "phase_shift":
+            _, phi, targets, basis = op
+            seq.phase_shift(phi, *targets, basis=basis)
         else:
             raise ValueError(kind)
     if prog.get("slm_mask"):
