@@ -497,6 +497,162 @@ class Sequence:
             raise ValueError(f"Unknown qubit id: {qubit}")
         return self._phase_ref.get((basis, qubit), 0.0)
 
+    def phase_shift_index(
+        self, phi: Any, *targets: int, basis: str = "digital"
+    ) -> None:
+        """Index-based variant of :meth:`phase_shift` (pulser's
+        ``phase_shift_index``): targets are positions in the register's
+        qubit-id order."""
+        self.phase_shift(
+            phi, *self._ids_from_indices(targets), basis=basis
+        )
+
+    def target_index(
+        self, qubits: int | Iterable[int], channel: str
+    ) -> None:
+        """Index-based variant of :meth:`target` (pulser's
+        ``target_index``)."""
+        if isinstance(qubits, int):
+            qubits = [qubits]
+        self.target(self._ids_from_indices(qubits), channel)
+
+    def _ids_from_indices(self, indices: Iterable[int]) -> tuple:
+        ids = tuple(self._register.qubit_ids)
+        out = []
+        for i in indices:
+            if not isinstance(i, (int, np.integer)):
+                raise TypeError(
+                    f"Indices must be ints, got {type(i).__name__}."
+                )
+            if not (0 <= int(i) < len(ids)):
+                raise ValueError(
+                    f"Index {i} out of range for {len(ids)} qubits."
+                )
+            out.append(ids[int(i)])
+        return tuple(out)
+
+    def align(self, *channels: str) -> None:
+        """Insert delays so the named channels' schedules all reach the
+        latest end among them (pulser's ``align``)."""
+        if len(channels) < 2:
+            raise ValueError("align requires at least two channels.")
+        for ch in channels:
+            self._check_channel(ch)
+        if self.is_parametrized():
+            self._to_build_calls.append(_Call("align", tuple(channels), {}))
+            return
+        t = max(self.get_duration(ch) for ch in channels)
+        for ch in channels:
+            gap = t - self.get_duration(ch)
+            if gap > 0:
+                self.delay(gap, ch)
+
+    def is_measured(self) -> bool:
+        return self._measurement is not None
+
+    def get_measurement_basis(self) -> str:
+        """The measurement basis (pulser parity: raises when the sequence
+        has not been measured)."""
+        if self._measurement is None:
+            raise RuntimeError("The sequence has not been measured.")
+        return self._measurement
+
+    @property
+    def available_channels(self) -> dict[str, Channel]:
+        """Device channels that can still be declared (pulser parity):
+        virtual devices reuse channel ids freely; physical devices
+        exclude already-declared ids.  In XY mode only microwave
+        channels remain available (and vice versa once a non-XY channel
+        is declared)."""
+        declared_ids = {
+            cid
+            for c in self._calls + self._to_build_calls
+            if c.name == "declare_channel"
+            for cid in [c.args[1]]
+        }
+        out = {}
+        for cid, ch in self._device.channel_objects.items():
+            if not self._device.is_virtual and cid in declared_ids:
+                continue
+            if self._channels:
+                if self._in_xy and ch.basis != "XY":
+                    continue
+                if not self._in_xy and ch.basis == "XY":
+                    continue
+            out[cid] = ch
+        return out
+
+    def switch_device(
+        self, new_device: Device, strict: bool = False
+    ) -> "Sequence":
+        """Re-run this sequence's build recipe against ``new_device``
+        (pulser's ``switch_device``): the register is re-validated, each
+        declared channel id must exist on the new device with the same
+        addressing and basis (``strict`` additionally requires equal
+        modulation bandwidth and retarget timings), and every recorded
+        call is replayed so the new device's constraints re-validate all
+        pulses."""
+        decls = [
+            c for c in self._calls + self._to_build_calls
+            if c.name == "declare_channel"
+        ]
+        new_chs = new_device.channel_objects
+        for c in decls:
+            cid = c.args[1]
+            if cid not in new_chs:
+                raise ValueError(
+                    f"Device '{new_device.name}' has no channel '{cid}'."
+                )
+            old, new = self._device.channel_objects[cid], new_chs[cid]
+            if (old.addressing, old.basis) != (new.addressing, new.basis):
+                raise ValueError(
+                    f"Channel '{cid}' differs in addressing/basis on "
+                    f"'{new_device.name}'."
+                )
+            if strict and (
+                old.mod_bandwidth != new.mod_bandwidth
+                or old.min_retarget_interval != new.min_retarget_interval
+                or old.fixed_retarget_t != new.fixed_retarget_t
+            ):
+                raise ValueError(
+                    f"Channel '{cid}' differs in modulation/retarget "
+                    f"timings on '{new_device.name}' (strict switch)."
+                )
+        new_seq = Sequence(self._register, new_device)
+        new_seq._magnetic_field = self._magnetic_field.copy()
+        new_seq._in_xy = self._in_xy
+        for call in self._calls:
+            getattr(new_seq, call.name)(*call.args, **call.kwargs)
+        new_seq._variables = dict(self._variables)
+        new_seq._to_build_calls = list(self._to_build_calls)
+        return new_seq
+
+    def draw(
+        self,
+        draw_phase_area: bool = False,
+        draw_phase_shifts: bool = False,
+        draw_phase_curve: bool = False,
+        fig_name: Optional[str] = None,
+        kwargs_savefig: dict = {},
+    ) -> None:
+        """Plot the sequence's sampled channel streams (pulser's
+        ``Sequence.draw``; shares the renderer with TpuEmulator.draw)."""
+        from pulser_diff_tpu.core.drawing import draw_channel_samples
+        from pulser_diff_tpu.core.sampler import sample
+
+        if self.is_parametrized():
+            raise ValueError(
+                "Cannot draw a parametrized sequence: call build() first."
+            )
+        draw_channel_samples(
+            sample(self).channel_samples,
+            draw_phase_area=draw_phase_area,
+            draw_phase_shifts=draw_phase_shifts,
+            draw_phase_curve=draw_phase_curve,
+            fig_name=fig_name,
+            kwargs_savefig=kwargs_savefig,
+        )
+
     def target(self, qubits: QubitId | Iterable[QubitId], channel: str) -> None:
         ch = self._check_channel(channel)
         if ch.is_global:

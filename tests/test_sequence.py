@@ -245,6 +245,110 @@ def test_phase_shift_parametrized_and_barrier():
     assert slot.ti == 40 and slot.phase_ref == pytest.approx(0.4)
 
 
+def test_sequence_api_surface():
+    """pulser API parity: target_index / phase_shift_index / align /
+    available_channels / is_measured / get_measurement_basis."""
+    r = Register.linear(3, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.declare_channel("l", "rydberg_local", initial_target="q0")
+    # index-based targeting
+    seq.target_index(2, "l")
+    assert seq._last_target["l"] == frozenset({"q2"})
+    with pytest.raises(ValueError, match="out of range"):
+        seq.target_index(7, "l")
+    with pytest.raises(TypeError, match="Indices"):
+        seq.target_index("q0", "l")
+    # index-based phase shift
+    seq.phase_shift_index(0.3, 0, 1, basis="ground-rydberg")
+    assert seq.current_phase_ref("q0", "ground-rydberg") == pytest.approx(0.3)
+    assert seq.current_phase_ref("q2", "ground-rydberg") == 0.0
+    # align pads the shorter channel with a delay
+    seq.add(Pulse.ConstantPulse(100, 1.0, 0.0, 0.0), "l")
+    seq.align("g", "l")
+    assert seq.get_duration("g") == seq.get_duration("l")
+    with pytest.raises(ValueError, match="at least two"):
+        seq.align("g")
+    # available_channels: Mock (virtual) keeps everything non-XY here
+    avail = seq.available_channels
+    assert "rydberg_global" in avail and "microwave_global" not in avail
+    # measurement accessors
+    assert not seq.is_measured()
+    with pytest.raises(RuntimeError, match="not been measured"):
+        seq.get_measurement_basis()
+    seq.measure("ground-rydberg")
+    assert seq.is_measured()
+    assert seq.get_measurement_basis() == "ground-rydberg"
+
+
+def test_switch_device():
+    """switch_device replays the build recipe on the new device,
+    re-validating constraints; strict mode compares channel timings."""
+    from pulser_diff_tpu.core import sample
+    from pulser_diff_tpu.core.channels import Channel
+    from pulser_diff_tpu.core.devices import Device
+
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    seq.declare_channel("g", "rydberg_global")
+    seq.add(Pulse.ConstantPulse(100, 2.0, -1.0, 0.2), "g")
+    seq.phase_shift(0.4, "q0", "q1", basis="ground-rydberg")
+    seq.add(Pulse.ConstantPulse(60, 1.0, 0.0, 0.0), "g")
+
+    dev2 = Device(
+        name="Dev2",
+        is_virtual=True,
+        channels=(
+            Channel(
+                name="rydberg_global",
+                addressing="Global",
+                basis="ground-rydberg",
+                max_amp=10.0,
+            ),
+        ),
+    )
+    seq2 = seq.switch_device(dev2)
+    assert seq2.device.name == "Dev2"
+    a = sample(seq).channel_samples["g"]
+    b = sample(seq2).channel_samples["g"]
+    np.testing.assert_array_equal(np.asarray(a.phase), np.asarray(b.phase))
+    # constraint violation on the new device is re-checked
+    tight = Device(
+        name="Tight",
+        is_virtual=True,
+        channels=(
+            Channel(
+                name="rydberg_global",
+                addressing="Global",
+                basis="ground-rydberg",
+                max_amp=1.5,
+            ),
+        ),
+    )
+    with pytest.raises(ValueError):
+        seq.switch_device(tight)
+    # strict: differing modulation bandwidth rejected
+    moddev = Device(
+        name="Mod",
+        is_virtual=True,
+        channels=(
+            Channel(
+                name="rydberg_global",
+                addressing="Global",
+                basis="ground-rydberg",
+                mod_bandwidth=4.0,
+            ),
+        ),
+    )
+    with pytest.raises(ValueError, match="strict"):
+        seq.switch_device(moddev, strict=True)
+    assert seq.switch_device(moddev).device.name == "Mod"
+    # missing channel id
+    nochan = Device(name="NoChan", is_virtual=True, channels=())
+    with pytest.raises(ValueError, match="no channel"):
+        seq.switch_device(nochan)
+
+
 def test_output_modulation():
     """with_modulation applies pulser's exact channel transfer function:
     normalized Blackman window of width 2*rise_time, zero-padded for
