@@ -117,12 +117,130 @@ class Register:
         arr = arr - arr.mean(axis=0)
         return cls.from_coordinates(arr, prefix=prefix)
 
+    @classmethod
+    def hexagon(
+        cls, layers: int, spacing: float = 4.0, prefix: str | None = None
+    ) -> "Register":
+        """Hexagonal arrangement: a central atom plus ``layers`` full
+        rings on the triangular lattice (1 + 3·L·(L+1) atoms; pulser's
+        ``Register.hexagon``)."""
+        if layers < 1:
+            raise ValueError("hexagon needs at least one layer.")
+        # triangular-lattice basis vectors
+        a = np.array([1.0, 0.0])
+        b = np.array([0.5, np.sqrt(3) / 2])
+        pts = [np.zeros(2)]
+        for i in range(-layers, layers + 1):
+            for j in range(-layers, layers + 1):
+                if i == 0 and j == 0:
+                    continue
+                # hex-ring index on the triangular lattice
+                ring = max(abs(i), abs(j), abs(i + j))
+                if ring <= layers:
+                    pts.append(i * a + j * b)
+        arr = np.asarray(pts) * spacing
+        arr = arr - arr.mean(axis=0)
+        return cls.from_coordinates(arr, prefix=prefix)
+
+    @classmethod
+    def max_connectivity(
+        cls,
+        n_qubits: int,
+        device,
+        spacing: float | None = None,
+        prefix: str | None = None,
+    ) -> "Register":
+        """The first ``n_qubits`` sites of a triangular lattice at the
+        device's minimal atom distance (pulser's ``max_connectivity``),
+        spiralling out from the center for maximal pairwise coupling."""
+        if n_qubits < 1:
+            raise ValueError("Need at least one qubit.")
+        if spacing is None:
+            spacing = float(device.min_atom_distance)
+            if spacing <= 0:
+                raise ValueError(
+                    f"Device '{device.name}' has no minimal atom distance; "
+                    "pass an explicit spacing."
+                )
+        elif spacing < float(device.min_atom_distance):
+            raise ValueError(
+                f"spacing {spacing} below the device minimum "
+                f"{device.min_atom_distance}."
+            )
+        a = np.array([1.0, 0.0])
+        b = np.array([0.5, np.sqrt(3) / 2])
+        pts = [np.zeros(2)]
+        ring = 1
+        while len(pts) < n_qubits:
+            shell = []
+            for i in range(-ring, ring + 1):
+                for j in range(-ring, ring + 1):
+                    if max(abs(i), abs(j), abs(i + j)) == ring:
+                        shell.append(i * a + j * b)
+            shell.sort(key=lambda p: np.arctan2(p[1], p[0]))
+            pts.extend(shell)
+            ring += 1
+        arr = np.asarray(pts[:n_qubits]) * spacing
+        arr = arr - arr.mean(axis=0)
+        return cls.from_coordinates(arr, prefix=prefix)
+
+    def rotated(self, degrees: float) -> "Register":
+        """New register with all coordinates rotated counterclockwise
+        around the origin (pulser's ``Register.rotated``; 2D only)."""
+        if self._dim != 2:
+            raise ValueError("rotated() only applies to 2D registers.")
+        th = np.deg2rad(degrees)
+        rot = jnp.asarray(
+            [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]],
+            default_dtype(),
+        )
+        return Register(
+            {qid: rot @ c for qid, c in self._coords.items()}
+        )
+
     def with_coords(self, coords: Mapping[QubitId, Any]) -> "Register":
         """New register with (a subset of) coordinates replaced."""
         new = dict(self._coords)
         for k, v in coords.items():
             new[k] = jnp.asarray(v, default_dtype())
         return Register(new)
+
+    def draw(
+        self,
+        blockade_radius: float | None = None,
+        draw_half_radius: bool = False,
+        fig_name: str | None = None,
+        kwargs_savefig: dict = {},
+    ) -> None:
+        """Scatter-plot the register with qubit-id labels (pulser's
+        ``Register.draw``); optionally circle each atom at half the
+        blockade radius so overlapping circles mark blockaded pairs."""
+        import matplotlib.pyplot as plt
+
+        coords = np.asarray(jax.device_get(self.coords_array))
+        if self._dim != 2:
+            raise NotImplementedError("draw() only supports 2D registers.")
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.scatter(coords[:, 0], coords[:, 1], s=60, color="darkgreen")
+        for qid, c in zip(self.qubit_ids, coords):
+            ax.annotate(
+                str(qid), c, textcoords="offset points", xytext=(6, 6),
+                fontsize=9,
+            )
+        if blockade_radius is not None and draw_half_radius:
+            for c in coords:
+                ax.add_patch(
+                    plt.Circle(
+                        tuple(c), blockade_radius / 2, fill=True,
+                        alpha=0.1, color="darkgreen",
+                    )
+                )
+        ax.set_xlabel("x (µm)")
+        ax.set_ylabel("y (µm)")
+        ax.set_aspect("equal")
+        if fig_name is not None:
+            plt.savefig(fig_name, **kwargs_savefig)
+        plt.show()
 
     def __repr__(self) -> str:
         return f"Register({self._coords})"

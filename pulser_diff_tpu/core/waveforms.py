@@ -131,6 +131,38 @@ class Waveform:
             f"{type(self).__name__} cannot be stretched/contracted."
         )
 
+    def modulated_samples(self, channel) -> jax.Array:
+        """Samples after the channel's modulation-bandwidth transfer
+        function, extended by the rise/fall tail (pulser's
+        ``Waveform.modulated_samples``)."""
+        return channel.modulate(self.samples)
+
+    def draw(
+        self,
+        output_channel=None,
+        fig_name: str | None = None,
+        kwargs_savefig: dict = {},
+    ) -> None:
+        """Plot the waveform (pulser's ``Waveform.draw``); with an
+        ``output_channel``, overlay the modulated output."""
+        import matplotlib.pyplot as plt
+
+        s = np.asarray(jax.device_get(self.samples))
+        fig, ax = plt.subplots(figsize=(8, 3))
+        ax.plot(np.arange(s.shape[0]), s, color="darkgreen", label="input")
+        if output_channel is not None:
+            m = np.asarray(jax.device_get(self.modulated_samples(output_channel)))
+            ax.plot(
+                np.arange(m.shape[0]), m, color="crimson", linestyle="--",
+                label="modulated output",
+            )
+            ax.legend()
+        ax.set_xlabel("t (ns)")
+        ax.set_ylabel("value (rad/µs)")
+        if fig_name is not None:
+            plt.savefig(fig_name, **kwargs_savefig)
+        plt.show()
+
     def __eq__(self, other: object) -> bool:  # pragma: no cover - debug aid
         if not isinstance(other, Waveform):
             return NotImplemented

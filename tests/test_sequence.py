@@ -281,6 +281,64 @@ def test_sequence_api_surface():
     assert seq.get_measurement_basis() == "ground-rydberg"
 
 
+def test_register_constructors_extended():
+    """hexagon / max_connectivity / rotated / draw (pulser parity)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    hx = Register.hexagon(2, spacing=5.0)
+    assert len(hx) == 1 + 3 * 2 * 3  # 1 + 3 L (L+1)
+    c = np.asarray(hx.coords_array)
+    d = np.linalg.norm(c[None] - c[:, None], axis=-1)
+    nn = np.where(d > 0, d, np.inf).min()
+    assert nn == pytest.approx(5.0)
+
+    mc = Register.max_connectivity(7, AnalogDevice)
+    assert len(mc) == 7
+    c = np.asarray(mc.coords_array)
+    d = np.linalg.norm(c[None] - c[:, None], axis=-1)
+    nn = np.where(d > 0, d, np.inf).min()
+    assert nn == pytest.approx(AnalogDevice.min_atom_distance)
+    with pytest.raises(ValueError, match="below the device minimum"):
+        Register.max_connectivity(4, AnalogDevice, spacing=0.1)
+
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    r90 = r.rotated(90.0)
+    a, b = (np.asarray(v) for v in r.qubits.values())
+    a2, b2 = (np.asarray(v) for v in r90.qubits.values())
+    np.testing.assert_allclose(a2, [-a[1], a[0]], atol=1e-12)
+    np.testing.assert_allclose(b2, [-b[1], b[0]], atol=1e-12)
+
+    r.draw(blockade_radius=8.0, draw_half_radius=True,
+           fig_name="/tmp/_reg_draw_test.png")
+    import os
+
+    assert os.path.getsize("/tmp/_reg_draw_test.png") > 0
+
+
+def test_waveform_draw_and_modulated_samples():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pulser_diff_tpu.core.channels import Channel
+
+    ch = Channel(
+        name="rydberg_global", addressing="Global",
+        basis="ground-rydberg", mod_bandwidth=8.0,
+    )
+    wf = BlackmanWaveform(200, np.pi)
+    m = np.asarray(wf.modulated_samples(ch))
+    assert m.shape[0] > wf.duration  # extended by the rise/fall tail
+    np.testing.assert_allclose(
+        m, np.asarray(ch.modulate(wf.samples)), atol=0
+    )
+    wf.draw(output_channel=ch, fig_name="/tmp/_wf_draw_test.png")
+    import os
+
+    assert os.path.getsize("/tmp/_wf_draw_test.png") > 0
+
+
 def test_switch_device():
     """switch_device replays the build recipe on the new device,
     re-validating constraints; strict mode compares channel timings."""
