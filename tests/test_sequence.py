@@ -317,6 +317,48 @@ def test_register_constructors_extended():
     assert os.path.getsize("/tmp/_reg_draw_test.png") > 0
 
 
+def test_pulse_arbitrary_phase_and_draw():
+    """ArbitraryPhase: detuning = -dφ/dt (rad/µs), carrier phase φ(0).
+    A linear phase ramp is exactly a constant detuning."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pulser_diff_tpu.core.waveforms import RampWaveform
+
+    k = 0.002  # rad/ns over 200 ns
+    phase_wf = RampWaveform(200, 0.3, 0.3 + k * 199)
+    amp = BlackmanWaveform(200, np.pi)
+    p = Pulse.ArbitraryPhase(amp, phase_wf)
+    det = np.asarray(p.detuning.samples)
+    np.testing.assert_allclose(det, -k * 1e3 * np.ones(200) * (199 / 199),
+                               rtol=1e-9)
+    assert float(np.asarray(p.phase)) == pytest.approx(0.3)
+    # equivalent explicit pulse solves identically
+    r = Register.linear(1, spacing=6.0, prefix="q")
+    from pulser_diff_tpu import TpuEmulator
+
+    def final_state(pulse):
+        seq = Sequence(r, MockDevice)
+        seq.declare_channel("g", "rydberg_global")
+        seq.add(pulse, "g")
+        sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+        return sim.run(fused=False).states.to_numpy()[-1]
+
+    sa = final_state(p)
+    sb = final_state(
+        Pulse(amp, ConstantWaveform(200, -k * 1e3), 0.3)
+    )
+    assert np.abs(sa - sb).max() < 1e-9
+    with pytest.raises(NotImplementedError, match="parametrized"):
+        seq = Sequence(r, MockDevice)
+        v = seq.declare_variable("v")
+        Pulse.ArbitraryPhase(amp, RampWaveform(200, 0.0, v))
+    p.draw(fig_name="/tmp/_pulse_draw_test.png")
+    import os
+
+    assert os.path.getsize("/tmp/_pulse_draw_test.png") > 0
+
+
 def test_waveform_draw_and_modulated_samples():
     import matplotlib
 
