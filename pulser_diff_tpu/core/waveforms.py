@@ -252,12 +252,16 @@ class BlackmanWaveform(Waveform):
 
     @classmethod
     def from_max_val(cls, max_val: float, area: Any) -> "BlackmanWaveform":
-        # Mirror pulser's constructor: choose duration so the peak ~ max_val
+        """Shortest Blackman waveform of the given area whose peak stays
+        at or below ``max_val`` (pulser parity; exact search)."""
         area_f = float(np.asarray(jax.device_get(_as_array(area))))
         if area_f * max_val < 0:
             raise ValueError("area and max_val must have matching signs")
-        duration = int(np.ceil(2 * np.pi * abs(area_f) / abs(max_val) / 0.42 * 1e3 / (2 * np.pi)))
-        duration = max(duration, 16)
+        duration = _shortest_duration_for_peak(
+            lambda d: np.clip(np.asarray(_blackman_window(d)), 0.0, None),
+            area_f,
+            max_val,
+        )
         return cls(duration, area)
 
     def _samples(self) -> jax.Array:
@@ -277,6 +281,38 @@ class BlackmanWaveform(Waveform):
 
     def __repr__(self) -> str:
         return f"BlackmanWaveform({self._duration}, {self.area})"
+
+
+def _shortest_duration_for_peak(
+    window_np, area_f: float, max_val: float
+) -> int:
+    """Smallest duration whose area-normalized window peak
+    ``max(w) * |area| / (sum(w) * 1e-3)`` stays at or below
+    ``|max_val|`` — peak scales ~1/duration, so bracket by doubling and
+    bisect."""
+
+    def peak(duration: int) -> float:
+        w = window_np(duration)
+        s = float(w.sum())
+        if s <= 0.0:
+            return float("inf")  # degenerate (e.g. 1-sample) window
+        return float(w.max()) * abs(area_f) / (s * 1e-3)
+
+    hi = 1
+    while peak(hi) > abs(max_val):
+        hi *= 2
+        if hi > 10_000_000:
+            raise ValueError(
+                "area/max_val combination needs an unreasonable duration."
+            )
+    lo = hi // 2  # peak(lo) > bound (or lo == 0)
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if mid == 0 or peak(mid) > abs(max_val):
+            lo = mid
+        else:
+            hi = mid
+    return hi
 
 
 def _kaiser_window(n: int, beta: float) -> jax.Array:
@@ -319,6 +355,22 @@ class KaiserWaveform(Waveform):
         return native.kaiser(
             self.duration, float(self.area), float(self.beta)
         )
+
+    @classmethod
+    def from_max_val(
+        cls, max_val: float, area: Any, beta: float = 14.6
+    ) -> "KaiserWaveform":
+        """Shortest Kaiser waveform of the given area whose peak value
+        does not exceed ``max_val`` (pulser's
+        ``KaiserWaveform.from_max_val``; sign of ``max_val`` bounds the
+        signed area)."""
+        area_f = float(np.asarray(jax.device_get(area)))
+        if max_val * area_f < 0:
+            raise ValueError("max_val and area must have matching signs.")
+        duration = _shortest_duration_for_peak(
+            lambda d: np.asarray(_kaiser_window(d, beta)), area_f, max_val
+        )
+        return cls(duration, area, beta)
 
     def change_duration(self, new_duration: int) -> "KaiserWaveform":
         return KaiserWaveform(new_duration, self.area, self.beta)

@@ -108,3 +108,20 @@ def test_tanh_envelope_mean():
     assert abs(inner.mean() - value) < ATOL_ENV
     assert abs(float(samples[0])) < 0.1 * value
     assert abs(float(samples[-1])) < 0.1 * value
+
+
+def test_from_max_val():
+    """Blackman/Kaiser from_max_val: shortest duration whose peak stays
+    at or under max_val, preserving the requested area."""
+    from pulser_diff_tpu.core.waveforms import KaiserWaveform
+
+    for cls in (BlackmanWaveform, KaiserWaveform):
+        wf = cls.from_max_val(2.0, np.pi)
+        s = np.asarray(wf.samples)
+        assert s.max() <= 2.0 + 1e-9
+        assert float(wf.integral) == pytest.approx(np.pi, abs=1e-9)
+        # shortest: one sample shorter must exceed the bound
+        shorter = cls(wf.duration - 1, np.pi)
+        assert np.asarray(shorter.samples).max() > 2.0
+    with pytest.raises(ValueError, match="matching signs"):
+        KaiserWaveform.from_max_val(-1.0, np.pi)
