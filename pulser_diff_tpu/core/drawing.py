@@ -28,6 +28,8 @@ def draw_channel_samples(
     """
     import matplotlib.pyplot as plt
 
+    if not channel_samples:
+        raise ValueError("Nothing to draw: no declared channels with samples.")
     n = len(channel_samples)
     fig, axes = plt.subplots(2 * n, 1, sharex=True, figsize=(10, 3 * n))
     if n == 1:

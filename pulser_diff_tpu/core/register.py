@@ -117,6 +117,22 @@ class Register:
         arr = arr - arr.mean(axis=0)
         return cls.from_coordinates(arr, prefix=prefix)
 
+    @staticmethod
+    def _hex_ring(ring: int) -> list:
+        """The 6·ring triangular-lattice points at hex distance ``ring``
+        from the origin (axial coords (i, j), basis a=(1,0),
+        b=(1/2, √3/2); ring = max(|i|, |j|, |i+j|)), sorted by angle."""
+        a = np.array([1.0, 0.0])
+        b = np.array([0.5, np.sqrt(3) / 2])
+        pts = [
+            i * a + j * b
+            for i in range(-ring, ring + 1)
+            for j in range(-ring, ring + 1)
+            if max(abs(i), abs(j), abs(i + j)) == ring
+        ]
+        pts.sort(key=lambda p: np.arctan2(p[1], p[0]))
+        return pts
+
     @classmethod
     def hexagon(
         cls, layers: int, spacing: float = 4.0, prefix: str | None = None
@@ -126,18 +142,9 @@ class Register:
         ``Register.hexagon``)."""
         if layers < 1:
             raise ValueError("hexagon needs at least one layer.")
-        # triangular-lattice basis vectors
-        a = np.array([1.0, 0.0])
-        b = np.array([0.5, np.sqrt(3) / 2])
         pts = [np.zeros(2)]
-        for i in range(-layers, layers + 1):
-            for j in range(-layers, layers + 1):
-                if i == 0 and j == 0:
-                    continue
-                # hex-ring index on the triangular lattice
-                ring = max(abs(i), abs(j), abs(i + j))
-                if ring <= layers:
-                    pts.append(i * a + j * b)
+        for ring in range(1, layers + 1):
+            pts.extend(cls._hex_ring(ring))
         arr = np.asarray(pts) * spacing
         arr = arr - arr.mean(axis=0)
         return cls.from_coordinates(arr, prefix=prefix)
@@ -167,18 +174,10 @@ class Register:
                 f"spacing {spacing} below the device minimum "
                 f"{device.min_atom_distance}."
             )
-        a = np.array([1.0, 0.0])
-        b = np.array([0.5, np.sqrt(3) / 2])
         pts = [np.zeros(2)]
         ring = 1
         while len(pts) < n_qubits:
-            shell = []
-            for i in range(-ring, ring + 1):
-                for j in range(-ring, ring + 1):
-                    if max(abs(i), abs(j), abs(i + j)) == ring:
-                        shell.append(i * a + j * b)
-            shell.sort(key=lambda p: np.arctan2(p[1], p[0]))
-            pts.extend(shell)
+            pts.extend(cls._hex_ring(ring))
             ring += 1
         arr = np.asarray(pts[:n_qubits]) * spacing
         arr = arr - arr.mean(axis=0)

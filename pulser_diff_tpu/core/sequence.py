@@ -303,6 +303,10 @@ class Sequence:
                     self._phase_ref.get((basis, q), 0.0)
                     + pulse.post_phase_shift
                 )
+                # the post-shift happens AT the pulse's end: it must
+                # barrier later pulses on these targets (pulser records
+                # it at the qubit's last_used time, i.e. tf)
+                self._phase_last_t[(basis, q)] = tf
 
     def _last_target_at_end(self, channel: str) -> frozenset:
         return self._last_target[channel]
@@ -565,20 +569,19 @@ class Sequence:
         channels remain available (and vice versa once a non-XY channel
         is declared)."""
         declared_ids = {
-            cid
-            for c in self._calls + self._to_build_calls
-            if c.name == "declare_channel"
-            for cid in [c.args[1]]
+            c.args[1] for c in self._calls if c.name == "declare_channel"
         }
         out = {}
         for cid, ch in self._device.channel_objects.items():
             if not self._device.is_virtual and cid in declared_ids:
                 continue
-            if self._channels:
-                if self._in_xy and ch.basis != "XY":
+            if self._in_xy:
+                # XY mode (declared microwave channel OR
+                # set_magnetic_field): only microwave channels remain
+                if ch.basis != "XY":
                     continue
-                if not self._in_xy and ch.basis == "XY":
-                    continue
+            elif self._channels and ch.basis == "XY":
+                continue
             out[cid] = ch
         return out
 
@@ -592,10 +595,7 @@ class Sequence:
         modulation bandwidth and retarget timings), and every recorded
         call is replayed so the new device's constraints re-validate all
         pulses."""
-        decls = [
-            c for c in self._calls + self._to_build_calls
-            if c.name == "declare_channel"
-        ]
+        decls = [c for c in self._calls if c.name == "declare_channel"]
         new_chs = new_device.channel_objects
         for c in decls:
             cid = c.args[1]

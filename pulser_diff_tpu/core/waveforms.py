@@ -257,10 +257,11 @@ class BlackmanWaveform(Waveform):
         area_f = float(np.asarray(jax.device_get(_as_array(area))))
         if area_f * max_val < 0:
             raise ValueError("area and max_val must have matching signs")
+        # pure-numpy window for the host-side search: avoids a device
+        # dispatch per bisection probe (tests pin _blackman_window
+        # against np.blackman)
         duration = _shortest_duration_for_peak(
-            lambda d: np.clip(np.asarray(_blackman_window(d)), 0.0, None),
-            area_f,
-            max_val,
+            lambda d: np.clip(np.blackman(d), 0.0, None), area_f, max_val
         )
         return cls(duration, area)
 
@@ -367,8 +368,10 @@ class KaiserWaveform(Waveform):
         area_f = float(np.asarray(jax.device_get(area)))
         if max_val * area_f < 0:
             raise ValueError("max_val and area must have matching signs.")
+        # pure-numpy window for the host-side search (pinned against
+        # _kaiser_window by tests) — no device dispatch per probe
         duration = _shortest_duration_for_peak(
-            lambda d: np.asarray(_kaiser_window(d, beta)), area_f, max_val
+            lambda d: np.kaiser(d, beta), area_f, max_val
         )
         return cls(duration, area, beta)
 

@@ -124,6 +124,9 @@ def schedule(program, qubit_ids):
                 last_used[(ch.basis, q)] = t0 + d
                 if pps:
                     refs[(ch.basis, q)] = refs.get((ch.basis, q), 0.0) + pps
+                    # a post-shift happens AT the pulse end: it barriers
+                    # later pulses on these targets like phase_shift does
+                    shift_t[(ch.basis, q)] = t0 + d
         elif kind == "delay":
             _, name, d = op
             ch = chans[name]

@@ -243,6 +243,36 @@ def test_phase_shift_parametrized_and_barrier():
     )
     slot = seq3._schedule["b"][-1]
     assert slot.ti == 40 and slot.phase_ref == pytest.approx(0.4)
+    # post_phase_shift also barriers: it happens AT the pulse's end, so
+    # a no-delay pulse on another channel cannot carry it earlier
+    seq4 = Sequence(r, MockDevice)
+    seq4.declare_channel("a", "raman_local", initial_target="q0")
+    seq4.declare_channel("b", "raman_local", initial_target="q0")
+    seq4.add(
+        Pulse.ConstantPulse(40, 1.0, 0.0, 0.0, post_phase_shift=0.5), "a"
+    )
+    seq4.add(
+        Pulse.ConstantPulse(30, 1.0, 0.0, 0.0), "b", protocol="no-delay"
+    )
+    slot = seq4._schedule["b"][-1]
+    assert slot.ti == 40 and slot.phase_ref == pytest.approx(0.5)
+
+
+def test_available_channels_xy_mode_and_empty_draw():
+    r = Register.linear(2, spacing=6.0, prefix="q")
+    seq = Sequence(r, MockDevice)
+    # set_magnetic_field enters XY mode with no channel declared yet:
+    # only microwave channels may be declared, and available_channels
+    # must agree
+    seq.set_magnetic_field()
+    avail = seq.available_channels
+    assert set(avail) == {"microwave_global"}
+    with pytest.raises(ValueError, match="non-microwave"):
+        seq.declare_channel("g", "rydberg_global")
+    # drawing a sequence with no declared channels gives a clear error
+    seq2 = Sequence(r, MockDevice)
+    with pytest.raises(ValueError, match="Nothing to draw"):
+        seq2.draw()
 
 
 def test_sequence_api_surface():
