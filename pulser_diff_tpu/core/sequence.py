@@ -751,6 +751,22 @@ class Sequence:
                 getattr(new, call.name)(*call.args, **call.kwargs)
         return new
 
+    def to_abstract_repr(self, name: str = "pulser_diff_tpu") -> str:
+        """Serialize this BUILT sequence to the pulser abstract-repr JSON
+        dialect (method form of ``interop.to_abstract_repr``, matching
+        pulser's ``Sequence.to_abstract_repr``)."""
+        from pulser_diff_tpu.interop import to_abstract_repr
+
+        return to_abstract_repr(self, name=name)
+
+    @staticmethod
+    def from_abstract_repr(obj: Any) -> "Sequence":
+        """Rebuild a sequence from abstract-repr JSON (str/dict), matching
+        pulser's ``Sequence.from_abstract_repr``."""
+        from pulser_diff_tpu.interop import from_abstract_repr
+
+        return from_abstract_repr(obj)
+
     def __repr__(self) -> str:
         lines = [f"Sequence({len(self._register)} qubits, device={self._device.name})"]
         for name, slots in self._schedule.items():
