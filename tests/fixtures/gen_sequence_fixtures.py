@@ -59,7 +59,10 @@ def wf_samples(spec):
         frac = np.arange(d, dtype=float) / max(d - 1, 1)
         return spec["start"] + (spec["stop"] - spec["start"]) * frac
     if kind == "blackman":
-        w = np.blackman(d)
+        # the product clips the window to >= 0 (amplitudes are physical):
+        # np.blackman endpoints are -1.4e-17, and the exact zero matters
+        # for the per-qubit assembly's `amp != 0` phase masking
+        w = np.clip(np.blackman(d), 0.0, None)
         return w * (spec["area"] * 1000.0 / w.sum())
     raise ValueError(kind)
 
