@@ -1,6 +1,7 @@
 from pulser_diff_tpu.parallel.mesh import (
     make_mesh,
     sharded_expectation_step,
+    sharded_mcwf_states,
     sharded_mesolve,
     sharded_noise_states,
     sharded_sesolve,
@@ -9,6 +10,7 @@ from pulser_diff_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "sharded_noise_states",
+    "sharded_mcwf_states",
     "sharded_expectation_step",
     "sharded_sesolve",
     "sharded_mesolve",

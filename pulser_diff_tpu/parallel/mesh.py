@@ -99,6 +99,68 @@ def sharded_noise_states(
     return fn(keys)
 
 
+def sharded_mcwf_states(
+    sim,
+    key: jax.Array,
+    n_traj: int,
+    mesh: Optional[Mesh] = None,
+    axis: str = "runs",
+    solver: str = SolverType.MCWF,
+    substeps: int = 1,
+):
+    """MCWF (quantum-jump) trajectories sharded over ``mesh[axis]`` —
+    the Lindblad counterpart of :func:`sharded_noise_states` (the
+    reference has no trajectory unraveling at all; solvers/mcwf.py).
+
+    ``n_traj`` splits into ``mesh.shape[axis]`` blocks, each solved by
+    one fold of ``key`` (results are bit-identical with and without a
+    mesh for the same key and shard count: the vmapped program is the
+    same, XLA just partitions it).
+
+    Returns ``McwfResult`` with states (n_shards, n_eval, per_shard,
+    da, db) — flatten axes (0, 2) for the full trajectory batch.
+    """
+    from pulser_diff_tpu.solvers.mcwf import mcsolve
+
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim._initial_state
+    da, db = h.dim**h._a, h.dim**h._b
+    p0 = Cplx(
+        psi0.re[:, 0].reshape(da, db), psi0.im[:, 0].reshape(da, db)
+    )
+    drift = (
+        SolverType.DP5_SE
+        if solver == SolverType.MCWF
+        else SolverType.DP5_SE_F32
+    )
+    n_shards = int(mesh.shape[axis]) if mesh is not None else 1
+    if n_traj % n_shards:
+        raise ValueError(
+            f"n_traj {n_traj} must divide the '{axis}' axis size "
+            f"{n_shards}."
+        )
+    per = n_traj // n_shards
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        jnp.arange(n_shards)
+    )
+
+    def one(k):
+        return mcsolve(
+            h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid, k,
+            per, drift, substeps,
+        )
+
+    fn = jax.vmap(one)
+    if mesh is not None:
+        key_sh = NamedSharding(mesh, P(axis))
+        out_sh = NamedSharding(mesh, P(axis))
+        fn = jax.jit(fn, in_shardings=(key_sh,), out_shardings=out_sh)
+    else:
+        fn = jax.jit(fn)
+    return fn(keys)
+
+
 def sharded_expectation_step(
     model,
     obs: Any,

@@ -296,3 +296,42 @@ def test_sharded_mesolve_matches_unsharded(two_atom_register, mesh8):
     g = jax.grad(loss)(jnp.asarray(0.3))
     assert np.isfinite(float(g))
     assert abs(float(g)) > 1e-12
+
+
+def test_sharded_mcwf_states(two_atom_register, mesh8):
+    """MCWF trajectories sharded over the runs axis: normalized, actually
+    sharded, and bit-identical to the per-shard mcsolve loop with the
+    same folded keys."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.parallel import sharded_mcwf_states
+    from pulser_diff_tpu.solvers import TimeGrid
+    from pulser_diff_tpu.solvers.mcwf import mcsolve
+
+    seq = make_simple_sequence(two_atom_register, duration=120)
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.3)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    key = jax.random.PRNGKey(5)
+    mc = sharded_mcwf_states(sim, key, n_traj=16, mesh=mesh8, axis="runs")
+    assert mc.states.re.shape[0] == 8 and mc.states.re.shape[2] == 2
+    norms = np.asarray(jax.device_get(mc.states.abs2().sum(axis=(3, 4))))
+    assert np.abs(norms - 1).max() < 1e-8
+    shard_devs = {s.device for s in mc.states.re.addressable_shards}
+    assert len(shard_devs) == 8
+
+    # per-shard reference: same folds, plain mcsolve
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim._initial_state
+    da, db = h.dim**h._a, h.dim**h._b
+    p0 = Cplx(psi0.re[:, 0].reshape(da, db), psi0.im[:, 0].reshape(da, db))
+    ref = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+        jax.random.fold_in(key, 3), n_traj=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(mc.states.re[3])),
+        np.asarray(jax.device_get(ref.states.re)),
+        atol=1e-12,
+    )
+    with pytest.raises(ValueError, match="must divide"):
+        sharded_mcwf_states(sim, key, n_traj=12, mesh=mesh8)
