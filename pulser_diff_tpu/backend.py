@@ -894,12 +894,6 @@ class TpuEmulator:
         from pulser_diff_tpu.solvers.mcwf import mcsolve
 
         h = self._hamiltonian
-        if _f(cfg_nm.state_prep_error) > 0:
-            raise NotImplementedError(
-                "MCWF does not support SPAM state-preparation error "
-                "(eta > 0); use the density-matrix solvers for that "
-                "combination."
-            )
         psi0 = self._initial_state  # (dim, nb)
         if psi0.shape[1] != 1:
             raise ValueError(
@@ -917,6 +911,12 @@ class TpuEmulator:
             psi0.re[:, 0].reshape(da, db), psi0.im[:, 0].reshape(da, db)
         )
         collapse = h._collapse_ops
+        eta = _f(cfg_nm.state_prep_error)
+        if eta > 0 and not self._initial_is_ground:
+            raise NotImplementedError(
+                "Can't combine state preparation errors with an initial "
+                "state different from the ground."
+            )
         if collapse.ops is not None:
             # MCWF resolves at most one jump per integration step, so the
             # per-step jump probability must stay small for the average
@@ -946,8 +946,16 @@ class TpuEmulator:
                     UserWarning,
                     stacklevel=3,
                 )
-        stochastic = ("doppler" in noise) or (
-            "amplitude" in noise and _f(cfg_nm.amp_sigma) > 0
+        # per-trajectory Hamiltonian draws: doppler detunings, amplitude
+        # fluctuations, AND SPAM state-prep errors (each trajectory draws
+        # its own bad-atom configuration — the trajectory unraveling of
+        # the reference's per-run eta Counter, ref backend.py:550-561;
+        # badly-prepared atoms are removed from the dynamics and detected
+        # in the ground state)
+        stochastic = (
+            ("doppler" in noise)
+            or ("amplitude" in noise and _f(cfg_nm.amp_sigma) > 0)
+            or eta > 0
         )
         eps = eps_p = 0.0
         if meas_errors is not None:

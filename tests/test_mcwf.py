@@ -262,12 +262,59 @@ def test_mcwf_fast_rate_warns(two_atom_register):
         sim.run(solver=SolverType.MCWF, substeps=40)
 
 
-def test_mcwf_eta_rejected(two_atom_register):
-    seq = make_simple_sequence(two_atom_register, duration=100)
+def test_mcwf_with_spam_eta(two_atom_register):
+    """MCWF composes with SPAM state-prep error: each trajectory draws
+    its own bad-atom configuration (the trajectory unraveling of the
+    reference's per-run eta Counter); populations track the stochastic
+    DP5 path's within sampling tolerance.  Non-ground initial states
+    stay rejected."""
+    seq = make_simple_sequence(two_atom_register, duration=150)
     cfg = SimConfig(
-        noise=("dephasing", "SPAM"), dephasing_rate=0.1, eta=0.2,
-        epsilon=0.0, epsilon_prime=0.0, runs=4, samples_per_run=4,
+        noise=("dephasing", "SPAM"), dephasing_rate=0.05, eta=0.4,
+        epsilon=0.0, epsilon_prime=0.0, runs=300, samples_per_run=5,
     )
     sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
-    with pytest.raises(NotImplementedError):
+    res_mc = sim.run(solver=SolverType.MCWF)
+    assert isinstance(res_mc, NoisyResults)
+    mc_diag = np.diagonal(
+        np.asarray(jax.device_get(res_mc.states.re)), axis1=-2, axis2=-1
+    )
+    # reference behavior: the stochastic (eta Counter) path on the same
+    # config — MCWF's only extra effect at this tiny dephasing rate is
+    # trajectory/jump noise
+    res_st = sim.run(solver=SolverType.DP5_SE)
+    st_diag = np.diagonal(
+        np.asarray(jax.device_get(res_st.states.re)), axis1=-2, axis2=-1
+    )
+    tol = 5.0 / np.sqrt(300)
+    assert np.abs(mc_diag - st_diag).max() < tol
+
+    # bad atoms actually occur: a strongly-driven single atom (near-pi
+    # pulse) ends excited UNLESS badly prepared, so P(r) ~ (1 - eta)
+    reg1 = Register({"q0": jnp.array([0.0, 0.0])})
+    seq1 = Sequence(reg1, MockDevice)
+    seq1.declare_channel("ryd", "rydberg_global")
+    from pulser_diff_tpu.core import BlackmanWaveform, ConstantWaveform
+
+    seq1.add(
+        Pulse(
+            BlackmanWaveform(300, np.pi), ConstantWaveform(300, 0.0), 0.0
+        ),
+        "ryd",
+    )
+    eta = 0.4
+    R = 600
+    cfg1 = SimConfig(
+        noise="SPAM", eta=eta, epsilon=0.0, epsilon_prime=0.0,
+        runs=R, samples_per_run=5,
+    )
+    sim1 = TpuEmulator.from_sequence(
+        seq1, config=cfg1, evaluation_times="Minimal"
+    )
+    res1 = sim1.run(solver=SolverType.MCWF)
+    p_r = res1.results[-1].get("1", 0.0)
+    assert abs(p_r - (1 - eta)) < 5.0 / np.sqrt(R)
+
+    sim.set_initial_state(jnp.ones(4) / 2.0)
+    with pytest.raises(NotImplementedError, match="ground"):
         sim.run(solver=SolverType.MCWF)
