@@ -50,6 +50,15 @@ class _Call:
     kwargs: dict
 
 
+def _ref_group_key(v: Any):
+    """Grouping key for phase-reference values: plain numbers group by
+    value, traced/array values by object identity (shared-object
+    updates in phase_shift/_add_concrete keep equal refs identical)."""
+    if isinstance(v, (int, float)):
+        return ("f", float(v))
+    return ("o", id(v))
+
+
 def _same_phase_ref(refs: list) -> bool:
     """All-equal check that tolerates traced (JAX) phase values: concrete
     values compare as floats; traced values only pass when they are the
@@ -298,11 +307,15 @@ class Sequence:
             isinstance(pulse.post_phase_shift, (int, float))
             and float(pulse.post_phase_shift) == 0.0
         ):
+            updated: dict = {}
             for q in tgt:
-                self._phase_ref[(basis, q)] = (
-                    self._phase_ref.get((basis, q), 0.0)
-                    + pulse.post_phase_shift
-                )
+                cur = self._phase_ref.get((basis, q), 0.0)
+                gk = _ref_group_key(cur)
+                if gk not in updated:
+                    # once per distinct prior ref, so equal (possibly
+                    # traced) refs stay the SAME object (see phase_shift)
+                    updated[gk] = cur + pulse.post_phase_shift
+                self._phase_ref[(basis, q)] = updated[gk]
                 # the post-shift happens AT the pulse's end: it must
                 # barrier later pulses on these targets (pulser records
                 # it at the qubit's last_used time, i.e. tf)
@@ -482,9 +495,18 @@ class Sequence:
                 _Call("phase_shift", (phi,) + tuple(targets), {"basis": basis})
             )
             return
+        # compute the updated ref ONCE per distinct prior ref: with a
+        # traced phi, per-qubit `ref + phi` would create distinct tracer
+        # objects that the mixed-reference check (object identity for
+        # traced values) could no longer recognize as equal
+        updated: dict = {}
         for q in tgt:
             key = (basis, q)
-            self._phase_ref[key] = self._phase_ref.get(key, 0.0) + phi
+            cur = self._phase_ref.get(key, 0.0)
+            gk = _ref_group_key(cur)
+            if gk not in updated:
+                updated[gk] = cur + phi
+            self._phase_ref[key] = updated[gk]
             self._phase_last_t[key] = self._last_used.get(key, 0)
         self._calls.append(
             _Call("phase_shift", (phi,) + tuple(targets), {"basis": basis})

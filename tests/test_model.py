@@ -357,3 +357,30 @@ def test_fit_population_improves(reg2):
     # the loaded params reproduce the best candidate's loss
     _, v = model.expectation_fn()(model.params)
     assert (float(v[-1]) - target) ** 2 <= losses[-1].min() + 1e-9
+
+
+def test_trainable_phase_shift_gradient(reg2):
+    """A phase_shift with a variable phi flows through build -> sampler
+    -> solve differentiably; d<O>/dphi matches central finite
+    differences (reference-style FD oracle, eps 1e-4)."""
+    seq = Sequence(reg2, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    phi = seq.declare_variable("phi")
+    seq.add(Pulse.ConstantPulse(160, 1.5, -0.5, 0.0), "ryd")
+    seq.phase_shift(phi, *reg2.qubit_ids, basis="ground-rydberg")
+    seq.add(Pulse.ConstantPulse(160, 1.5, -0.5, 0.0), "ryd")
+    model = QuantumModel(seq, {"phi": jnp.asarray(0.7)})
+    fn = model.expectation_fn()
+
+    def loss(p):
+        _, v = fn(p)
+        return v[-1]
+
+    g = jax.grad(lambda p: loss(p))({"phi": jnp.asarray(0.7)})["phi"]
+    eps = 1e-4
+    fd = (
+        float(loss({"phi": jnp.asarray(0.7 + eps)}))
+        - float(loss({"phi": jnp.asarray(0.7 - eps)}))
+    ) / (2 * eps)
+    assert abs(float(g) - fd) < 1e-6
+    assert abs(float(g)) > 1e-4  # the phase actually matters
