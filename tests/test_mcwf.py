@@ -262,6 +262,32 @@ def test_mcwf_fast_rate_warns(two_atom_register):
         sim.run(solver=SolverType.MCWF, substeps=40)
 
 
+def test_mcwf_xy_mode(two_atom_register):
+    """MCWF in the XY (microwave) interaction mode: trajectory average
+    matches mesolve on the same dephasing channel."""
+    reg = two_atom_register
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("mw", "microwave_global")
+    seq.add(Pulse.ConstantPulse(160, 1.8, 0.4, 0.2), "mw")
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.3)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times="Minimal")
+    ref_states = sim.run().states
+    ref = np.asarray(jax.device_get(ref_states.re)) + 1j * np.asarray(
+        jax.device_get(ref_states.im)
+    )
+    h, grid, p0 = _mc_inputs(sim)
+    assert h.basis_name == "XY"
+    R = 500
+    mc = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+        jax.random.PRNGKey(9), n_traj=R,
+    )
+    psi = _psi_np(mc.states)
+    rho_avg = np.einsum("trk,trl->tkl", psi, psi.conj()) / R
+    assert np.abs(rho_avg - ref).max() < 4.0 / np.sqrt(R)
+    assert int(np.asarray(mc.n_jumps).sum()) > 0
+
+
 def test_mcwf_with_spam_eta(two_atom_register):
     """MCWF composes with SPAM state-prep error: each trajectory draws
     its own bad-atom configuration (the trajectory unraveling of the
