@@ -95,6 +95,10 @@ class Sequence:
         self._eom_state: dict[str, tuple] = {}
         # closed/open EOM intervals per channel: [ti, tf | None]
         self._eom_blocks: dict[str, list[list]] = {}
+        # EOM phase-drift reference per channel: last time the drive
+        # left a pulse while in EOM mode (add_eom_pulse's
+        # correct_phase_drift measures the det_off drift from here)
+        self._eom_drift_ref: dict[str, int] = {}
         # per-(basis, qubit) phase bookkeeping (pulser's _basis_ref):
         # accumulated reference, last shift time (phase barrier), last
         # time the qubit was driven on that basis
@@ -228,6 +232,7 @@ class Sequence:
         channel: str,
         protocol: str = "min-delay",
         _eom: bool = False,
+        _drift_rate: Optional[float] = None,
     ) -> None:
         ch = self._check_channel(channel)
         if protocol not in ("min-delay", "no-delay", "wait-for-all"):
@@ -245,10 +250,19 @@ class Sequence:
         if pulse.is_parametrized or self.is_parametrized():
             self._to_build_calls.append(_Call("add", (pulse, channel), kwargs))
             return
-        self._add_concrete(pulse, channel, protocol)
+        # _add_concrete returns the pulse as scheduled (the EOM phase-
+        # drift correction depends on the scheduled start time); record
+        # THAT one so serialization round-trips the effective phase
+        pulse = self._add_concrete(pulse, channel, protocol, _drift_rate)
         self._calls.append(_Call("add", (pulse, channel), kwargs))
 
-    def _add_concrete(self, pulse: Pulse, channel: str, protocol: str) -> None:
+    def _add_concrete(
+        self,
+        pulse: Pulse,
+        channel: str,
+        protocol: str,
+        drift_rate: Optional[float] = None,
+    ) -> Pulse:
         import jax
 
         ch = self._channels[channel]
@@ -289,6 +303,18 @@ class Sequence:
         for q in tgt:
             t0 = max(t0, self._phase_last_t.get((basis, q), 0))
         ti, tf = t0, t0 + duration
+        if drift_rate is not None:
+            # EOM correct_phase_drift (pulser add_eom_pulse): the drive
+            # idled at detuning_off since the drift reference; shift the
+            # carrier phase by drift_rate * elapsed (rad/us * ns * 1e-3)
+            ref_ti = self._eom_drift_ref.get(channel, ti)
+            drift = drift_rate * (ti - ref_ti) * 1e-3
+            pulse = Pulse(
+                pulse.amplitude,
+                pulse.detuning,
+                pulse.phase + drift,
+                pulse.post_phase_shift,
+            )
         if ti > self.get_duration(channel):
             # implicit delay on this channel
             self._schedule[channel].append(
@@ -320,6 +346,10 @@ class Sequence:
                 # barrier later pulses on these targets (pulser records
                 # it at the qubit's last_used time, i.e. tf)
                 self._phase_last_t[(basis, q)] = tf
+        if channel in self._eom_state:
+            # the drive idles at det_off again from this pulse's end
+            self._eom_drift_ref[channel] = tf
+        return pulse
 
     def _last_target_at_end(self, channel: str) -> frozenset:
         return self._last_target[channel]
@@ -405,6 +435,9 @@ class Sequence:
         self._eom_blocks.setdefault(channel, []).append(
             [self.get_duration(channel), None]
         )
+        # phase-drift reference: the drive idles at det_off from here on
+        # (advanced to each EOM pulse's end as they are added)
+        self._eom_drift_ref[channel] = self.get_duration(channel)
         self._calls.append(
             _Call(
                 "enable_eom_mode",
@@ -420,9 +453,17 @@ class Sequence:
         phase: Any,
         post_phase_shift: Any = 0.0,
         protocol: str = "min-delay",
+        correct_phase_drift: bool = False,
     ) -> None:
         """Add a square pulse at the EOM operating point (pulser's
-        add_eom_pulse: duration + phase are the only free knobs)."""
+        add_eom_pulse: duration + phase are the only free knobs).
+
+        ``correct_phase_drift`` shifts the carrier phase by
+        ``-detuning_off * elapsed`` where ``elapsed`` is the idle time
+        at the locked off-detuning since the last EOM pulse (or the
+        block start) — pulser's phase-drift correction, keeping the
+        drive phase-coherent with the frame that rotated under
+        ``detuning_off`` during the wait."""
         from pulser_diff_tpu.core.waveforms import ConstantWaveform
 
         if not self.is_in_eom_mode(channel):
@@ -434,14 +475,17 @@ class Sequence:
                     _Call(
                         "add_eom_pulse",
                         (channel, duration, phase, post_phase_shift),
-                        {"protocol": protocol},
+                        {
+                            "protocol": protocol,
+                            "correct_phase_drift": correct_phase_drift,
+                        },
                     )
                 )
                 return
             raise RuntimeError(
                 f"Channel '{channel}' must be in EOM mode (enable_eom_mode)."
             )
-        amp_on, det_on, _ = self._eom_state[channel]
+        amp_on, det_on, det_off = self._eom_state[channel]
         self.add(
             Pulse(
                 ConstantWaveform(duration, amp_on),
@@ -452,6 +496,7 @@ class Sequence:
             channel,
             protocol=protocol,
             _eom=True,
+            _drift_rate=-float(det_off) if correct_phase_drift else None,
         )
 
     def disable_eom_mode(self, channel: str) -> None:

@@ -230,3 +230,55 @@ def test_eom_parametrized_build():
 
 def test_analog_device_has_eom():
     assert AnalogDevice.channel_objects["rydberg_global"].supports_eom_mode
+
+
+def test_eom_correct_phase_drift():
+    """add_eom_pulse(correct_phase_drift=True): the carrier phase shifts
+    by -detuning_off * idle_time since the last EOM pulse (or the block
+    start) — identical streams to the manually-corrected phase, and the
+    corrected phase survives abstract-repr export."""
+    import json
+
+    from pulser_diff_tpu.interop import from_abstract_repr, to_abstract_repr
+
+    dev = _eom_device(buffer_time=4)
+
+    def build(phase2, correct):
+        seq = Sequence(_reg(), dev)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.enable_eom_mode("ryd", amp_on=2.0, detuning_on=0.5)
+        seq.add_eom_pulse("ryd", 100, 0.0)
+        seq.delay(60, "ryd")
+        seq.add_eom_pulse(
+            "ryd", 40, phase2, correct_phase_drift=correct
+        )
+        seq.disable_eom_mode("ryd")
+        return seq
+
+    seq_a = build(0.3, correct=True)
+    det_off = float(
+        [s for s in seq_a._schedule["ryd"] if s.kind == "eom_delay"][0].det_off
+    )
+    drift = -det_off * 60 * 1e-3
+    seq_b = build(0.3 + drift, correct=False)
+    pa = np.asarray(sample(seq_a).channel_samples["ryd"].phase)
+    pb = np.asarray(sample(seq_b).channel_samples["ryd"].phase)
+    np.testing.assert_allclose(pa, pb, atol=1e-12)
+    assert abs(drift) > 1e-3  # the correction is non-trivial
+
+    # back-to-back pulses accrue no drift
+    seq_c = Sequence(_reg(), dev)
+    seq_c.declare_channel("ryd", "rydberg_global")
+    seq_c.enable_eom_mode("ryd", amp_on=2.0, detuning_on=0.5)
+    seq_c.add_eom_pulse("ryd", 100, 0.0)
+    seq_c.add_eom_pulse("ryd", 40, 0.3, correct_phase_drift=True)
+    ph_c = np.asarray(sample(seq_c).channel_samples["ryd"].phase)
+    assert abs(float(ph_c[120]) - 0.3) < 1e-12
+
+    # export records the CORRECTED phase; round trip reproduces streams
+    js = to_abstract_repr(seq_a)
+    ops = [o for o in json.loads(js)["operations"] if o["op"] == "add_eom_pulse"]
+    assert abs(ops[1]["phase"] - (0.3 + drift)) < 1e-12
+    seq_d = from_abstract_repr(js)
+    pd = np.asarray(sample(seq_d).channel_samples["ryd"].phase)
+    np.testing.assert_allclose(pa, pd, atol=1e-12)
