@@ -183,6 +183,35 @@ class Register:
         arr = arr - arr.mean(axis=0)
         return cls.from_coordinates(arr, prefix=prefix)
 
+    @classmethod
+    def cuboid(
+        cls,
+        rows: int,
+        columns: int,
+        layers: int,
+        spacing: float = 4.0,
+        prefix: str | None = None,
+    ) -> "Register":
+        """3D grid of rows x columns x layers atoms (pulser's
+        ``Register3D.cuboid``); the Ising vdW interaction uses the full
+        3D pairwise distances."""
+        zs, ys, xs = np.meshgrid(
+            np.arange(layers), np.arange(rows), np.arange(columns),
+            indexing="ij",
+        )
+        coords = (
+            np.stack([xs.ravel(), ys.ravel(), zs.ravel()], axis=-1) * spacing
+        )
+        coords = coords - coords.mean(axis=0)
+        return cls.from_coordinates(coords, prefix=prefix)
+
+    @classmethod
+    def cubic(
+        cls, side: int, spacing: float = 4.0, prefix: str | None = None
+    ) -> "Register":
+        """side^3 cubic lattice (pulser's ``Register3D.cubic``)."""
+        return cls.cuboid(side, side, side, spacing, prefix)
+
     def rotated(self, degrees: float) -> "Register":
         """New register with all coordinates rotated counterclockwise
         around the origin (pulser's ``Register.rotated``; 2D only)."""

@@ -537,3 +537,33 @@ def test_output_modulation():
     res = sim.run()
     psi = res.states.to_numpy()[-1, :, 0]
     assert abs(np.linalg.norm(psi) - 1) < 1e-8
+
+
+def test_register_3d():
+    """3D registers (cuboid/cubic): full 3D pairwise distances feed the
+    vdW interaction — a 3D register solves identically to a 2D register
+    with the same distance matrix."""
+    from pulser_diff_tpu import TpuEmulator
+
+    r = Register.cuboid(2, 2, 2, spacing=6.0, prefix="q")
+    assert len(r) == 8 and r.dimensionality == 3
+    assert len(Register.cubic(2, spacing=6.0)) == 8
+    c = np.asarray(r.coords_array)
+    d = np.linalg.norm(c[None] - c[:, None], axis=-1)
+    assert np.where(d > 0, d, np.inf).min() == pytest.approx(6.0)
+
+    reg3 = Register(
+        {"a": np.array([0.0, 0.0, 0.0]), "b": np.array([0.0, 0.0, 8.0])}
+    )
+    reg2 = Register({"a": np.array([0.0, 0.0]), "b": np.array([8.0, 0.0])})
+
+    def final(reg):
+        seq = Sequence(reg, MockDevice)
+        seq.declare_channel("g", "rydberg_global")
+        seq.add(Pulse.ConstantPulse(100, 2.0, -1.0, 0.0), "g")
+        sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+        return sim.run(fused=False).states.to_numpy()
+
+    np.testing.assert_allclose(final(reg3), final(reg2), atol=1e-12)
+    with pytest.raises(ValueError, match="same dimension"):
+        Register({"a": np.zeros(2), "b": np.zeros(3)})
