@@ -384,3 +384,48 @@ def test_trainable_phase_shift_gradient(reg2):
     ) / (2 * eps)
     assert abs(float(g) - fd) < 1e-6
     assert abs(float(g)) > 1e-4  # the phase actually matters
+
+
+def test_trainable_eom_pulse_phase(reg2):
+    """A parametrized EOM pulse phase flows through build -> EOM schedule
+    -> solve differentiably (gradient matches finite differences)."""
+    from dataclasses import replace as _replace
+
+    from pulser_diff_tpu.core import MockDevice
+    from pulser_diff_tpu.core.eom import BLUE, RED, RydbergEOM
+
+    eom = RydbergEOM(
+        mod_bandwidth=40.0,
+        limiting_beam=RED,
+        max_limiting_amp=2 * np.pi * 10.0,
+        intermediate_detuning=2 * np.pi * 700.0,
+        controlled_beams=(BLUE,),
+    )
+    chans = tuple(
+        _replace(ch, eom_config=eom) if ch.name == "rydberg_global" else ch
+        for ch in MockDevice.channels
+    )
+    dev = _replace(MockDevice, channels=chans, name="EomMock")
+    seq = Sequence(reg2, dev)
+    seq.declare_channel("ryd", "rydberg_global")
+    ph = seq.declare_variable("ph")
+    seq.enable_eom_mode("ryd", amp_on=2.0, detuning_on=0.0)
+    seq.add_eom_pulse("ryd", 120, 0.0)
+    seq.delay(40, "ryd")
+    seq.add_eom_pulse("ryd", 120, ph)
+    seq.disable_eom_mode("ryd")
+    model = QuantumModel(seq, {"ph": jnp.asarray(0.4)})
+    fn = model.expectation_fn()
+
+    def loss(p):
+        _, v = fn(p)
+        return v[-1]
+
+    g = float(jax.grad(loss)({"ph": jnp.asarray(0.4)})["ph"])
+    eps = 1e-4
+    fd = (
+        float(loss({"ph": jnp.asarray(0.4 + eps)}))
+        - float(loss({"ph": jnp.asarray(0.4 - eps)}))
+    ) / (2 * eps)
+    assert abs(g - fd) < 1e-6
+    assert abs(g) > 1e-4
