@@ -133,3 +133,19 @@ mc_pops = np.diagonal(np.asarray(res_mcwf.states.re),
 me_pops = np.diagonal(np.asarray(rho_me.states.re), axis1=-2, axis2=-1)
 print("max |pop_MCWF - pop_ME|:", float(np.abs(mc_pops - me_pops).max()),
       f"(statistical, ~1/sqrt(R={cfg_mcwf.runs}))")
+
+# %% [markdown]
+# MCWF composes with the stochastic noises: doppler / amplitude draws
+# give each trajectory its own Hamiltonian, and SPAM state-prep error
+# (`eta`) gives each trajectory its own bad-atom configuration — the
+# trajectory unraveling of the per-run eta Counter.  Trajectories shard
+# over a device mesh with `parallel.sharded_mcwf_states`.
+
+# %%
+cfg_eta = SimConfig(noise=("dephasing", "SPAM"), dephasing_rate=0.1,
+                    eta=0.2, epsilon=0.0, epsilon_prime=0.0,
+                    runs=8 if CI else 200, samples_per_run=30)
+sim_eta = TpuEmulator.from_sequence(make_seq(), config=cfg_eta,
+                                    evaluation_times="Minimal")
+res_eta = sim_eta.run(solver="MCWF")
+print("with eta=0.2:", dict(res_eta.results[-1]))
