@@ -665,7 +665,7 @@ class Sequence:
         decls = [c for c in self._calls if c.name == "declare_channel"]
         new_chs = new_device.channel_objects
         for c in decls:
-            cid = c.args[1]
+            ch_name, cid = c.args[0], c.args[1]
             if cid not in new_chs:
                 raise ValueError(
                     f"Device '{new_device.name}' has no channel '{cid}'."
@@ -680,10 +680,21 @@ class Sequence:
                 old.mod_bandwidth != new.mod_bandwidth
                 or old.min_retarget_interval != new.min_retarget_interval
                 or old.fixed_retarget_t != new.fixed_retarget_t
+                or old.eom_config != new.eom_config
             ):
                 raise ValueError(
                     f"Channel '{cid}' differs in modulation/retarget "
-                    f"timings on '{new_device.name}' (strict switch)."
+                    f"timings or EOM configuration on "
+                    f"'{new_device.name}' (strict switch)."
+                )
+            if (
+                not strict
+                and self._eom_blocks.get(ch_name)
+                and new.eom_config is None
+            ):
+                raise ValueError(
+                    f"Channel '{cid}' used EOM mode but has no EOM "
+                    f"configuration on '{new_device.name}'."
                 )
         new_seq = Sequence(self._register, new_device)
         new_seq._magnetic_field = self._magnetic_field.copy()
