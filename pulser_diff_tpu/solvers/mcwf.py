@@ -132,6 +132,34 @@ def _site_rdm(site: int, n: int, d: int, psi: Cplx) -> Cplx:
     return Cplx(g_re, g_im)
 
 
+def _diag_q_sum(groups, n: int, d: int, state_shape, dtype):
+    """sum_site lift(Q_site) as a dense (da, db) diagonal when every
+    site's Q = sum_m L^+L is (numerically) diagonal — true for the
+    standard dephasing/relaxation/depolarizing channels.  Returns None
+    (general per-site path) for non-diagonal or traced Q."""
+    if not groups:
+        return None
+    try:
+        qdiags = {}
+        for site, _L, Q in groups:
+            qre = np.asarray(jax.device_get(Q.re))
+            qim = np.asarray(jax.device_get(Q.im))
+            if (
+                np.abs(qre - np.diag(np.diag(qre))).max() > 1e-12
+                or np.abs(qim).max() > 1e-12
+            ):
+                return None
+            qdiags[site] = np.diag(qre)
+    except Exception:  # noqa: BLE001 - traced Q inside jit
+        return None
+    full = np.zeros([d] * n) if n > 1 else np.zeros([d])
+    for site, qd in qdiags.items():
+        shape = [1] * n
+        shape[site] = d
+        full = full + qd.reshape(shape)
+    return jnp.asarray(full.reshape(state_shape), dtype)
+
+
 def _norm2(psi: Cplx) -> jax.Array:
     """(R,) squared norms of a (R, da, db) batch."""
     return jnp.sum(
@@ -224,11 +252,28 @@ def mcsolve(
         psi = psi0
     psi = Cplx(jnp.asarray(psi.re, dtype), jnp.asarray(psi.im, dtype))
 
-    def drift_rhs(t, p):
-        out = _se_rhs(ham, t, p)
-        for site, _L, Q in groups:
-            out = out - _apply_site_ket(Q, site, n, d, p) * 0.5
-        return out
+    # the anti-Hermitian drift term -(1/2) sum_site lift(Q_site): for the
+    # standard channels (dephasing/relaxation/depolarizing) every
+    # Q = sum_m L^+L is DIAGONAL, so the n per-site einsums per RK stage
+    # collapse into ONE precomputed (da, db) elementwise diagonal
+    qdiag = _diag_q_sum(groups, n, d, psi.re.shape[1:], dtype)
+
+    if qdiag is not None:
+        half_q = qdiag * 0.5
+
+        def drift_rhs(t, p):
+            out = _se_rhs(ham, t, p)
+            return Cplx(
+                out.re - half_q * p.re, out.im - half_q * p.im
+            )
+
+    else:
+
+        def drift_rhs(t, p):
+            out = _se_rhs(ham, t, p)
+            for site, _L, Q in groups:
+                out = out - _apply_site_ket(Q, site, n, d, p) * 0.5
+            return out
 
     g = grid.refined(substeps)
     n_steps = g.times.shape[0] - 1
@@ -263,12 +308,13 @@ def mcsolve(
     slots = jnp.asarray(g.write_slots[1:], jnp.int32)
     tiny = jnp.asarray(np.finfo(np.float32).tiny, dtype)
 
-    def body(carry, xs):
-        p, thr, nj, buf = carry
-        t0, t1, slot, us, ut = xs
-        p = _explicit_rk_step(drift_rhs, t0, t1 - t0, p, c, A, B)
-        norm2 = _norm2(p)  # (R,) survival probability
-
+    def apply_jumps(args):
+        """Channel weights + categorical draw + jump application — only
+        evaluated on steps where SOME trajectory crossed its threshold
+        (the lax.cond below), so the per-site reduced-density-matrix
+        einsums are skipped on the (at realistic rates, vast) majority
+        of steps."""
+        p, thr, nj, crossed, us, ut = args
         # jump-channel weights w[m, r] = ||L_m p||^2 = tr(L^+L G_site)
         ws = []
         for site, L, _Q in groups:
@@ -285,7 +331,7 @@ def mcsolve(
         w = jnp.clip(w, 0.0, None)
         tot = jnp.sum(w, axis=0)  # (R,)
 
-        jumped = (norm2 < thr) & (tot > tiny)
+        jumped = crossed & (tot > tiny)
         # categorical channel draw
         cum = jnp.cumsum(w, axis=0)
         kstar = jnp.sum(
@@ -324,6 +370,20 @@ def mcsolve(
         p = Cplx(jnp.where(jb, pj.re, p.re), jnp.where(jb, pj.im, p.im))
         thr = jnp.where(jumped, ut, thr)
         nj = nj + jumped.astype(jnp.int32)
+        return p, thr, nj
+
+    def body(carry, xs):
+        p, thr, nj, buf = carry
+        t0, t1, slot, us, ut = xs
+        p = _explicit_rk_step(drift_rhs, t0, t1 - t0, p, c, A, B)
+        norm2 = _norm2(p)  # (R,) survival probability
+        crossed = norm2 < thr
+        p, thr, nj = jax.lax.cond(
+            jnp.any(crossed),
+            apply_jumps,
+            lambda args: (args[0], args[1], args[2]),
+            (p, thr, nj, crossed, us, ut),
+        )
 
         nrm = jnp.sqrt(jnp.maximum(_norm2(p), tiny)).reshape(
             (R,) + (1,) * (p.re.ndim - 1)
