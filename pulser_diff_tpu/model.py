@@ -541,6 +541,20 @@ class QuantumModel:
     # ------------------------------------------------------------------
     # public API (reference model.py:370-431)
     # ------------------------------------------------------------------
+    def named_parameters(self):
+        """Iterate over ``(name, value)`` pairs of the trainable leaves.
+
+        torch ``nn.Module`` API parity: the reference's QuantumModel
+        inherits this from ``nn.Module`` and the docs iterate it to
+        inspect/optimize parameters (reference model.py:30, notebooks).
+        Values are the live jnp arrays from ``self.params``.
+        """
+        yield from self.params.items()
+
+    def parameters(self):
+        """Iterate over the trainable leaf values (nn.Module parity)."""
+        yield from self.params.values()
+
     def check_constraints(self) -> None:
         """Clamp trainable parameters to their constraint intervals."""
         for name, p in self.params.items():

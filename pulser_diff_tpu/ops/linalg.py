@@ -39,6 +39,7 @@ IMAT = _const(np.eye(2))
 XMAT = _const(np.array([[0, 1], [1, 0]]))
 YMAT = _const(np.array([[0, -1j], [1j, 0]]))
 ZMAT = _const(np.array([[1, 0], [0, -1]]))
+HMAT = _const(np.array([[1, 1], [1, -1]]) / np.sqrt(2.0))
 
 
 def kron(*args: Cplx | jax.Array | np.ndarray) -> Cplx:

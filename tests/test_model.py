@@ -46,6 +46,11 @@ def test_param_registration(reg2):
     assert not model.optimize_duration
     assert model.built_seq is not None
     assert not model.built_seq.is_parametrized()
+    # nn.Module-parity accessors (reference inherits them from torch)
+    named = dict(model.named_parameters())
+    assert set(named) == {"omega", "det"}
+    assert all(v is model.params[k] for k, v in named.items())
+    assert len(list(model.parameters())) == 2
 
 
 def test_missing_param_value(reg2):

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 
 from pulser_diff_tpu.cplx import Cplx, as_cplx, cmatmul, cdot, ckron
 from pulser_diff_tpu.ops import (
+    HMAT,
     IMAT,
     XMAT,
     YMAT,
@@ -31,6 +32,9 @@ def test_pauli_matrices():
     assert np.allclose(_np(XMAT), [[0, 1], [1, 0]])
     assert np.allclose(_np(YMAT), [[0, -1j], [1j, 0]])
     assert np.allclose(_np(ZMAT), [[1, 0], [0, -1]])
+    h = _np(HMAT)
+    assert np.allclose(h, np.array([[1, 1], [1, -1]]) / np.sqrt(2.0))
+    assert np.allclose(h @ h, np.eye(2))
 
 
 def test_kron_matches_numpy(rng):
