@@ -344,3 +344,43 @@ def test_mcwf_with_spam_eta(two_atom_register):
     sim.set_initial_state(jnp.ones(4) / 2.0)
     with pytest.raises(NotImplementedError, match="ground"):
         sim.run(solver=SolverType.MCWF)
+
+
+def test_mcwf_diag_drift_matches_general_path(
+    two_atom_register, monkeypatch
+):
+    """The diagonal-drift fast path (commit 8bb1179: sum_site lift(Q)
+    collapsed to one precomputed elementwise diagonal when every Q is
+    diagonal) must reproduce the general per-site einsum path."""
+    from pulser_diff_tpu.solvers import mcwf as mcwf_mod
+
+    seq = make_simple_sequence(two_atom_register, duration=160)
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.3)
+    sim = TpuEmulator.from_sequence(seq, config=cfg, evaluation_times=0.2)
+    h, grid, p0 = _mc_inputs(sim)
+    key = jax.random.PRNGKey(7)
+    R = 16
+
+    # dephasing Q = rate * |r><r| is diagonal -> the fast path engages
+    groups = mcwf_mod._group_collapse(h._collapse_ops, h._size, h.dim)
+    assert (
+        mcwf_mod._diag_q_sum(
+            groups, h._size, h.dim, p0.re.shape, p0.re.dtype
+        )
+        is not None
+    )
+
+    fast = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid, key,
+        n_traj=R,
+    )
+    monkeypatch.setattr(mcwf_mod, "_diag_q_sum", lambda *a, **k: None)
+    general = mcsolve(
+        h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid, key,
+        n_traj=R,
+    )
+    psi_f, psi_g = _psi_np(fast.states), _psi_np(general.states)
+    assert np.abs(psi_f - psi_g).max() < 1e-10
+    assert np.array_equal(
+        np.asarray(fast.n_jumps), np.asarray(general.n_jumps)
+    )
