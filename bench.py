@@ -15,19 +15,38 @@ sine-interpolated 8-parameter amplitude waveform (gate-optimization
 style), 660 ns, sampling_rate 0.25; loss = final total magnetization;
 gradient w.r.t. the 8 waveform parameters.
 
-Two TPU paths are timed:
+TPU paths, in the order they are attempted (round-5 ladder):
   - the DEFAULT path: the fused DP5-stage Pallas kernel (compensated-f32
     arithmetic; run(solver=DP5_SE) auto-routes here on TPU) — this is
     the headline number;
-  - the f64 XLA path (fused=False) — the parity anchor vs the torch
-    baseline (values ~1e-13, grads ~1e-14) and the accuracy reference
-    for the fused kernel (|dv| ~2e-7, |dgrad| ~5e-6 — inside the
-    BASELINE.md 1e-6 / 1e-5 bars).
+  - the f32 XLA stepper (DP5_SE_F32, ~10 s warm compile) — first
+    fallback if the fused compile cannot land;
+  - the f64 XLA path (fused=False) — second fallback, and (when the
+    fused number lands) the parity anchor vs the torch baseline
+    (values ~1e-13, grads ~1e-14) and the accuracy reference for the
+    fused kernel (|dv| ~2e-7, |dgrad| ~5e-6 — inside the BASELINE.md
+    1e-6 / 1e-5 bars);
+  - jax/CPU f64 as the honest last resort when the tunnel is down for
+    the whole window.
+
+Ordering (round-4 postmortem): the TPU attempt comes FIRST and the JSON
+line is emitted as soon as any TPU timing exists, with the conservative
+recorded torch denominator; the live torch baseline (~3 min) runs AFTER
+emission purely as a parity diagnostic, so baseline cost can never
+starve the TPU capture.
+
+AOT note (VERDICT round-4 #1e, evaluated): `jax.export` artifacts
+(utils/export.py) serialize StableHLO, which is *re-compiled* by the
+backend at load time — on this tunnel that still goes through the remote
+compile helper, so AOT does not remove the remote-compile dependency.
+The effective mechanism is the persistent compilation cache
+(.jax_cache), which stores the *compiled TPU executable*: the builder
+warms it with this exact program each round, so the driver's capture is
+a cache hit (~10 s child) unless product code changed the HLO.
 
 Prints ONE json line: {"metric", "value" (TPU seconds, default path),
 "unit", "vs_baseline" (torch_time / tpu_time)} and a per-phase
-compile/forward/forward+grad breakdown on stderr (VERDICT.md round-2
-next-step #6).
+compile/forward/forward+grad breakdown on stderr.
 """
 
 from __future__ import annotations
@@ -200,13 +219,15 @@ def torch_baseline(params0: np.ndarray, n_timings: int = 1):
 
 
 # ----------------------------------------------------------------------
-# JAX / TPU side (one builder, two solver configurations)
+# JAX / TPU side (one builder, three solver configurations)
 # ----------------------------------------------------------------------
-def jax_tpu(params0: np.ndarray, fused: bool, n_timings: int = 3):
+def jax_tpu(params0: np.ndarray, mode: str, n_timings: int = 3):
     """Run the workload through QuantumModel.
 
-    fused=True: the default TPU path (DP5-stage fused Pallas kernel).
-    fused=False: the f64 XLA stepper (parity anchor).
+    mode="fused": the default TPU path (DP5-stage fused Pallas kernel).
+    mode="f32":   the f32 XLA stepper (DP5_SE_F32) — cheap-compile
+                  fallback when the fused compile cannot land.
+    mode="f64":   the f64 XLA stepper (parity anchor).
     Returns (times_dict, value, grad): times_dict has 'compile',
     'forward', 'step' (forward+grad) wall-clock seconds.
     """
@@ -257,12 +278,17 @@ def jax_tpu(params0: np.ndarray, fused: bool, n_timings: int = 3):
     )
     M = jnp.asarray(_interp_matrix())
 
+    model_kwargs: dict = {"fused": True}
+    if mode == "f64":
+        model_kwargs = {"fused": False}
+    elif mode == "f32":
+        model_kwargs = {"solver": "DP5_SE_F32", "fused": False}
     model = QuantumModel(
         seq,
         {"amp_samples": ((jnp.asarray(params0),), lambda v: M @ v)},
         sampling_rate=SAMPLING_RATE,
         evaluation_times="Minimal",
-        fused=fused,
+        **model_kwargs,
     )
     obs = total_magnetization(N_QUBITS, dense=False)
     exp_fn = model.expectation_fn(obs)
@@ -300,12 +326,13 @@ class _ChildTimeout(RuntimeError):
     """The child subprocess had to be killed at its timeout.
 
     Killing a JAX process mid-compile wedges the remote TPU compile
-    server for ~15 min (CLAUDE.md), so a timeout is TERMINAL for all
-    further TPU attempts in this bench run — retrying would only hang."""
+    server for ~15 min (CLAUDE.md), so a timeout is TERMINAL for TPU
+    attempts until a cooldown window has passed (main() sleeps the
+    wedge out once if the budget allows)."""
 
 
 def jax_tpu_subprocess(
-    params0: np.ndarray, fused: bool, n_timings: int, timeout: float = 1800
+    params0: np.ndarray, mode: str, n_timings: int, timeout: float = 1800
 ):
     """Run jax_tpu in a FRESH interpreter and parse its one-line JSON.
 
@@ -322,7 +349,7 @@ def jax_tpu_subprocess(
         sys.executable,
         os.path.abspath(__file__),
         "--child",
-        "fused" if fused else "f64",
+        mode,
         str(n_timings),
         json.dumps(list(np.asarray(params0, dtype=float))),
     ]
@@ -346,15 +373,19 @@ def jax_tpu_subprocess(
     return out["times"], out["value"], np.asarray(out["grad"])
 
 
-def tpu_probe_subprocess(timeout: float = 360.0) -> bool:
-    """Cheap tunnel-health probe: backend init ONLY (no compile).
+def tpu_probe_subprocess(timeout: float = 300.0) -> bool:
+    """Tunnel-health probe: backend init + ONE trivial jitted compile.
 
-    `jax.devices()` initializes the axon backend without going through
-    the remote compile helper, so killing this child at its timeout is
-    safe (wedging comes from killing mid-COMPILE, CLAUDE.md).  During
-    the round-4 outage, backend init hung ~25 min before raising
-    UNAVAILABLE — without a probe, the first fused attempt burned its
-    whole 780 s child timeout just to discover the tunnel was down."""
+    Round-4 postmortem: the init-only probe (`jax.devices()`) passed
+    while the remote *compile* server was wedged, and the first fused
+    attempt then burned its whole 780 s child timeout discovering that.
+    This probe compiles and runs a trivial jitted fn with a run-unique
+    constant (cache-busting salt), so it exercises the live remote
+    compile path end-to-end.  A healthy tunnel answers in well under a
+    minute; a wedged one costs ONE probe timeout.  Killing this child
+    mid-compile is an accepted risk: if the trivial compile has hung
+    for minutes the server is already unserviceable, and main() only
+    retries after a full cooldown window anyway."""
     import os
     import subprocess
 
@@ -363,26 +394,32 @@ def tpu_probe_subprocess(timeout: float = 360.0) -> bool:
     # config update is the only reliable way off the tunnel, CLAUDE.md)
     code = (
         "import os, jax\n"
+        "import jax.numpy as jnp\n"
         "if os.environ.get('PDT_BENCH_CPU'):\n"
         "    jax.config.update('jax_platforms', 'cpu')\n"
+        "salt = float(os.environ.get('PDT_PROBE_SALT', '1'))\n"
+        "f = jax.jit(lambda x: (x * salt + 1.0).sum())\n"
+        "v = float(f(jnp.arange(8.0)))\n"
         "d = jax.devices()\n"
-        "print('PROBE_OK', d[0].platform, len(d))\n"
+        "print('PROBE_OK', d[0].platform, len(d), v)\n"
     )
+    env = dict(os.environ, PDT_PROBE_SALT=str(int(time.time()) % 100000))
     try:
         proc = subprocess.run(
             [sys.executable, "-c", code],
-            capture_output=True, text=True, timeout=timeout,
+            capture_output=True, text=True, timeout=timeout, env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
     except subprocess.TimeoutExpired:
         print(
-            f"[bench] TPU probe timed out at {timeout:.0f}s — tunnel down",
+            f"[bench] TPU compile-probe timed out at {timeout:.0f}s — "
+            "tunnel down or compile server wedged",
             file=sys.stderr,
         )
         return False
     ok = proc.returncode == 0 and "PROBE_OK" in proc.stdout
     print(
-        f"[bench] TPU probe: {'up' if ok else 'DOWN'} "
+        f"[bench] TPU compile-probe: {'up' if ok else 'DOWN'} "
         f"({proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else proc.stderr[-200:]})",
         file=sys.stderr,
     )
@@ -454,17 +491,17 @@ def _child_main(which: str, n_timings: int, params_json: str) -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-    times, v, g = jax_tpu(
-        params0, fused=(which == "fused"), n_timings=n_timings
-    )
+    times, v, g = jax_tpu(params0, mode=which, n_timings=n_timings)
     print(json.dumps({"times": times, "value": v, "grad": list(map(float, g))}))
 
 
 # torch-CPU baseline recorded from full runs of torch_baseline() on this
-# container (rounds 1-2: 136.6-175 s; the host is shared, so live runs
-# jitter).  The reported denominator is min(live, recorded): conservative
+# container (rounds 1-4: 136.6-199.5 s; the host is shared, so live runs
+# jitter).  The reported denominator is the recorded MINIMUM: conservative
 # (can only under-state the speedup) and stable across reruns
-# (VERDICT.md round-2 weak #7).
+# (VERDICT.md round-2 weak #7).  The live baseline now runs AFTER the
+# JSON line is emitted (parity diagnostic only), so it can no longer
+# starve the TPU attempt of budget.
 _RECORDED_TORCH_BASELINE_S = 136.6
 
 
@@ -473,7 +510,8 @@ _RECORDED_TORCH_BASELINE_S = 136.6
 # at its own timeout, rc=124, and the JSON line was never printed even
 # though partial results existed).  Every phase below is bounded by the
 # remaining budget, and the JSON line is emitted AS SOON AS a TPU timing
-# exists — the f64 anchor and cross-checks are best-effort diagnostics.
+# exists — the f64 anchor, torch baseline and cross-checks are
+# best-effort diagnostics.
 # ----------------------------------------------------------------------
 _T0 = time.monotonic()
 _BUDGET_S = 1200.0  # overridden by $PDT_BENCH_BUDGET_S in main()
@@ -521,9 +559,9 @@ def _tpu_with_retries(fn, what: str, attempts: int = 6,
       - never start an attempt without enough budget left for a
         plausible compile (the child gets the remaining budget minus a
         closing margin as its timeout);
-      - a child TIMEOUT is terminal for ALL TPU work this run: the kill
-        likely wedged the remote compile server (~15 min, CLAUDE.md),
-        so subsequent attempts would hang and eat the whole budget.
+      - a child TIMEOUT marks the remote compile server wedged
+        (~15 min, CLAUDE.md): no further TPU attempts here — main()
+        owns the one post-cooldown retry.
     fn(timeout) -> result."""
     global _TPU_WEDGED
     last = None
@@ -543,7 +581,7 @@ def _tpu_with_retries(fn, what: str, attempts: int = 6,
             _TPU_WEDGED = True
             print(
                 f"[bench] {what} attempt {i + 1}: {e} — treating the "
-                f"remote compile server as wedged, no more TPU attempts",
+                f"remote compile server as wedged",
                 file=sys.stderr,
             )
             raise
@@ -563,6 +601,40 @@ def _tpu_with_retries(fn, what: str, attempts: int = 6,
     raise last
 
 
+_MODE_LABEL = {
+    "fused": "fused DP5 kernel (default)",
+    "f32": "f32 XLA stepper (DP5_SE_F32)",
+    "f64": "f64 XLA stepper",
+}
+
+
+def _try_tpu_mode(params0, mode: str, n_timings: int, t_torch: float,
+                  attempts: int = 6, emit: bool = True):
+    """One rung of the TPU ladder: attempt `mode` with retries; emit the
+    JSON line on success (first success wins — _emit is once-only)."""
+    try:
+        t, v, g = _tpu_with_retries(
+            lambda to: jax_tpu_subprocess(
+                params0, mode=mode, n_timings=n_timings, timeout=to
+            ),
+            f"jax/TPU {mode}", attempts=attempts,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] {mode} path failed: {e!r}", file=sys.stderr)
+        return None
+    print(
+        f"[bench] jax/TPU {_MODE_LABEL[mode]}: {t['step']*1e3:.2f} ms"
+        f"  value={v:.9f}",
+        file=sys.stderr,
+    )
+    if emit:
+        metric = "12-atom evolution + adjoint grad step wall-clock"
+        if mode != "fused":
+            metric += f" ({mode.upper()} XLA fallback — fused compile did not land)"
+        _emit(t["step"], t_torch, note=f"{mode} path", metric=metric)
+    return t, v, g
+
+
 def main():
     # Persistent compilation cache: the TPU compiles (2-3 min each for
     # the fused + f64 programs) hit the disk cache on driver re-runs,
@@ -579,129 +651,54 @@ def main():
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
 
     params0 = np.linspace(1.0, 3.0, N_PARAMS)
-
-    # 1. torch baseline FIRST (JAX-free child: a tunnel outage cannot
-    #    touch it, and a baseline failure must never zero the round) —
-    #    but only if enough budget remains afterwards for the TPU run.
-    v_torch = g_torch = None
     t_torch = _RECORDED_TORCH_BASELINE_S
-    torch_timeout = min(420.0, _remaining() - 600)
-    if torch_timeout > 150:
-        try:
-            t_torch_live, v_torch, g_torch = torch_baseline_subprocess(
-                params0, timeout=torch_timeout
-            )
-            print(
-                f"[bench] torch/CPU: {t_torch_live*1e3:.1f} ms  "
-                f"value={v_torch:.9f}",
-                file=sys.stderr,
-            )
-            t_torch = min(t_torch_live, _RECORDED_TORCH_BASELINE_S)
-        except Exception as e:  # noqa: BLE001
-            print(
-                f"[bench] torch baseline failed ({e!r}); using recorded "
-                f"baseline {_RECORDED_TORCH_BASELINE_S}s",
-                file=sys.stderr,
-            )
-    else:
-        print(
-            f"[bench] budget too tight for a live torch run "
-            f"({_remaining():.0f}s left); using recorded "
-            f"{_RECORDED_TORCH_BASELINE_S}s",
-            file=sys.stderr,
-        )
 
-    # 2. Tunnel-health probe (backend init only, kill-safe): during the
-    #    round-4 outage the first fused attempt burned its whole 780 s
-    #    child timeout just to discover the tunnel was down.  A probe
-    #    failure skips straight to the honest CPU fallback.
-    tpu_up = tpu_probe_subprocess(timeout=min(360.0, max(_remaining() - 240, 60)))
+    # 1. Tunnel-health compile-probe (trivial jitted fn, cache-busting
+    #    salt): verifies the remote COMPILE server end-to-end, not just
+    #    backend init (round-4 postmortem: init-only probe passed while
+    #    compiles hung).  A dead tunnel costs one probe timeout.
+    probe_to = min(300.0, max(_remaining() - 300, 120.0))
+    tpu_up = tpu_probe_subprocess(timeout=probe_to)
 
-    # 3. TPU default path (fused DP5 Pallas kernel).  The JSON line is
-    #    emitted IMMEDIATELY on success — everything after is optional.
-    t_fused = v_fused = g_fused = None
+    # 2. TPU ladder, best path first.  The JSON line is emitted
+    #    IMMEDIATELY on the first success (conservative recorded torch
+    #    denominator) — everything after is diagnostics.
+    fused = f32 = f64 = None
     if not tpu_up:
-        _TPU_WEDGED = True  # skip all TPU attempts below
-    try:
-        # min-of-10: the remote-tunnel dispatch floor varies a few ms
-        # call-to-call, and each extra timing costs ~30 ms — cheap
-        # insurance that the recorded number captures the low tail
-        t_fused, v_fused, g_fused = _tpu_with_retries(
-            lambda to: jax_tpu_subprocess(
-                params0, fused=True, n_timings=10, timeout=to
-            ),
-            "jax/TPU fused",
-        )
-        print(
-            f"[bench] jax/TPU fused DP5 kernel (default): "
-            f"{t_fused['step']*1e3:.2f} ms  value={v_fused:.9f}",
-            file=sys.stderr,
-        )
-        _emit(t_fused["step"], t_torch, note="fused path")
-    except Exception as e:  # noqa: BLE001
-        print(
-            f"[bench] fused path failed after retries: {e!r}",
-            file=sys.stderr,
-        )
+        _TPU_WEDGED = True
+    if not _TPU_WEDGED:
+        fused = _try_tpu_mode(params0, "fused", 10, t_torch)
+    if fused is None and not _TPU_WEDGED:
+        # fused failed on a real error (not a wedge): cheap-compile rungs
+        f32 = _try_tpu_mode(params0, "f32", 5, t_torch, attempts=3)
+        if f32 is None and not _TPU_WEDGED:
+            f64 = _try_tpu_mode(params0, "f64", 3, t_torch, attempts=2)
 
-    # 3. f64 XLA path: parity anchor vs torch + accuracy reference for
-    #    the fused kernel.  Skipped when the budget is nearly spent or
-    #    the compile server is wedged; only load-bearing if fused failed.
-    t_f64 = v_f64 = g_f64 = None
-    if not _TPU_WEDGED and _remaining() > 240:
-        try:
-            t_f64, v_f64, g_f64 = _tpu_with_retries(
-                lambda to: jax_tpu_subprocess(
-                    params0, fused=False, n_timings=3, timeout=to
-                ),
-                "jax/TPU f64", attempts=3, backoffs=(20, 90),
-            )
-            print(
-                f"[bench] jax/TPU f64 XLA path: {t_f64['step']*1e3:.1f} ms"
-                f"  value={v_f64:.9f}",
-                file=sys.stderr,
-            )
-            _emit(t_f64["step"], t_torch, note="f64 fallback; fused failed")
-        except Exception as e:  # noqa: BLE001
-            print(f"[bench] f64 path failed: {e!r}", file=sys.stderr)
-    elif not _EMITTED:
+    # 3. One post-cooldown retry: the compile-server wedge clears in
+    #    ~15 min (CLAUDE.md).  If the budget still allows a sleep + probe
+    #    + warm-cache attempt, take it instead of giving up on the TPU.
+    if _TPU_WEDGED and not _EMITTED and _remaining() > 1000:
+        cooldown = min(900.0, _remaining() - 420.0)
         print(
-            f"[bench] skipping f64 anchor (wedged={_TPU_WEDGED}, "
-            f"{_remaining():.0f}s left)",
+            f"[bench] wedged — sleeping {cooldown:.0f}s to let the remote "
+            "compile server recover, then retrying once",
             file=sys.stderr,
         )
+        time.sleep(cooldown)
+        if tpu_probe_subprocess(timeout=min(240.0, _remaining() - 200)):
+            _TPU_WEDGED = False
+            fused = _try_tpu_mode(params0, "fused", 10, t_torch, attempts=1)
+            if fused is None and not _TPU_WEDGED:
+                f32 = _try_tpu_mode(params0, "f32", 3, t_torch, attempts=1)
 
-    # 4. accuracy cross-checks + per-phase breakdown (stderr)
-    if v_f64 is not None and v_torch is not None:
-        print(
-            f"[bench] f64 vs torch: |value diff|={abs(v_f64 - v_torch):.3e}"
-            f"  |grad diff|={np.abs(g_f64 - g_torch).max():.3e}",
-            file=sys.stderr,
-        )
-    if v_fused is not None and v_f64 is not None:
-        print(
-            f"[bench] fused vs f64: |value diff|={abs(v_fused - v_f64):.3e}"
-            f"  |grad diff|={np.abs(g_fused - g_f64).max():.3e}"
-            f"  (bars: 1e-6 / 1e-5)",
-            file=sys.stderr,
-        )
-    for name, t in (("fused", t_fused), ("f64", t_f64)):
-        if t is not None:
-            print(
-                f"[bench] breakdown {name}: compile={t['compile']:.1f} s  "
-                f"forward={t['forward']*1e3:.2f} ms  "
-                f"forward+grad={t['step']*1e3:.2f} ms  "
-                f"(adjoint overhead {t['step']/max(t['forward'],1e-9):.2f}x)",
-                file=sys.stderr,
-            )
-
-    # 5. honest last resort: no TPU timing landed (tunnel down for the
+    # 4. Honest last resort: no TPU timing landed (tunnel down for the
     #    whole window) — measure the same workload's f64 XLA path on the
     #    CPU backend so the driver still records a real number for THIS
     #    framework, clearly flagged in the metric string.  Warm-cache
     #    child takes ~10 s; a cold compile a few minutes.
+    t_cpu = v_cpu = g_cpu = None
     if not _EMITTED:
-        fallback_to = _remaining() - 20
+        fallback_to = _remaining() - 240 if _remaining() > 420 else _remaining() - 20
         if fallback_to > 60:
             try:
                 t_cpu, v_cpu, g_cpu = jax_cpu_fallback_subprocess(
@@ -712,24 +709,79 @@ def main():
                     f"  value={v_cpu:.9f}",
                     file=sys.stderr,
                 )
-                if v_torch is not None:
-                    print(
-                        f"[bench] cpu-f64 vs torch: "
-                        f"|value diff|={abs(v_cpu - v_torch):.3e}  "
-                        f"|grad diff|={np.abs(g_cpu - g_torch).max():.3e}",
-                        file=sys.stderr,
-                    )
                 _emit(
                     t_cpu["step"], t_torch,
                     note="CPU fallback — TPU unavailable",
                     metric=(
                         "12-atom evolution + adjoint grad step wall-clock "
                         "(CPU FALLBACK — TPU tunnel down; hardware-verified "
-                        "TPU fused number is 0.0306 s, see STATUS.md)"
+                        "TPU fused number is 0.026-0.031 s, see STATUS.md)"
                     ),
                 )
             except Exception as e:  # noqa: BLE001
                 print(f"[bench] cpu fallback failed: {e!r}", file=sys.stderr)
+
+    # 5. Post-emission diagnostics, best-effort within the budget:
+    #    f64 anchor (fused parity bars) then the live torch baseline
+    #    (value/grad ground truth + live vs_baseline figure).
+    if fused is not None and f64 is None and not _TPU_WEDGED and _remaining() > 300:
+        f64 = _try_tpu_mode(params0, "f64", 3, t_torch, attempts=2, emit=False)
+
+    v_torch = g_torch = None
+    torch_timeout = min(420.0, _remaining() - 30)
+    if _EMITTED and torch_timeout > 150:
+        try:
+            t_torch_live, v_torch, g_torch = torch_baseline_subprocess(
+                params0, timeout=torch_timeout
+            )
+            print(
+                f"[bench] torch/CPU: {t_torch_live*1e3:.1f} ms  "
+                f"value={v_torch:.9f}  (recorded denominator "
+                f"{_RECORDED_TORCH_BASELINE_S}s is the conservative one)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"[bench] torch baseline skipped/failed: {e!r}", file=sys.stderr)
+    elif not _EMITTED:
+        print("[bench] skipping torch baseline (nothing emitted)", file=sys.stderr)
+    else:
+        print(
+            f"[bench] skipping live torch baseline ({_remaining():.0f}s left); "
+            f"recorded {_RECORDED_TORCH_BASELINE_S}s denominator already used",
+            file=sys.stderr,
+        )
+
+    # 6. accuracy cross-checks + per-phase breakdown (stderr)
+    anchor = f64 or f32  # best XLA reference that ran
+    if anchor is not None and v_torch is not None:
+        print(
+            f"[bench] xla vs torch: |value diff|={abs(anchor[1] - v_torch):.3e}"
+            f"  |grad diff|={np.abs(anchor[2] - g_torch).max():.3e}",
+            file=sys.stderr,
+        )
+    if v_cpu is not None and v_torch is not None:
+        print(
+            f"[bench] cpu-f64 vs torch: |value diff|={abs(v_cpu - v_torch):.3e}"
+            f"  |grad diff|={np.abs(g_cpu - g_torch).max():.3e}",
+            file=sys.stderr,
+        )
+    if fused is not None and f64 is not None:
+        print(
+            f"[bench] fused vs f64: |value diff|={abs(fused[1] - f64[1]):.3e}"
+            f"  |grad diff|={np.abs(fused[2] - f64[2]).max():.3e}"
+            f"  (bars: 1e-6 / 1e-5)",
+            file=sys.stderr,
+        )
+    for name, r in (("fused", fused), ("f32", f32), ("f64", f64)):
+        if r is not None:
+            t = r[0]
+            print(
+                f"[bench] breakdown {name}: compile={t['compile']:.1f} s  "
+                f"forward={t['forward']*1e3:.2f} ms  "
+                f"forward+grad={t['step']*1e3:.2f} ms  "
+                f"(adjoint overhead {t['step']/max(t['forward'],1e-9):.2f}x)",
+                file=sys.stderr,
+            )
 
     if not _EMITTED:
         print("[bench] no timing succeeded at all", file=sys.stderr)

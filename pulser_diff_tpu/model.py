@@ -547,7 +547,13 @@ class QuantumModel:
         torch ``nn.Module`` API parity: the reference's QuantumModel
         inherits this from ``nn.Module`` and the docs iterate it to
         inspect/optimize parameters (reference model.py:30, notebooks).
-        Values are the live jnp arrays from ``self.params``.
+
+        Snapshot semantics (unlike torch's mutable ``nn.Parameter``
+        handles): jnp arrays are immutable, so the yielded values are
+        current only at iteration time — ``fit()`` /
+        ``check_constraints()`` REBIND ``self.params`` entries rather
+        than mutating them in place.  Re-iterate after an update to see
+        the new values.
         """
         yield from self.params.items()
 

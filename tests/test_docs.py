@@ -41,10 +41,12 @@ def test_state_preparation_loss_and_grad():
     assert 0.0 <= float(v) <= 1.0
 
 
-def test_gate_optimization_mini_convergence():
-    """A scaled-down version of the docs training loop: a few optimizer
-    steps must strictly improve the gate fidelity (keeps the notebooks'
-    convergence claims honest in CI; the full runs live in docs/)."""
+def test_gate_optimization_fidelity_floor():
+    """CI-enforced convergence floor (VERDICT round-4 #7): the reduced
+    2-qubit gate optimization must actually reach >= 99 % fidelity
+    within a bounded step count on CPU — pinning the docs' convergence
+    claims structurally, not just 'loss decreases' (the reference's own
+    anchor is 99.91 %, gate_optimization.ipynb cell 12)."""
     import optax
 
     mod = runpy.run_path(
@@ -54,17 +56,17 @@ def test_gate_optimization_mini_convergence():
     n = mod["N_PARAMS"]
     params = (jnp.full((n,), 3.0), jnp.full((n,), 3.0))
     loss_fn = jax.jit(jax.value_and_grad(lambda p: 1.0 - fid(p)))
-    opt = optax.adam(0.3)
+    opt = optax.adam(0.15)
     state = opt.init(params)
-    v0, _ = loss_fn(params)
-    for _ in range(6):
+    best = 0.0
+    for _ in range(200):
         v, g = loss_fn(params)
+        best = max(best, 1.0 - float(v))
+        if best >= 0.99:
+            break
         upd, state = opt.update(g, state, params)
-        import optax as _o
-
-        params = _o.apply_updates(params, upd)
-    v1, _ = loss_fn(params)
-    assert float(v1) < float(v0) - 1e-3  # the loss actually decreases
+        params = optax.apply_updates(params, upd)
+    assert best >= 0.99, f"gate fidelity floor not reached: best={best:.4f}"
 
 
 def test_noisy_simulation_runs(monkeypatch):
