@@ -17,32 +17,51 @@ Baseline: the same math built the way the upstream stack is built —
 sparse term-list H(t) closure evaluated per stage, dense rho, autograd
 through the unrolled DP5 loop (torch CPU, f64).
 
+Round-5 extension (VERDICT round-4 #2): the MID-SIZE regime.  The
+superop stack cannot be built past dim ~64 ((dim^2)^2 entries), so
+6-10 atom differentiable mesolve runs the DENSE form
+(solvers/solver.py _make_me_step_dense: H(t) materialized per stage,
+RHS = (dim, dim) matmuls on the MXU).  This bench parametrizes the
+atom count / solver / form so the decision table covers dim 8-256.
+
 Usage:  python bench_mesolve.py            # TPU (or whatever axon gives)
         PDT_BENCH_CPU=1 python bench_mesolve.py   # CPU mechanism test
-Prints one JSON line {"torch_s", "jax_s", "ratio", "value_diff",
-"grad_diff"} on stdout; phase breakdown on stderr.
+        PDT_MESOLVE_N=6 PDT_MESOLVE_SOLVER=DP5_ME_F32 \
+            PDT_MESOLVE_SKIP_TORCH=1 python bench_mesolve.py
+Env knobs: PDT_MESOLVE_N (atoms, default 3), PDT_MESOLVE_SOLVER
+(DP5_ME / DP5_ME_F32), PDT_MESOLVE_FORM (me_form override),
+PDT_MESOLVE_SKIP_TORCH (reuse a recorded torch number: at N>=6 the
+baseline takes minutes per run).
+Prints one JSON line {"n", "solver", "form", "torch_s", "jax_s",
+"ratio", "value_diff", "grad_diff"} on stdout; breakdown on stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from math import pi, sin
 
 import numpy as np
 
-N_QUBITS = 3
+N_QUBITS = int(os.environ.get("PDT_MESOLVE_N", "3"))
 DURATION = 400
 N_PARAMS = 4
 SAMPLING_RATE = 0.5
 SPACING = 8.0
 DET0 = -1.0
 DEPHASING_RATE = 0.05
+SOLVER = os.environ.get("PDT_MESOLVE_SOLVER", "DP5_ME")
+ME_FORM = os.environ.get("PDT_MESOLVE_FORM") or None
 
 
 def _coords():
-    return [(SPACING * i, 0.0) for i in range(N_QUBITS)]
+    # line for <=4 atoms, 4-wide grid above (keeps interactions sane)
+    return [
+        (SPACING * (i % 4), SPACING * (i // 4)) for i in range(N_QUBITS)
+    ]
 
 
 def _interp_matrix():
@@ -227,15 +246,17 @@ def jax_side(params0: np.ndarray, n_timings: int = 3):
         "ryd",
     )
     M = jnp.asarray(_interp_matrix())
+    extra = {"me_form": ME_FORM} if ME_FORM else {}
     model = QuantumModel(
         seq,
         {"amp_samples": ((jnp.asarray(params0),), lambda v: M @ v)},
         sampling_rate=SAMPLING_RATE,
-        solver="DP5_ME",
+        solver=SOLVER,
         noise_config=SimConfig(
             noise="dephasing", dephasing_rate=DEPHASING_RATE
         ),
         evaluation_times="Minimal",
+        **extra,
     )
     obs = total_magnetization(N_QUBITS)
     exp_fn = model.expectation_fn(obs)
@@ -265,26 +286,48 @@ def jax_side(params0: np.ndarray, n_timings: int = 3):
 
 def main():
     params0 = np.linspace(1.0, 2.5, N_PARAMS)
-    t_torch, v_t, g_t = torch_baseline(params0)
-    print(
-        f"[mesolve-bench] torch/CPU reference arch: {t_torch*1e3:.1f} ms  "
-        f"value={v_t:.9f}",
-        file=sys.stderr,
-    )
+    if os.environ.get("PDT_MESOLVE_SKIP_TORCH"):
+        t_torch, v_t, g_t = float("nan"), None, None
+        print("[mesolve-bench] torch baseline skipped", file=sys.stderr)
+    else:
+        t_torch, v_t, g_t = torch_baseline(
+            params0, n_timings=3 if N_QUBITS <= 4 else 1
+        )
+        print(
+            f"[mesolve-bench] torch/CPU reference arch: {t_torch*1e3:.1f} ms"
+            f"  value={v_t:.9f}",
+            file=sys.stderr,
+        )
     times, v_j, g_j = jax_side(params0)
     print(
-        f"[mesolve-bench] jax DP5_ME: compile={times['compile']:.1f} s  "
+        f"[mesolve-bench] jax {SOLVER} (N={N_QUBITS}"
+        f"{', form=' + ME_FORM if ME_FORM else ''}): "
+        f"compile={times['compile']:.1f} s  "
         f"step={times['step']*1e3:.2f} ms  value={v_j:.9f}",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
-                "torch_s": round(t_torch, 6),
+                "n": N_QUBITS,
+                "solver": SOLVER,
+                "form": ME_FORM or "auto",
+                "torch_s": round(t_torch, 6) if v_t is not None else None,
                 "jax_s": round(times["step"], 6),
-                "ratio": round(t_torch / times["step"], 2),
-                "value_diff": float(abs(v_t - v_j)),
-                "grad_diff": float(np.abs(g_t - g_j).max()),
+                "ratio": (
+                    round(t_torch / times["step"], 2)
+                    if v_t is not None
+                    else None
+                ),
+                "value_diff": (
+                    float(abs(v_t - v_j)) if v_t is not None else None
+                ),
+                "grad_diff": (
+                    float(np.abs(g_t - g_j).max())
+                    if v_t is not None
+                    else None
+                ),
+                "value": float(v_j),
             }
         )
     )

@@ -28,7 +28,8 @@ DET0 = -2.0
 SPACING = 10.0
 
 
-def run(n_qubits: int, fused: bool, n_timings: int = 3, solver: str | None = None):
+def run(n_qubits: int, fused: bool, n_timings: int = 3, solver: str | None = None,
+        ckpt: bool | None = None):
     import os
 
     import jax
@@ -78,6 +79,8 @@ def run(n_qubits: int, fused: bool, n_timings: int = 3, solver: str | None = Non
         from pulser_diff_tpu.solvers import SolverType
 
         extra["solver"] = getattr(SolverType, solver)
+    if ckpt is not None:
+        extra["ckpt"] = ckpt
     model = QuantumModel(
         seq,
         {"amp_samples": ((jnp.linspace(1.0, 3.0, N_PARAMS),), lambda v: M @ v)},
@@ -123,6 +126,25 @@ def main():
     # At N >= 18 prefer "f32": the f64 path costs minutes per probe.
     which = sys.argv[2] if len(sys.argv) > 2 else "both"
     out = {"n_qubits": n, "dim": 2**n}
+    if which in ("ckpt", "ckpt_noauto"):
+        # HBM-checkpointed fused adjoint probe (the N=18 wall attack):
+        # DP5_PALLAS forces the fused path; ckpt=True selects the
+        # checkpointed forward + reconstruction-free adjoint
+        ck, t_c, v_c, g_c = run(
+            n, fused=True, solver="DP5_PALLAS",
+            ckpt=(which == "ckpt"),
+        )
+        print(
+            f"[scaling] N={n} {which}: compile={ck:.1f}s "
+            f"step={t_c*1e3:.2f}ms value={v_c:.9f}",
+            file=sys.stderr,
+        )
+        out["ckpt_step_s"] = round(t_c, 6)
+        out["ckpt_compile_s"] = round(ck, 1)
+        out["ckpt_value"] = v_c
+        out["ckpt_grad"] = [float(x) for x in np.asarray(g_c).ravel()[:8]]
+        print(json.dumps(out))
+        return
     if which == "rk4":
         ck, t_rk, v_rk, g_rk = run(n, fused=True, solver="RK4_PALLAS")
         print(

@@ -55,8 +55,8 @@ _DETERMINISTIC_NOISES = _LINDBLAD_NOISES | {"SPAM", "amplitude", "leakage"}
 # unknown keys (e.g. the dead reference-era `nsteps`) are rejected
 _RUN_OPTIONS = {
     "substeps", "max_step", "krylov_dim", "krylov_tol",
-    "rtol", "atol", "max_iters", "fused", "superop",
-    "remat", "n_segments", "n_traj",
+    "rtol", "atol", "max_iters", "fused", "superop", "me_form",
+    "remat", "n_segments", "n_traj", "ckpt",
 }
 
 
@@ -541,9 +541,17 @@ class TpuEmulator:
             p = Cplx(
                 psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
             )
+            # HBM-checkpointed adjoint: auto at sizes where the in-kernel
+            # reverse-reconstruction adjoint's register spill exceeds the
+            # 128 MiB VMEM (dim >= _FUSED_DIM_CAP, SCALING.md N=18 wall);
+            # run(..., ckpt=True/False) overrides
+            ckpt = opts.get("ckpt")
+            if ckpt is None:
+                ckpt = dim >= self._FUSED_DIM_CAP
             states = pallas_evolve_states(
                 ham_data, p, grid.refined(substeps),
                 method=self._PALLAS_METHODS[solver], interpret=interpret,
+                ckpt=bool(ckpt),
             )
             n_eval = states.re.shape[0]
             return Cplx(
@@ -566,6 +574,7 @@ class TpuEmulator:
                 ham_data, rho0, collapse, h._size, h.dim, grid,
                 solver=solver, substeps=substeps,
                 superop=opts.get("superop"),
+                me_form=opts.get("me_form"),
             )
         raise ValueError(f"Solver {solver} not available.")
 

@@ -412,6 +412,8 @@ class QuantumModel:
         if noise & _LINDBLAD_NOISES and solver not in (
             SolverType.DP5_ME,
             SolverType.RK4_ME,
+            SolverType.DP5_ME_F32,
+            SolverType.RK4_ME_F32,
         ):
             solver = SolverType.DP5_ME
         substeps = int(self.options.get("substeps", self._default_substeps()))
@@ -441,6 +443,79 @@ class QuantumModel:
             times, states = self._states_fn(params)
             vals = _expect(obs, states)
             return times, vals.re
+
+        return fn
+
+    def expectation_mcwf_fn(
+        self,
+        obs: Optional[Cplx] = None,
+        *,
+        key: jax.Array,
+        n_traj: int,
+        substeps: Optional[int] = None,
+    ) -> Callable[[Mapping[str, Any]], tuple]:
+        """Pure fn: params -> (eval_times, (n_eval,) trajectory-averaged
+        expectation values) via quantum-jump (MCWF) trajectories — the
+        differentiable Lindblad path at STATEVECTOR cost.
+
+        Gradient semantics (fixed-realization pathwise estimator): the
+        PRNG ``key`` pins the jump realizations, so ``jax.grad`` through
+        this function differentiates the drift evolution, jump
+        applications and normalizations exactly while holding the
+        discrete jump times/channel draws constant.  The estimator bias
+        (the missing dependence of jump statistics on the parameters)
+        vanishes with the per-step jump probability; it is validated
+        against DP5_ME gradients at small N in
+        tests/test_mcwf.py::test_mcwf_gradient_matches_mesolve.  Use the
+        ME forms (``solver="DP5_ME"``; dense matmul RHS up to dim 2048)
+        when unbiased noise-rate gradients are required — MCWF's value
+        is the regime where rho (dim^2) no longer fits (N >= 12).
+
+        The reference has no trajectory unraveling at all (Lindblad goes
+        through pyqtorch mesolve, ref backend.py:495-509).
+        """
+        from pulser_diff_tpu.solvers.mcwf import mcsolve
+
+        if obs is None:
+            obs = total_magnetization(len(self.register.qubit_ids), dense=False)
+        obs = as_cplx(obs, dtype=default_dtype())
+        drift = (
+            SolverType.DP5_SE_F32
+            if self.solver == SolverType.MCWF_F32
+            else SolverType.DP5_SE
+        )
+
+        def fn(params):
+            sim = self._make_emulator(params)
+            h = sim._hamiltonian
+            grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+            ss = (
+                int(substeps)
+                if substeps is not None
+                else int(self.options.get("substeps", self._default_substeps()))
+            )
+            psi0 = sim._initial_state  # (dim, nb)
+            if psi0.re.shape[1] != 1:
+                raise ValueError(
+                    "expectation_mcwf_fn requires a single (non-batched) "
+                    "initial state."
+                )
+            da, db = h.dim**h._a, h.dim**h._b
+            p0 = Cplx(psi0.re[:, 0].reshape(da, db), psi0.im[:, 0].reshape(da, db))
+            res = mcsolve(
+                h._ham_data, p0, h._collapse_ops, h._size, h.dim, grid,
+                key, n_traj, solver=drift, substeps=ss,
+            )
+            st = res.states  # (n_eval, R, da, db)
+            n_eval, R = st.re.shape[:2]
+            dim = da * db
+            # (R, n_eval, dim, 1) -> per-trajectory expectation -> mean
+            traj = Cplx(
+                jnp.transpose(st.re.reshape(n_eval, R, dim), (1, 0, 2))[..., None],
+                jnp.transpose(st.im.reshape(n_eval, R, dim), (1, 0, 2))[..., None],
+            )
+            vals = jax.vmap(lambda s: _expect(obs, s).re)(traj)  # (R, n_eval)
+            return sim._eval_times_array, jnp.mean(vals, axis=0)
 
         return fn
 

@@ -431,11 +431,14 @@ def _erk_increment(stage, x, y, h, bh, bl, A, B_np, S):
 # depends on (K > 0, states-mode, fwd/bwd); _Refs unpacks it
 # ----------------------------------------------------------------------
 class _Refs:
-    def __init__(self, refs, *, K, bwd, states):
+    def __init__(self, refs, *, K, bwd, states, ckpt=False):
         it = iter(refs)
         if bwd:
             self.in_re = next(it)
             self.in_im = next(it)
+            if ckpt:  # interval start states come from the HBM checkpoint
+                self.psi_re = next(it)
+                self.psi_im = next(it)
             self.lam_re = next(it)
             self.lam_im = next(it)
         else:
@@ -444,13 +447,13 @@ class _Refs:
         self.rp, self.rpt = next(it), next(it)
         self.cp, self.cpt = next(it), next(it)
         self.zf = [next(it) for _ in range(8)]  # fwd-node hi/lo streams
-        if bwd:
+        if bwd and not ckpt:
             self.zb = [next(it) for _ in range(4)]  # mirror-node streams
         if K:
             self.kr, self.krt = next(it), next(it)
             self.kc, self.kct = next(it), next(it)
             self.zkf = [next(it) for _ in range(4)]
-            if bwd:
+            if bwd and not ckpt:
                 self.zkb = [next(it) for _ in range(2)]
         self.hb_hi, self.hb_lo, self.hs = next(it), next(it), next(it)
         self.diag, self.diag_lo = next(it), next(it)
@@ -464,6 +467,9 @@ class _Refs:
                 self.krbar, self.kcbar = next(it), next(it)
         else:
             self.out_re, self.out_im = next(it), next(it)
+            if ckpt:  # loop-carried state words persist in constant blocks
+                self.car_x, self.car_y = next(it), next(it)
+                self.car_cx, self.car_cy = next(it), next(it)
         rest = list(it)
         assert not rest, f"unconsumed refs: {len(rest)}"
 
@@ -554,9 +560,19 @@ def _load_consts(r: _Refs):
 
 # Hoist the per-step stream loads out of the stage loop (one dynamic
 # VMEM slice per array per STEP; stages index the loaded block
-# statically).  Flag-gated until hardware-validated: static slicing of
-# VALUES is a different Mosaic lowering path than slicing refs.
-_HOIST_STEP_LOADS = bool(int(__import__("os").environ.get("PDT_KERNEL_HOIST", "0")))
+# statically).  Hardware A/B (SCALING.md): a wash at N=12 (3.30 vs
+# 3.29 ms/iter), ~5 % at N=16 (44.0 vs 41.9 ms) — so the default is
+# dim-based: hoisted at dim >= 2^16, plain below (PDT_KERNEL_HOIST=0/1
+# forces either everywhere).  The decision is a pure function of the
+# state shape, so jit caching stays consistent.
+_HOIST_ENV = __import__("os").environ.get("PDT_KERNEL_HOIST", "")
+_HOIST_DIM_THRESHOLD = 2**16
+
+
+def _hoist_default(dim: int) -> bool:
+    if _HOIST_ENV in ("0", "1"):
+        return _HOIST_ENV == "1"
+    return dim >= _HOIST_DIM_THRESHOLD
 
 # Force the direct 4-matmul stage form (no 2da-block composition) — VMEM
 # headroom lever for the largest fused sizes; parity-pinned in interpret
@@ -576,7 +592,7 @@ _WIDE_ADJ = bool(int(__import__("os").environ.get("PDT_KERNEL_WIDE_ADJ", "0")))
 # forward kernels (leading grid axis = run)
 # ----------------------------------------------------------------------
 def _fwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
-                n_eval=0):
+                n_eval=0, hoist=False):
     from jax.experimental import pallas as pl
 
     r = _Refs(refs, K=K, bwd=False, states=states)
@@ -593,7 +609,7 @@ def _fwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
     def body(k, carry):
         x, y, cx, cy = carry
         h = r.hs[k, 0]
-        if _HOIST_STEP_LOADS:
+        if hoist:
             hbk, blk = r.hb_hi[k], r.hb_lo[k]
             bh = [hbk[s] for s in range(S)]
             bl = [blk[s] for s in range(S)]
@@ -729,7 +745,7 @@ def _kron_matrix_cotangents(side: _Side, kbx, kby, ux, uy, nb,
 
 
 def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
-                  *, pr, pc, nb, A, B_np, S, K):
+                  *, pr, pc, nb, A, B_np, S, K, hoist=False):
     """Reverse one ERK interval: reconstruct the start state from the
     mirror-node streams, run the exact transpose of the stage recursion
     on the costate, and write the packed per-step coefficient cotangents.
@@ -742,15 +758,15 @@ def _bwd_interval(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
     fn = _bwd_interval_wide if _WIDE_ADJ else _bwd_interval_lean
     return fn(
         r, k, x1, y1, lx, ly, dbar, krbar, kcbar,
-        pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K,
+        pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K, hoist=hoist,
     )
 
 
-def _bwd_step_prelude(r: _Refs, k, *, S, K):
+def _bwd_step_prelude(r: _Refs, k, *, S, K, hoist=False):
     """Per-step h, two-word b-weights and (optionally hoisted) stream
     loads, shared by both adjoint interval forms."""
     h = r.hs[k, 0]
-    if _HOIST_STEP_LOADS:
+    if hoist:
         hbk, blk = r.hb_hi[k], r.hb_lo[k]
         bh = [hbk[s] for s in range(S)]
         bl = [blk[s] for s in range(S)]
@@ -793,7 +809,7 @@ def _stage_cotangent_rows(r: _Refs, side, kbx, kby, ux, uy,
 
 
 def _bwd_interval_lean(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
-                       *, pr, pc, nb, A, B_np, S, K):
+                       *, pr, pc, nb, A, B_np, S, K, hoist=False):
     """Lean adjoint interval: identical math to the wide form, scheduled
     for a minimal VMEM live set.
 
@@ -811,7 +827,7 @@ def _bwd_interval_lean(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
     cotangents changes (f32 reassociation ~1e-7); every per-value FMA
     chain is unchanged, so interpret-mode parity with the wide form holds
     at roundoff."""
-    h, bhl, zstep = _bwd_step_prelude(r, k, S=S, K=K)
+    h, bhl, zstep = _bwd_step_prelude(r, k, S=S, K=K, hoist=hoist)
 
     def make_side(s, mirror=False):
         return r.side(k, s, K=K, pr=pr, pc=pc, mirror=mirror, zstep=zstep)
@@ -837,6 +853,27 @@ def _bwd_interval_lean(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
         x0 = x0 - bhl[s] * rkx[s]
         y0 = y0 - bhl[s] * rky[s]
 
+    lx_new, ly_new, dbar, krbar, kcbar, rows = _adjoint_core(
+        r, x0, y0, lx, ly, dbar, krbar, kcbar, h, bhl, make_side,
+        pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K,
+    )
+    r_used = len(rows)
+    r_pad = r.zbar.shape[1]
+    if r_used < r_pad:
+        rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
+    r.zbar[k] = jnp.concatenate(rows, axis=0)
+
+    return x0, y0, lx_new, ly_new, dbar, krbar, kcbar
+
+
+def _adjoint_core(r, x0, y0, lx, ly, dbar, krbar, kcbar, h, bhl, make_side,
+                  *, pr, pc, nb, A, B_np, S, K):
+    """Phases 2+3 of the lean adjoint interval, from the interval START
+    state: forward stage recompute + reversed transpose recursion with
+    fused cotangent work.  Shared by the in-kernel reverse-reconstruction
+    form (_bwd_interval_lean) and the HBM-checkpointed form
+    (_bwd_ckpt_kernel), so their per-stage arithmetic is identical.
+    Returns (lx', ly', dbar', krbar', kcbar', rows)."""
     # --- recompute forward stage inputs u_s from y_k (fk[S-1] unused) --
     us = []
     fkx, fky = [], []
@@ -884,21 +921,15 @@ def _bwd_interval_lean(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
         ly_new = ly_new + w[s][1]
 
     rows = [row for srows in rows_by_stage for row in srows]
-    r_used = len(rows)
-    r_pad = r.zbar.shape[1]
-    if r_used < r_pad:
-        rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
-    r.zbar[k] = jnp.concatenate(rows, axis=0)
-
-    return x0, y0, lx_new, ly_new, dbar, krbar, kcbar
+    return lx_new, ly_new, dbar, krbar, kcbar, rows
 
 
 def _bwd_interval_wide(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
-                       *, pr, pc, nb, A, B_np, S, K):
+                       *, pr, pc, nb, A, B_np, S, K, hoist=False):
     """Wide (round-3) adjoint interval: all stage sides assembled up
     front, cotangent pass as a separate phase.  Kept behind
     PDT_KERNEL_WIDE_ADJ=1 as the A/B reference for the lean form."""
-    h, bhl, zstep = _bwd_step_prelude(r, k, S=S, K=K)
+    h, bhl, zstep = _bwd_step_prelude(r, k, S=S, K=K, hoist=hoist)
 
     sides = [r.side(k, s, K=K, pr=pr, pc=pc, zstep=zstep)
              for s in range(S)]
@@ -993,7 +1024,7 @@ def _bwd_interval_wide(r: _Refs, k, x1, y1, lx, ly, dbar, krbar, kcbar,
 
 
 def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
-                n_eval=0, last_slot=0):
+                n_eval=0, last_slot=0, hoist=False):
     r = _Refs(refs, K=K, bwd=True, states=states)
     _load_consts(r)
 
@@ -1014,7 +1045,7 @@ def _bwd_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K, states,
         k = jnp.asarray(n_steps - 1, jnp.int32) - i
         x0, y0, lx, ly, dbar, krbar, kcbar = _bwd_interval(
             r, k, x1, y1, lx, ly, dbar, krbar, kcbar,
-            pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K,
+            pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K, hoist=hoist,
         )
         if states:
             # grid point k: reload the stored state / add slot cotangent
@@ -1205,6 +1236,7 @@ def _build_call(data, method, interpret, *, bwd, states, slots=None,
         _bwd_kernel if bwd else _fwd_kernel,
         n_steps=n_steps, pr=pr, pc=pc, nb=nb,
         A=A, B_np=B_np, S=S, K=K, states=states, n_eval=n_eval,
+        hoist=_hoist_default(psi_shape[-2] * psi_shape[-1]),
         **({"last_slot": int(last_slot)} if bwd else {}),
     )
 
@@ -1379,6 +1411,310 @@ fused_evolve_states.defvjp(_fused_states_fwd, _fused_states_bwd)
 
 
 # ----------------------------------------------------------------------
+# HBM-checkpointed fused adjoint (the N=18 fused-gradient path)
+# ----------------------------------------------------------------------
+# The in-kernel adjoint reconstructs the reverse trajectory inside ONE
+# grid step per run, so Mosaic schedules the whole 166-step recursion as
+# a single straight-line loop body and spills ~155 MiB of reordered live
+# values at dim 2^18 (SCALING.md: byte-identical across the wide/lean/
+# hoist forms — a compiler-scheduling wall, not a dataflow wall).  The
+# checkpointed form changes the STRUCTURE instead of the schedule:
+#   - the forward kernel runs with grid (R, n_steps), carrying the state
+#     in constant-index output blocks (revisited blocks persist in VMEM
+#     across grid steps) and writing EVERY step state to an HBM-resident
+#     per-step output block ((R, n_steps, nb, da, db) — 332 MB at N=18,
+#     trivially HBM);
+#   - the adjoint kernel also runs with grid (R, n_steps), REVERSED via
+#     its index maps: each grid step DMAs one stored start state in,
+#     skips the reverse-time reconstruction entirely (no mirror sides,
+#     no rkx/rky stage set) and runs only the forward-stage recompute +
+#     transpose recursion (_adjoint_core — arithmetic shared with the
+#     lean form, so parity is structural).
+# Per-grid-step VMEM is one interval minus the reconstruction phase
+# (~2/3 of the dataflow live set), and stored states double as EXACT
+# interval starts (the in-kernel form's reverse reconstruction is only
+# O(h^{p+1}) accurate).  Two DMAs of ~1-2 MB per step ride under the
+# ~0.6 ms/step compute at N=18.
+def _specs_ckpt(n_steps: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def _z():
+        return jnp.zeros((), jnp.int32)
+
+    def _i(v):
+        return jnp.asarray(v, jnp.int32)
+
+    def run_const(shape):
+        rest = shape[1:]
+        return pl.BlockSpec(
+            (None,) + tuple(rest),
+            lambda r, k: (_i(r),) + (_z(),) * len(rest),
+            memory_space=pltpu.VMEM,
+        )
+
+    def shared(shape):
+        n = len(shape)
+        return pl.BlockSpec(
+            tuple(shape), lambda r, k: (_z(),) * n,
+            memory_space=pltpu.VMEM,
+        )
+
+    def step_block(shape, rev=False, shift=False):
+        rest = shape[2:]
+
+        def imap(r, k):
+            step = (_i(n_steps - 1) - _i(k)) if rev else _i(k)
+            if shift:
+                step = jnp.maximum(step - 1, _z())
+            return (_i(r), step) + (_z(),) * len(rest)
+
+        return pl.BlockSpec(
+            (None, None) + tuple(rest), imap, memory_space=pltpu.VMEM
+        )
+
+    return run_const, shared, step_block
+
+
+def _fwd_ckpt_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K):
+    from jax.experimental import pallas as pl
+
+    r = _Refs(refs, K=K, bwd=False, states=False, ckpt=True)
+    _load_consts(r)
+    k = jnp.asarray(pl.program_id(1), jnp.int32)
+
+    @pl.when(k == jnp.int32(0))
+    def _():
+        r.car_x[...] = r.psi_re[...]
+        r.car_y[...] = r.psi_im[...]
+        r.car_cx[...] = jnp.zeros_like(r.psi_re[...])
+        r.car_cy[...] = jnp.zeros_like(r.psi_im[...])
+
+    x, y = r.car_x[...], r.car_y[...]
+    cx, cy = r.car_cx[...], r.car_cy[...]
+    h = r.hs[k, 0]
+    bh = [r.hb_hi[k, s] for s in range(S)]
+    bl = [r.hb_lo[k, s] for s in range(S)]
+
+    def stage(s, xs, ys):
+        return r.side(k, s, K=K, pr=pr, pc=pc).apply_minus_iH(xs, ys, nb)
+
+    dx, dy = _erk_increment(stage, x, y, h, bh, bl, A, B_np, S)
+    x, cx = _kahan_add(x, cx, dx)
+    y, cy = _kahan_add(y, cy, dy)
+    r.out_re[...] = x
+    r.out_im[...] = y
+    r.car_x[...], r.car_y[...] = x, y
+    r.car_cx[...], r.car_cy[...] = cx, cy
+
+
+def _bwd_ckpt_kernel(*refs, n_steps, pr, pc, nb, A, B_np, S, K):
+    from jax.experimental import pallas as pl
+
+    r = _Refs(refs, K=K, bwd=True, states=False, ckpt=True)
+    _load_consts(r)
+    i = jnp.asarray(pl.program_id(1), jnp.int32)
+    k = jnp.asarray(n_steps - 1, jnp.int32) - i  # reverse-time step
+
+    @pl.when(i == jnp.int32(0))
+    def _():
+        r.lam0_re[...] = jnp.zeros_like(r.lam_re[...])
+        r.lam0_im[...] = jnp.zeros_like(r.lam_im[...])
+        r.dbar[...] = jnp.zeros_like(r.diag_v)
+        if K:
+            for k_ in range(K):
+                r.krbar[k_] = jnp.zeros_like(r.kr[k_])
+                r.kcbar[k_] = jnp.zeros_like(r.kc[k_])
+
+    # inject the cotangent of the state at grid point k+1 (= stored[k]):
+    # lam is a per-step block, so eval-time cotangents arrive exactly at
+    # their steps and a final-state-only loss is just a one-hot lam
+    lx = r.lam0_re[...] + r.lam_re[...]
+    ly = r.lam0_im[...] + r.lam_im[...]
+    dbar = r.dbar[...]
+    krbar = tuple(r.krbar[k_] for k_ in range(K)) if K else ()
+    kcbar = tuple(r.kcbar[k_] for k_ in range(K)) if K else ()
+
+    # interval start state: stored[k-1] (the block's index map clamps
+    # k-1 to 0, so the DMA is always in range); psi0 at k == 0
+    use0 = k == jnp.int32(0)
+    x0 = jnp.where(use0, r.psi_re[...], r.in_re[...])
+    y0 = jnp.where(use0, r.psi_im[...], r.in_im[...])
+
+    h = r.hs[k, 0]
+    bh = [r.hb_hi[k, s] for s in range(S)]
+    bl = [r.hb_lo[k, s] for s in range(S)]
+    bhl = [bh[s] + bl[s] for s in range(S)]
+
+    def make_side(s, mirror=False):
+        return r.side(k, s, K=K, pr=pr, pc=pc)
+
+    lx, ly, dbar, krbar, kcbar, rows = _adjoint_core(
+        r, x0, y0, lx, ly, dbar, krbar, kcbar, h, bhl, make_side,
+        pr=pr, pc=pc, nb=nb, A=A, B_np=B_np, S=S, K=K,
+    )
+    r_used = len(rows)
+    r_pad = r.zbar.shape[0]
+    if r_used < r_pad:
+        rows.append(jnp.zeros((r_pad - r_used, 128), jnp.float32))
+    r.zbar[...] = jnp.concatenate(rows, axis=0)
+    r.lam0_re[...], r.lam0_im[...] = lx, ly
+    r.dbar[...] = dbar
+    if K:
+        for k_ in range(K):
+            r.krbar[k_] = krbar[k_]
+            r.kcbar[k_] = kcbar[k_]
+
+
+def _build_ckpt_call(data, method, interpret, *, bwd, extra_in=()):
+    """pallas_call for the checkpointed forward/adjoint kernels
+    (grid (R, n_steps); per-step stored-state blocks, constant-index
+    carry blocks)."""
+    from jax.experimental import pallas as pl
+
+    R, n_steps, pr, pc, nb, K = _dims(data)
+    A, B_np, S = _tableau(method)
+    rp, cp = data["rp"], data["cp"]
+    rpt = jnp.swapaxes(rp, -1, -2)
+    cpt = jnp.swapaxes(cp, -1, -2)
+    run_const, shared, step_block = _specs_ckpt(n_steps)
+    f32 = jnp.float32
+    psi_shape = data["psi_re"].shape  # (R, nb, da, db)
+    states_shape = (R, n_steps) + tuple(psi_shape[1:])
+
+    args, specs = [], []
+
+    def add(x, spec):
+        args.append(x)
+        specs.append(spec)
+
+    if bwd:
+        st_re, st_im, lam_re, lam_im = extra_in
+        add(st_re, step_block(states_shape, rev=True, shift=True))
+        add(st_im, step_block(states_shape, rev=True, shift=True))
+        add(data["psi_re"], run_const(psi_shape))
+        add(data["psi_im"], run_const(psi_shape))
+        # per-step cotangents (R, n_steps, nb, da, db), reversed with k
+        add(lam_re, step_block(states_shape, rev=True))
+        add(lam_im, step_block(states_shape, rev=True))
+    else:
+        add(data["psi_re"], run_const(psi_shape))
+        add(data["psi_im"], run_const(psi_shape))
+    for x in (rp, rpt, cp, cpt):
+        add(x, shared(x.shape))
+    for key in _ZF_KEYS:
+        add(data[key], run_const(data[key].shape))
+    if K:
+        kr, kc = data["kr"], data["kc"]
+        krt = jnp.swapaxes(kr, -1, -2)
+        kct = jnp.swapaxes(kc, -1, -2)
+        for x in (kr, krt, kc, kct):
+            add(x, run_const(x.shape))
+        for key in _ZKF_KEYS:
+            add(data[key], run_const(data[key].shape))
+    add(data["hb_hi"], shared((n_steps, S)))
+    add(data["hb_lo"], shared((n_steps, S)))
+    add(data["hs"].reshape(n_steps, 1), shared((n_steps, 1)))
+    add(data["diag"], run_const(data["diag"].shape))
+    add(data["diag_lo"], run_const(data["diag_lo"].shape))
+
+    kern = partial(
+        _bwd_ckpt_kernel if bwd else _fwd_ckpt_kernel,
+        n_steps=n_steps, pr=pr, pc=pc, nb=nb,
+        A=A, B_np=B_np, S=S, K=K,
+    )
+
+    if bwd:
+        r_used = S * (2 * pr + 2 * pc + 2 * K)
+        r_pad = int(np.ceil(r_used / 8) * 8)
+        zbar_shape = (R, n_steps, r_pad, 128)
+        out_shape = (
+            jax.ShapeDtypeStruct(psi_shape, f32),
+            jax.ShapeDtypeStruct(psi_shape, f32),
+            jax.ShapeDtypeStruct(zbar_shape, f32),
+            jax.ShapeDtypeStruct(data["diag"].shape, f32),
+        )
+        out_specs = (
+            run_const(psi_shape), run_const(psi_shape),
+            step_block(zbar_shape, rev=True), run_const(data["diag"].shape),
+        )
+        if K:
+            kr_shape, kc_shape = data["kr"].shape, data["kc"].shape
+            out_shape = out_shape + (
+                jax.ShapeDtypeStruct(kr_shape, f32),
+                jax.ShapeDtypeStruct(kc_shape, f32),
+            )
+            out_specs = out_specs + (
+                run_const(kr_shape), run_const(kc_shape),
+            )
+    else:
+        out_shape = (
+            jax.ShapeDtypeStruct(states_shape, f32),
+            jax.ShapeDtypeStruct(states_shape, f32),
+        ) + (jax.ShapeDtypeStruct(psi_shape, f32),) * 4
+        out_specs = (
+            step_block(states_shape), step_block(states_shape),
+        ) + (run_const(psi_shape),) * 4
+
+    if interpret:
+        compiler_params = None
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=125 * 1024 * 1024
+        )
+    return pl.pallas_call(
+        kern,
+        grid=(R, n_steps),
+        out_shape=out_shape,
+        in_specs=specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(*args)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def fused_evolve_ckpt(method, interpret, data):
+    """Fused f32 ERK evolution emitting EVERY step state
+    ((R, n_steps, nb, da, db) re/im — state after step k at index k),
+    with the HBM-checkpointed adjoint: the backward sweep reads exact
+    per-step states from the HBM buffer instead of reconstructing them
+    in reverse, and accepts cotangents at every step — the form whose
+    adjoint fits VMEM at dim 2^18 (N=18).  Slice [:, -1] for the final
+    state; gather eval slots for the states contract."""
+    outs = _build_ckpt_call(data, method, interpret, bwd=False)
+    return outs[0], outs[1]
+
+
+def _fused_ckpt_fwd(method, interpret, data):
+    outs = _build_ckpt_call(data, method, interpret, bwd=False)
+    st_re, st_im = outs[0], outs[1]
+    return (st_re, st_im), (data, st_re, st_im)
+
+
+def _fused_ckpt_bwd(method, interpret, res, cot):
+    data, st_re, st_im = res
+    lam_re, lam_im = cot
+    R, n_steps, pr, pc, nb, K = _dims(data)
+    _, _, S = _tableau(method)
+    outs = _build_ckpt_call(
+        data, method, interpret, bwd=True,
+        extra_in=(st_re, st_im, lam_re, lam_im),
+    )
+    lam0_re, lam0_im, zbar_packed, dbar = outs[:4]
+    krbar, kcbar = (outs[4], outs[5]) if K else (None, None)
+    zbar = _unpack_zbar(zbar_packed, n_steps, pr, pc, K, S)
+    return (
+        _zero_like_aux(data, zbar, dbar, lam0_re, lam0_im, krbar, kcbar),
+    )
+
+
+fused_evolve_ckpt.defvjp(_fused_ckpt_fwd, _fused_ckpt_bwd)
+
+
+# ----------------------------------------------------------------------
 # public entry points
 # ----------------------------------------------------------------------
 def _stage_all(ham: FactoredHamiltonian, grid_times, method: str):
@@ -1459,14 +1795,21 @@ def pallas_evolve(
     grid_times: jax.Array,
     method: str = "DP5",
     interpret: bool = False,
+    ckpt: bool = False,
 ) -> Cplx:
     """Evolve psi0 (nb, da, db) over grid_times with the fused ERK kernel.
 
     Returns the FINAL state only (f32), differentiable w.r.t. the
     Hamiltonian coefficient streams / interaction diagonal / psi0 via the
-    Pallas adjoint kernel.
+    Pallas adjoint kernel.  ``ckpt=True`` selects the HBM-checkpointed
+    adjoint (per-step states stored by a (R, n_steps)-grid forward, the
+    backward sweep skips reverse reconstruction) — the form for sizes
+    where the in-kernel adjoint's register spill exceeds VMEM (N=18).
     """
     data = prepare_fused_inputs(ham, psi0, grid_times, method)
+    if ckpt:
+        st_re, st_im = fused_evolve_ckpt(method, interpret, data)
+        return Cplx(st_re[0, -1], st_im[0, -1])
     out_re, out_im = fused_evolve(method, interpret, data)
     return Cplx(out_re[0], out_im[0])
 
@@ -1477,11 +1820,18 @@ def pallas_evolve_states(
     grid,
     method: str = "DP5",
     interpret: bool = False,
+    ckpt: bool = False,
 ) -> Cplx:
     """Fused evolution emitting states at the grid's evaluation slots:
     (n_eval, nb, da, db), f32 — DIFFERENTIABLE via the states-adjoint
     kernel (the backward sweep reloads stored eval states, so with dense
-    evaluation times the reconstruction is exact)."""
+    evaluation times the reconstruction is exact).
+
+    ``ckpt=True``: the HBM-checkpointed form — the kernel stores EVERY
+    step state, the eval slots are XLA-side gathers (their cotangents
+    scatter back into the per-step lam buffer automatically), and the
+    adjoint needs no in-kernel reverse reconstruction (the N=18 path).
+    """
     data = prepare_fused_inputs(ham, psi0, grid.times, method)
     slots = tuple(int(s) for s in np.asarray(grid.write_slots))
     last_slot = slots[-1]
@@ -1490,6 +1840,21 @@ def pallas_evolve_states(
             "The final grid point must carry an evaluation slot (the "
             "emulator always unions {0, T} into evaluation times)."
         )
+    if ckpt:
+        st_re, st_im = fused_evolve_ckpt(method, interpret, data)
+        # grid point g (0..n_steps) carries slot s when slots[g] = s <
+        # n_eval; state at g is psi0 for g = 0, stored[g-1] otherwise
+        by_slot = {s: g for g, s in enumerate(slots) if s < grid.n_eval}
+        res, ims = [], []
+        for s in range(grid.n_eval):
+            g = by_slot[s]
+            if g == 0:
+                res.append(data["psi_re"][0])
+                ims.append(data["psi_im"][0])
+            else:
+                res.append(st_re[0, g - 1])
+                ims.append(st_im[0, g - 1])
+        return Cplx(jnp.stack(res), jnp.stack(ims))
     out_re, out_im = fused_evolve_states(
         method, interpret, slots, int(grid.n_eval), last_slot, data
     )

@@ -178,8 +178,25 @@ def mcsolve(
     n_traj: int,
     solver: str = SolverType.DP5_SE,
     substeps: int = 1,
+    remat: Optional[bool] = None,
 ) -> McwfResult:
     """Integrate the Lindblad equation by quantum-jump trajectories.
+
+    Differentiability (fixed-realization pathwise estimator): with a
+    fixed ``key`` the whole solve is one differentiable program —
+    ``jax.grad`` of a trajectory-averaged expectation flows through the
+    non-Hermitian drift, the jump applications and the normalizations,
+    while the DISCRETE stochastic decisions (threshold crossings,
+    channel draws) are held constant (integer comparisons carry no
+    tangent).  The estimator is therefore *biased*: it misses the
+    dependence of jump times/channel probabilities on the parameters.
+    For drive-parameter gradients at realistic rates the bias is small
+    (most steps are jump-free and the no-jump path is differentiated
+    exactly — validated against DP5_ME gradients in
+    tests/test_mcwf.py::test_mcwf_gradient_matches_mesolve); for
+    noise-RATE gradients prefer the ME forms (mesolve routes dim<=2048
+    through superop/dense matmul RHS).  ``remat`` checkpoints each RK
+    step in reverse mode (auto above the residual budget).
 
     Args:
         psi0: Cplx (da, db) initial pure state (shared by all
@@ -221,7 +238,7 @@ def mcsolve(
         with jax.default_matmul_precision("highest"):
             return mcsolve(
                 ham32, psi32, col32, n_qudits, qudit_dim, grid32, key,
-                n_traj, f32_alias[solver], substeps,
+                n_traj, f32_alias[solver], substeps, remat,
             )
     if solver == SolverType.DP5_SE:
         c, A, B = _DP5_C, _DP5_A, _DP5_B
@@ -372,10 +389,21 @@ def mcsolve(
         nj = nj + jumped.astype(jnp.int32)
         return p, thr, nj
 
+    from pulser_diff_tpu.solvers.solver import _auto_remat
+
+    if remat is None:
+        remat = _auto_remat(psi, n_steps, stages=len(c))
+
+    def drift_step(p, t0, t1):
+        return _explicit_rk_step(drift_rhs, t0, t1 - t0, p, c, A, B)
+
+    if remat:
+        drift_step = jax.checkpoint(drift_step)
+
     def body(carry, xs):
         p, thr, nj, buf = carry
         t0, t1, slot, us, ut = xs
-        p = _explicit_rk_step(drift_rhs, t0, t1 - t0, p, c, A, B)
+        p = drift_step(p, t0, t1)
         norm2 = _norm2(p)  # (R,) survival probability
         crossed = norm2 < thr
         p, thr, nj = jax.lax.cond(

@@ -988,6 +988,143 @@ def _make_me_step_superop(ham, collapse, n, d, solver, substeps):
 
 
 # ----------------------------------------------------------------------
+# Dense-matrix mesolve path (mid-size rho: 32 < dim <= 2048)
+# ----------------------------------------------------------------------
+# Between the superop fast path (whose (dim^2, dim^2) stack stops being
+# buildable past dim ~64: at dim=256 one superoperator is 4.3e9 complex
+# entries) and the sharded big-rho regime sits the reference-class 6-10
+# atom Lindblad workload (ref backend.py:495-509).  The factored
+# per-site RHS is einsum-tiny there (measured 0.37x vs torch-CPU at 3
+# atoms, STATUS.md) — the TPU-native mid-size form is DENSE matmuls:
+# materialize H(t) as one (dim, dim) Cplx per stage from precomputed
+# lifted part stacks (2 small einsums), lift the collapse ops to dense
+# (M, dim, dim) once per solve, and evaluate the whole RHS as
+# MXU-shaped (dim, dim) matmuls:
+#     -i[H, rho]            -> U = H rho;  -i(U - U^H)      (4 real mm)
+#     -1/2 {G, rho}, G=sum L^+L -> W = G rho;  -(W + W^H)/2  (4 real mm)
+#     sum_m L_m rho L_m^+   -> T = L rho (batched);  sum T L^+ (8 real
+#                              batched mm over the m axis)
+# Memory: stacks are (J + M + 2)(dim^2) reals — ~100 MB f64 at the
+# dim=2048 cap, trivially resident.
+_DENSE_ME_DIM_CAP = 2048
+
+
+def _dense_h_stacks(ham: FactoredHamiltonian):
+    """Precompute the dense Hermitian generator stacks.
+
+    Each real part P enters H as z(t) P + h.c. = x (P+P^T) + y i(P-P^T)
+    (x = Re z, y = Im z), so H(t) = diag(int) + sum_j x_j Sym_j
+    + i sum_j y_j Asym_j with Sym/Asym real (J, dim, dim) stacks in the
+    same part order as `interp_streams` (rows, cols, kron pairs).
+    """
+    da, db = ham.da, ham.db
+    dt_ = ham.int_diag.dtype
+    eye_a = jnp.eye(da, dtype=dt_)
+    eye_b = jnp.eye(db, dtype=dt_)
+    syms, asyms = [], []
+
+    def add_part(lift):
+        syms.append(lift + lift.T)
+        asyms.append(lift - lift.T)
+
+    for p in range(ham.row_parts.shape[0]):
+        add_part(jnp.kron(ham.row_parts[p], eye_b))
+    for p in range(ham.col_parts.shape[0]):
+        add_part(jnp.kron(eye_a, ham.col_parts[p]))
+    if ham.kron_row is not None:
+        for k in range(ham.kron_row.shape[0]):
+            add_part(jnp.kron(ham.kron_row[k], ham.kron_col[k]))
+    diag = jnp.diag(ham.int_diag.reshape(-1))
+    if not syms:
+        return diag, None, None
+    return diag, jnp.stack(syms), jnp.stack(asyms)
+
+
+def _dense_collapse(collapse: CollapseOps, n: int, d: int):
+    """Lift the per-site collapse ops to dense (M, dim, dim) Cplx, plus
+    G = sum_m L_m^+ L_m (dim, dim) Cplx."""
+    if collapse.ops is None:
+        return None, None
+    dim = d**n
+    ls_re, ls_im = [], []
+    for m, site in enumerate(collapse.sites):
+        lead, trail = d ** int(site), dim // (d ** (int(site) + 1))
+        il = jnp.eye(lead, dtype=collapse.ops.re.dtype)
+        it = jnp.eye(trail, dtype=collapse.ops.re.dtype)
+        ls_re.append(jnp.kron(il, jnp.kron(collapse.ops.re[m], it)))
+        ls_im.append(jnp.kron(il, jnp.kron(collapse.ops.im[m], it)))
+    L = Cplx(jnp.stack(ls_re), jnp.stack(ls_im))
+    g_re = jnp.einsum("mca,mcb->ab", L.re, L.re) + jnp.einsum(
+        "mca,mcb->ab", L.im, L.im
+    )
+    g_im = jnp.einsum("mca,mcb->ab", L.re, L.im) - jnp.einsum(
+        "mca,mcb->ab", L.im, L.re
+    )
+    return L, Cplx(g_re, g_im)
+
+
+def _make_me_step_dense(ham, collapse, n, d, solver, substeps):
+    c, A, B = (
+        (_DP5_C, _DP5_A, _DP5_B)
+        if solver in (SolverType.DP5_ME,)
+        else (_RK4_C, _RK4_A, _RK4_B)
+    )
+    diag, Sym, Asym = _dense_h_stacks(ham)
+    L, G = _dense_collapse(collapse, n, d)
+
+    def rhs(t, rho: Cplx) -> Cplx:
+        zr, zc, zk = interp_streams(ham, t)
+        xs = [zr.re, zc.re] + ([zk.re] if zk is not None else [])
+        ys = [zr.im, zc.im] + ([zk.im] if zk is not None else [])
+        h_re = diag
+        h_im = None
+        if Sym is not None:
+            x = jnp.concatenate(xs)
+            y = jnp.concatenate(ys)
+            h_re = h_re + jnp.einsum("j,jab->ab", x, Sym)
+            h_im = jnp.einsum("j,jab->ab", y, Asym)
+        # U = H rho;  -i[H, rho] = -i(U - U^H)  (H, rho hermitian)
+        u_re = h_re @ rho.re
+        u_im = h_re @ rho.im
+        if h_im is not None:
+            u_re = u_re - h_im @ rho.im
+            u_im = u_im + h_im @ rho.re
+        out = Cplx(u_re - u_re.T, u_im + u_im.T).mul_neg_i()
+        if L is not None:
+            # drift: W = G rho; -(W + W^H)/2
+            w_re = G.re @ rho.re - G.im @ rho.im
+            w_im = G.re @ rho.im + G.im @ rho.re
+            out = out - Cplx(w_re + w_re.T, w_im - w_im.T) * 0.5
+            # jumps: T = L rho (batched), sum_m T_m L_m^+
+            t_re = jnp.einsum("mab,bc->mac", L.re, rho.re) - jnp.einsum(
+                "mab,bc->mac", L.im, rho.im
+            )
+            t_im = jnp.einsum("mab,bc->mac", L.re, rho.im) + jnp.einsum(
+                "mab,bc->mac", L.im, rho.re
+            )
+            j_re = jnp.einsum("mac,mbc->ab", t_re, L.re) + jnp.einsum(
+                "mac,mbc->ab", t_im, L.im
+            )
+            j_im = jnp.einsum("mac,mbc->ab", t_im, L.re) - jnp.einsum(
+                "mac,mbc->ab", t_re, L.im
+            )
+            out = out + Cplx(j_re, j_im)
+        return out
+
+    def step(rho: Cplx, t0, t1):
+        h = (t1 - t0) / substeps
+
+        def sub(i, p):
+            return _explicit_rk_step(rhs, t0 + i * h, h, p, c, A, B)
+
+        if substeps == 1:
+            return sub(0, rho)
+        return jax.lax.fori_loop(0, substeps, sub, rho)
+
+    return step
+
+
+# ----------------------------------------------------------------------
 # the scan driver (shared by sesolve / mesolve)
 # ----------------------------------------------------------------------
 # Residual-storage budget for reverse-mode: below it, store solver-stage
@@ -1227,16 +1364,25 @@ def mesolve(
     remat: Optional[bool] = None,
     n_segments: Optional[int] = None,
     superop: Optional[bool] = None,
+    me_form: Optional[str] = None,
 ) -> Cplx:
     """Integrate the Lindblad master equation.
 
     rho0: Cplx (dim, dim).  Returns (n_eval, dim, dim).
     remat / n_segments as in :func:`sesolve` (sqrt-checkpointing keeps
     10+-atom density-matrix gradients inside HBM).
-    superop=None auto-selects the Liouville-vectorized stepper for
-    dim <= 32 (one (dim^2, dim^2) matmul per RK stage — the TPU-fast
-    form for reference-scale ME workloads); pass False to force the
-    factored per-site RHS, True to force vectorization.
+
+    RHS form selection (auto by dim unless overridden):
+      - dim <= 32: Liouville-vectorized superop stepper (one
+        (dim^2, dim^2) matmul per RK stage — measured 3.75x torch-CPU
+        at 3 atoms);
+      - 32 < dim <= 2048: DENSE form (H(t) materialized per stage,
+        RHS = (dim, dim) matmuls on the MXU — the mid-size 6-10 atom
+        regime where the superop stack no longer fits and the factored
+        einsums are tiny);
+      - above: factored per-site RHS (pairs with sharded_mesolve).
+    ``me_form`` in {"superop", "dense", "factored"} forces a form;
+    legacy ``superop=True/False`` forces superop / factored.
     """
     if solver in _F32_ME_SOLVERS:
         f32 = jnp.float32
@@ -1256,15 +1402,32 @@ def mesolve(
             return mesolve(
                 ham32, rho32, col32, n_qudits, qudit_dim, grid32,
                 _F32_ME_SOLVERS[solver], substeps, remat, n_segments,
-                superop,
+                superop, me_form,
             )
     n_steps = grid.times.shape[0] * substeps
     if remat is None:
         remat = _auto_remat(rho0, n_steps)
     if n_segments is None:
         n_segments = _auto_segments(rho0, n_steps)
-    if superop is None:
-        superop = ham.dim <= _SUPEROP_DIM_CAP
-    make = _make_me_step_superop if superop else _make_me_step
-    step = make(ham, collapse, n_qudits, qudit_dim, solver, substeps)
+    if me_form is None:
+        if superop is True:
+            me_form = "superop"
+        elif superop is False:
+            me_form = "factored"
+        elif ham.dim <= _SUPEROP_DIM_CAP:
+            me_form = "superop"
+        elif ham.dim <= _DENSE_ME_DIM_CAP:
+            me_form = "dense"
+        else:
+            me_form = "factored"
+    makers = {
+        "superop": _make_me_step_superop,
+        "dense": _make_me_step_dense,
+        "factored": _make_me_step,
+    }
+    if me_form not in makers:
+        raise ValueError(
+            f"me_form must be one of {sorted(makers)}, got {me_form!r}"
+        )
+    step = makers[me_form](ham, collapse, n_qudits, qudit_dim, solver, substeps)
     return _integrate(step, rho0, grid, remat, n_segments)

@@ -389,3 +389,72 @@ def test_mcwf_diag_drift_matches_general_path(
     nj_f = np.asarray(fast.n_jumps)
     nj_g = np.asarray(general.n_jumps)
     assert (nj_f != nj_g).sum() <= 1
+
+
+# ----------------------------------------------------------------------
+# fixed-realization pathwise gradients (VERDICT round-4 #3)
+# ----------------------------------------------------------------------
+def _mcwf_model(omega=1.7, rate=0.15, n=2, duration=160, solver="MCWF"):
+    from pulser_diff_tpu.model import QuantumModel
+
+    reg = Register.from_coordinates(
+        [(9.0 * i, 0.0) for i in range(n)], prefix="q"
+    )
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    om = seq.declare_variable("omega")
+    seq.add(Pulse.ConstantPulse(duration, om, -0.6, 0.2), "ryd")
+    cfg = SimConfig(noise="dephasing", dephasing_rate=rate)
+    return QuantumModel(
+        seq, {"omega": jnp.asarray(omega)}, noise_config=cfg, solver=solver,
+        evaluation_times="Minimal",
+    )
+
+
+def test_mcwf_gradient_pathwise_fd():
+    """jax.grad through the fixed-key MCWF estimator must equal the
+    central finite difference of the SAME estimator (AD correctness
+    through drift + cond-gated jumps + normalizations in the scan)."""
+    model = _mcwf_model()
+    key = jax.random.PRNGKey(3)
+    fn = model.expectation_mcwf_fn(key=key, n_traj=8)
+
+    def loss(om):
+        _, vals = fn({"omega": om})
+        return vals[-1]
+
+    om0 = jnp.asarray(1.7)
+    g = float(jax.grad(loss)(om0))
+    eps = 1e-5
+    fd = float((loss(om0 + eps) - loss(om0 - eps)) / (2 * eps))
+    assert np.isfinite(g)
+    assert abs(g - fd) < 1e-5 * max(1.0, abs(fd)), (g, fd)
+
+
+def test_mcwf_gradient_matches_mesolve():
+    """The trajectory-averaged expectation gradient converges to the
+    DP5_ME gradient (the unbiased reference) — pins the documented
+    fixed-realization estimator at small N (bias + sampling noise inside
+    a few 1e-3 at realistic rates)."""
+    key = jax.random.PRNGKey(12)
+    mc_model = _mcwf_model(rate=0.08)
+    fn_mc = mc_model.expectation_mcwf_fn(key=key, n_traj=512)
+
+    me_model = _mcwf_model(rate=0.08, solver="DP5_ME")
+    fn_me = me_model.expectation_fn()
+
+    om0 = jnp.asarray(1.7)
+
+    def loss_mc(om):
+        return fn_mc({"omega": om})[1][-1]
+
+    def loss_me(om):
+        return fn_me({"omega": om})[1][-1]
+
+    v_mc, g_mc = jax.value_and_grad(loss_mc)(om0)
+    v_me, g_me = jax.value_and_grad(loss_me)(om0)
+    assert abs(float(v_mc) - float(v_me)) < 0.05  # 1/sqrt(R) value floor
+    scale = max(1.0, abs(float(g_me)))
+    assert abs(float(g_mc) - float(g_me)) < 0.02 * scale, (
+        float(g_mc), float(g_me),
+    )

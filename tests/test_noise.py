@@ -254,6 +254,126 @@ def test_superop_matches_factored_rhs(two_atom_register):
     assert np.abs(x1 - x2).max() < 1e-13
 
 
+def test_dense_me_form_matches_other_forms(two_atom_register):
+    """The DENSE mesolve form (mid-size default, solvers/solver.py
+    _make_me_step_dense: H(t) materialized per stage, RHS = (dim, dim)
+    matmuls) must match both the superop and factored forms exactly —
+    ising + two channels, XY kron-pair terms, and a noise-rate gradient
+    through the dense program."""
+    from pulser_diff_tpu.core import ConstantWaveform, RampWaveform
+
+    reg = Register.from_coordinates([(0, 0), (8, 0), (16, 0)], prefix="q")
+    seq = Sequence(reg, MockDevice)
+    seq.declare_channel("ryd", "rydberg_global")
+    seq.add(
+        Pulse(RampWaveform(200, 0.5, 2.5), ConstantWaveform(200, -1.0), 0.3),
+        "ryd",
+    )
+
+    def make_sim(rate):
+        cfg = SimConfig(
+            noise=("dephasing", "relaxation"),
+            dephasing_rate=rate,
+            relaxation_rate=0.03,
+        )
+        return TpuEmulator.from_sequence(
+            seq, sampling_rate=0.5, config=cfg, evaluation_times="Full"
+        )
+
+    sim = make_sim(0.05)
+    r_dense = dm_states(sim.run(solver="DP5_ME", me_form="dense"))
+    r_sup = dm_states(sim.run(solver="DP5_ME", me_form="superop"))
+    r_fac = dm_states(sim.run(solver="DP5_ME", me_form="factored"))
+    assert np.abs(r_dense - r_sup).max() < 1e-13
+    assert np.abs(r_dense - r_fac).max() < 1e-13
+
+    # XY (kron-pair terms in the dense H build)
+    seq2 = Sequence(
+        Register.from_coordinates([(0, 0), (7, 0), (3, 6)], prefix="q"),
+        MockDevice,
+    )
+    seq2.declare_channel("mw", "microwave_global")
+    seq2.add(
+        Pulse(RampWaveform(200, 0.5, 2.0), ConstantWaveform(200, -0.8), 0.2),
+        "mw",
+    )
+    sim2 = TpuEmulator.from_sequence(
+        seq2,
+        sampling_rate=0.5,
+        config=SimConfig(noise="dephasing", dephasing_rate=0.04),
+        evaluation_times="Full",
+    )
+    x_dense = dm_states(sim2.run(solver="DP5_ME", me_form="dense"))
+    x_sup = dm_states(sim2.run(solver="DP5_ME", me_form="superop"))
+    assert np.abs(x_dense - x_sup).max() < 1e-13
+
+    # differentiable-noise contract through the dense form (ref
+    # simconfig.py:15 tensor-valued params)
+    def loss(rate, form):
+        sim_r = make_sim(rate)
+        rho = sim_r.run(solver="DP5_ME", me_form=form).states
+        return rho.re[-1, 0, 0]
+
+    g_dense = jax.grad(lambda r: loss(r, "dense"))(jnp.asarray(0.05))
+    g_sup = jax.grad(lambda r: loss(r, "superop"))(jnp.asarray(0.05))
+    assert np.isfinite(float(g_dense))
+    assert abs(float(g_dense) - float(g_sup)) < 1e-10
+
+
+def test_me_form_auto_routing(monkeypatch):
+    """Auto routing: dim<=32 superop, 32<dim<=2048 dense, above
+    factored (solvers/solver.py mesolve form selection)."""
+    import pulser_diff_tpu.solvers.solver as solver_mod
+    from pulser_diff_tpu.core import ConstantWaveform
+
+    picked = {}
+
+    def spy(name, real):
+        def wrapper(*a, **k):
+            picked["form"] = name
+            return real(*a, **k)
+
+        return wrapper
+
+    monkeypatch.setattr(
+        solver_mod, "_make_me_step_superop",
+        spy("superop", solver_mod._make_me_step_superop),
+    )
+    monkeypatch.setattr(
+        solver_mod, "_make_me_step_dense",
+        spy("dense", solver_mod._make_me_step_dense),
+    )
+    monkeypatch.setattr(
+        solver_mod, "_make_me_step", spy("factored", solver_mod._make_me_step)
+    )
+
+    def run_n(n):
+        reg = Register.from_coordinates(
+            [(9.0 * i, 0.0) for i in range(n)], prefix="q"
+        )
+        seq = Sequence(reg, MockDevice)
+        seq.declare_channel("ryd", "rydberg_global")
+        seq.add(
+            Pulse(
+                ConstantWaveform(60, 1.0), ConstantWaveform(60, -0.5), 0.0
+            ),
+            "ryd",
+        )
+        sim = TpuEmulator.from_sequence(
+            seq,
+            config=SimConfig(noise="dephasing", dephasing_rate=0.05),
+            evaluation_times="Minimal",
+        )
+        sim.run(solver="DP5_ME")
+        return picked["form"]
+
+    assert run_n(3) == "superop"  # dim 8
+    assert run_n(6) == "dense"  # dim 64
+    # the >2048 factored leg is pinned structurally (no 12-qubit CPU
+    # mesolve in CI): the selector itself
+    assert solver_mod._DENSE_ME_DIM_CAP == 2048
+
+
 def test_noisy_pipeline_program_cache(two_atom_register):
     """The noisy run() pipeline compiles ONCE and is reused across calls;
     any config mutation invalidates it (backend.py _run_noisy_batch)."""

@@ -521,7 +521,7 @@ import jax.numpy as jnp
 from pulser_diff_tpu import TpuEmulator
 from pulser_diff_tpu.cplx import Cplx
 from pulser_diff_tpu.ops import pallas_evolution as pe
-assert pe._HOIST_STEP_LOADS
+assert pe._hoist_default(4)  # env forces hoist everywhere
 from pulser_diff_tpu.solvers import TimeGrid
 from tests.conftest import make_rich_sequence
 from pulser_diff_tpu.core import Register
@@ -640,3 +640,111 @@ print(json.dumps({"v": float(v), "g0": float(g[0, 5]),
     assert abs(out["v"] - ref["v"]) < 1e-6
     assert abs(out["g0"] - ref["g0"]) < 1e-5
     assert abs(out["g1"] - ref["g1"]) < 1e-5
+
+
+# ----------------------------------------------------------------------
+# HBM-checkpointed adjoint (the N=18 fused-gradient form)
+# ----------------------------------------------------------------------
+def test_pallas_ckpt_adjoint_matches_default():
+    """fused_evolve_ckpt: bit-identical forward values (same stage
+    arithmetic, Kahan carries ride the constant-index output blocks) and
+    gradients matching the in-kernel reverse-reconstruction adjoint to
+    the reconstruction's own f32 error (~1e-6 relative) — ising terms
+    (stream, diag, psi cotangents)."""
+    from pulser_diff_tpu.core import Register
+    from pulser_diff_tpu.ops import pallas_evolution as pe
+
+    reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+    seq = make_rich_sequence(reg)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times="Minimal")
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    da, db = h.dim**h._a, h.dim**h._b
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+    hd = h._ham_data
+
+    def loss(leaves, ckpt):
+        hd2 = hd._replace(
+            row_streams=Cplx(leaves["rs"], hd.row_streams.im),
+            int_diag=leaves["diag"],
+        )
+        p = Cplx(leaves["p_re"], p0.im)
+        out = pe.pallas_evolve(hd2, p, grid.times, "DP5", interpret=True,
+                               ckpt=ckpt)
+        return jnp.sum(out.re**2 - out.im)
+
+    leaves = {"rs": hd.row_streams.re, "diag": hd.int_diag, "p_re": p0.re}
+    v_ref, g_ref = jax.value_and_grad(lambda l: loss(l, False))(leaves)
+    v_ck, g_ck = jax.value_and_grad(lambda l: loss(l, True))(leaves)
+    assert float(jnp.abs(v_ref - v_ck)) == 0.0
+    for k in leaves:
+        scale = float(jnp.abs(g_ref[k]).max()) + 1e-12
+        d = float(jnp.abs(g_ref[k] - g_ck[k]).max())
+        assert d < 1e-5 * scale + 1e-9, (k, d, scale)
+
+
+def test_pallas_ckpt_adjoint_xy_kron():
+    """ckpt adjoint with kron-pair (XY) terms: forward parity + kron
+    part-matrix cotangents match the default adjoint."""
+    from pulser_diff_tpu.ops import pallas_evolution as pe
+
+    sim, h, grid, p0 = _xy_setup(n_atoms=2, duration=40)
+    hd = h._ham_data
+    assert hd.kron_row is not None
+
+    def loss(leaves, ckpt):
+        hd2 = hd._replace(
+            kron_row=leaves["kr"],
+            kron_streams=Cplx(leaves["ks"], hd.kron_streams.im),
+        )
+        out = pe.pallas_evolve(hd2, p0, grid.times, "DP5", interpret=True,
+                               ckpt=ckpt)
+        return jnp.sum(out.re**2 - out.im)
+
+    leaves = {"kr": hd.kron_row, "ks": hd.kron_streams.re}
+    v_ref, g_ref = jax.value_and_grad(lambda l: loss(l, False))(leaves)
+    v_ck, g_ck = jax.value_and_grad(lambda l: loss(l, True))(leaves)
+    assert float(jnp.abs(v_ref - v_ck)) == 0.0
+    for k in leaves:
+        scale = float(jnp.abs(g_ref[k]).max()) + 1e-12
+        d = float(jnp.abs(g_ref[k] - g_ck[k]).max())
+        assert d < 1e-5 * scale + 1e-9, (k, d, scale)
+
+
+def test_pallas_ckpt_states_contract():
+    """pallas_evolve_states(ckpt=True): eval-slot states match the
+    default states kernel bit-for-bit, and eval-time cotangents scatter
+    into the right steps (grad parity on a mid-trajectory loss)."""
+    from pulser_diff_tpu.core import Register
+    from pulser_diff_tpu.ops import pallas_evolution as pe
+
+    reg = Register({"q0": jnp.array([-4.0, 0.0]), "q1": jnp.array([4.0, 0.0])})
+    seq = make_rich_sequence(reg)
+    sim = TpuEmulator.from_sequence(seq, evaluation_times=0.25)
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    da, db = h.dim**h._a, h.dim**h._b
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+    hd = h._ham_data
+
+    ref = pe.pallas_evolve_states(hd, p0, grid, "DP5", interpret=True)
+    ck = pe.pallas_evolve_states(hd, p0, grid, "DP5", interpret=True,
+                                 ckpt=True)
+    assert ref.re.shape == ck.re.shape
+    assert float(jnp.abs(ref.re - ck.re).max()) == 0.0
+    assert float(jnp.abs(ref.im - ck.im).max()) == 0.0
+
+    def loss(streams_re, ckpt):
+        hd2 = hd._replace(row_streams=Cplx(streams_re, hd.row_streams.im))
+        out = pe.pallas_evolve_states(hd2, p0, grid, "DP5", interpret=True,
+                                      ckpt=ckpt)
+        # mid-trajectory + final slots both carry cotangents
+        return jnp.sum(out.re[1] ** 2) + jnp.sum(out.im[-1] ** 2)
+
+    s0 = hd.row_streams.re
+    g_ref = jax.grad(lambda s: loss(s, False))(s0)
+    g_ck = jax.grad(lambda s: loss(s, True))(s0)
+    scale = float(jnp.abs(g_ref).max()) + 1e-12
+    assert float(jnp.abs(g_ref - g_ck).max()) < 1e-5 * scale + 1e-9
