@@ -424,6 +424,9 @@ class TpuEmulator:
     # is hardware-verified at 98.5 ms (SCALING.md).
     _FUSED_DIM_CAP = 2**18
     _FUSED_FWD_DIM_CAP = 2**19
+    # fused-adjoint form switch: in-kernel reverse reconstruction below,
+    # HBM-checkpointed (exact stored states, no mirror pass) at/above
+    _CKPT_DIM_THRESHOLD = 2**16
 
     def _fused_backend_ok(self) -> bool:
         from pulser_diff_tpu.ops.pallas_evolution import _NB_MAX
@@ -541,13 +544,15 @@ class TpuEmulator:
             p = Cplx(
                 psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
             )
-            # HBM-checkpointed adjoint: auto at sizes where the in-kernel
-            # reverse-reconstruction adjoint's register spill exceeds the
-            # 128 MiB VMEM (dim >= _FUSED_DIM_CAP, SCALING.md N=18 wall);
-            # run(..., ckpt=True/False) overrides
+            # HBM-checkpointed adjoint: hardware A/B (SCALING.md round 5)
+            # shows it beats the in-kernel reverse-reconstruction form at
+            # the big fused sizes (N=16: 65.5 vs 70.0 ms, N=17: 130.4 vs
+            # 156.1 ms — it drops the mirror-side reconstruction work),
+            # while below 2^16 the extra HBM round trip buys nothing.
+            # run(..., ckpt=True/False) overrides.
             ckpt = opts.get("ckpt")
             if ckpt is None:
-                ckpt = dim >= self._FUSED_DIM_CAP
+                ckpt = dim >= self._CKPT_DIM_THRESHOLD
             states = pallas_evolve_states(
                 ham_data, p, grid.refined(substeps),
                 method=self._PALLAS_METHODS[solver], interpret=interpret,
