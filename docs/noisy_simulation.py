@@ -149,3 +149,68 @@ sim_eta = TpuEmulator.from_sequence(make_seq(), config=cfg_eta,
                                     evaluation_times="Minimal")
 res_eta = sim_eta.run(solver="MCWF")
 print("with eta=0.2:", dict(res_eta.results[-1]))
+
+# %% [markdown]
+# ## Mid-size Lindblad: the dense-matmul mesolve form
+# Between the Liouville-superop fast path (dim ≤ 32) and the sharded
+# big-ρ regime, `mesolve` auto-selects the DENSE form: H(t) is
+# materialized as one (dim, dim) matrix per RK stage from precomputed
+# lifted part stacks, and the whole right-hand side — commutator,
+# dissipator drift and jump terms — evaluates as MXU-shaped (dim, dim)
+# matmuls.  On hardware this makes a fully differentiable 6/7/8-atom
+# Lindblad solve 23.6x / 74.4x / 106.7x faster than the torch-CPU
+# reference architecture at f64 parity ~1e-14 (SCALING.md), with the
+# f32 modes (DP5_ME_F32) another ~20x beyond.  `me_form=` overrides the
+# routing ("superop" / "dense" / "factored").
+
+# %%
+N_MID = 3 if CI else 6
+reg_mid = Register.from_coordinates(
+    [(9.0 * i, 0.0) for i in range(N_MID)], prefix="q"
+)
+seq_mid = Sequence(reg_mid, MockDevice)
+seq_mid.declare_channel("ryd", "rydberg_global")
+seq_mid.add(Pulse.ConstantPulse(DUR, 1.5, -0.8, 0.0), "ryd")
+sim_mid = TpuEmulator.from_sequence(
+    seq_mid,
+    config=SimConfig(noise="dephasing", dephasing_rate=0.05),
+    evaluation_times="Minimal",
+)
+rho_dense = sim_mid.run(solver="DP5_ME", me_form="dense")
+print(
+    f"{N_MID}-atom dense-form mesolve trace:",
+    float(np.trace(np.asarray(rho_dense.states.re)[-1])),
+)
+
+# %% [markdown]
+# ## Differentiating through trajectories: MCWF pathwise gradients
+# `QuantumModel.expectation_mcwf_fn(key=..., n_traj=R)` returns a
+# jittable pure function whose gradient flows through the trajectory
+# average with the jump realizations pinned by the PRNG key (the
+# "fixed-realization pathwise" estimator).  The discrete jump decisions
+# carry no tangent, so the estimator misses the dependence of jump
+# statistics on the parameters — a bias that vanishes with the per-step
+# jump probability and is pinned against unbiased DP5_ME gradients in
+# the test suite.  Use it to train drive parameters under Lindblad
+# noise at sizes where ρ (dim²) no longer fits; for noise-RATE
+# gradients prefer the ME forms above.
+
+# %%
+from pulser_diff_tpu.model import QuantumModel
+
+seq_g = Sequence(reg, MockDevice)
+seq_g.declare_channel("ryd", "rydberg_global")
+om_var = seq_g.declare_variable("omega")
+seq_g.add(Pulse.ConstantPulse(DUR, om_var, -0.6, 0.2), "ryd")
+model_g = QuantumModel(
+    seq_g, {"omega": jnp.asarray(1.7)},
+    noise_config=SimConfig(noise="dephasing", dephasing_rate=0.08),
+    evaluation_times="Minimal",
+)
+fn_mcwf = model_g.expectation_mcwf_fn(
+    key=jax.random.PRNGKey(7), n_traj=8 if CI else 256
+)
+val, grad = jax.value_and_grad(
+    lambda om: fn_mcwf({"omega": om})[1][-1]
+)(jnp.asarray(1.7))
+print("MCWF pathwise d<Sz>/domega:", float(grad), " value:", float(val))
