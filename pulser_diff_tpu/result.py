@@ -199,11 +199,9 @@ class QuantumResult:
                     f"{reduce_to_basis} basis."
                 )
             return st
-        if is_dm:
-            raise NotImplementedError(
-                "Basis reduction not implemented for density matrices."
-            )
-        # 3-level ket reduction: drop the excluded state's levels
+        # 3-level reduction: drop the excluded state's levels (kets AND
+        # density matrices — the reference stubs this entirely, ref
+        # result.py:150)
         if reduce_to_basis == "ground-rydberg":
             ex_digit = 2  # |h>
             keep = (0, 1)
@@ -223,6 +221,25 @@ class QuantumResult:
             digits[:, k] = rem % 3
             rem //= 3
         has_ex = (digits == ex_digit).any(axis=1)
+        keep_idx = np.where(~has_ex)[0]
+        if is_dm:
+            # density matrix: excluded population lives on the diagonal
+            diag = jnp.diagonal(st.re)
+            ex_pop = float(
+                np.sum(np.asarray(jax.device_get(diag))[has_ex])
+            )
+            if ex_pop > tol:
+                raise TypeError(
+                    "Can't reduce to chosen basis because the population "
+                    "of a state to eliminate is above the allowed "
+                    "tolerance."
+                )
+            k = jnp.asarray(keep_idx)
+            red = Cplx(st.re[k][:, k], st.im[k][:, k])
+            if normalize:
+                tr = jnp.trace(red.re)
+                red = red * (1.0 / jnp.where(tr > 0, tr, 1.0))
+            return red
         flat = st.reshape(-1)
         ex_pop = float(np.sum(np.asarray(jax.device_get(flat.abs2()))[has_ex]))
         if ex_pop > tol:
@@ -230,7 +247,6 @@ class QuantumResult:
                 "Can't reduce to chosen basis because the population of a "
                 "state to eliminate is above the allowed tolerance."
             )
-        keep_idx = np.where(~has_ex)[0]
         red = flat[jnp.asarray(keep_idx)]
         if normalize:
             nrm = jnp.sqrt(jnp.sum(red.abs2()))

@@ -89,6 +89,38 @@ def test_result_reduce_to_basis():
         res2.get_state(reduce_to_basis="ground-rydberg")
 
 
+def test_result_reduce_to_basis_density_matrix():
+    """3-level density-matrix basis reduction (beyond parity: the
+    reference stubs the whole get_state reduction, ref result.py:150).
+    The reduced rho of a pure low-population-|h> state equals the outer
+    product of the reduced ket."""
+    psi = np.zeros(9, dtype=complex)  # 2 qubits, 3 levels (r, g, h)
+    psi[0 * 3 + 1] = 1 / np.sqrt(2)   # |r g>
+    psi[1 * 3 + 1] = 1j / np.sqrt(2)  # |g g>
+    rho = np.outer(psi, psi.conj())
+    res = QuantumResult(
+        ("q0", "q1"), "ground-rydberg", as_cplx(rho), True
+    )
+    red = res.get_state(reduce_to_basis="ground-rydberg")
+    arr = red.to_numpy()
+    assert arr.shape == (4, 4)
+    assert abs(np.trace(arr) - 1.0) < 1e-12
+    # ket-path reference
+    resk = QuantumResult(
+        ("q0", "q1"), "ground-rydberg", as_cplx(psi.reshape(9, 1)), True
+    )
+    k = resk.get_state(
+        reduce_to_basis="ground-rydberg", ignore_global_phase=False
+    ).to_numpy().ravel()
+    assert np.abs(arr - np.outer(k, k.conj())).max() < 1e-12
+    # populated |h> -> error
+    psih = np.ones(9, dtype=complex) / 3.0
+    rhoh = np.outer(psih, psih.conj())
+    resh = QuantumResult(("q0", "q1"), "ground-rydberg", as_cplx(rhoh), True)
+    with pytest.raises(TypeError):
+        resh.get_state(reduce_to_basis="ground-rydberg")
+
+
 def test_weights_three_level():
     # |g r> in 3-level basis (r=0, g=1, h=2): index 1*3+0 = 3
     psi = np.zeros(9, dtype=complex)
