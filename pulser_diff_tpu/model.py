@@ -595,9 +595,15 @@ class QuantumModel:
                 psi0.re.T.reshape(nb, da, db), psi0.im.T.reshape(nb, da, db)
             )
             method = TpuEmulator._PALLAS_METHODS.get(solver, "DP5")
+            # population evaluation is fwd+grad: at dim >= 2^16 the
+            # HBM-checkpointed adjoint wins (SCALING.md round-5 A/B)
+            ckpt = self.options.get("ckpt")
+            if ckpt is None:
+                ckpt = dim >= TpuEmulator._CKPT_DIM_THRESHOLD
             st = pallas_evolve_mc(
                 hams, p0, grid.refined(substeps), method=method,
                 interpret=jax.default_backend() == "cpu",
+                ckpt=bool(ckpt),
             )  # (P, n_eval, nb, da, db)
             P, n_eval = st.re.shape[:2]
             states = Cplx(

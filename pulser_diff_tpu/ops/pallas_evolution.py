@@ -1867,13 +1867,16 @@ def pallas_evolve_mc(
     grid,
     method: str = "DP5",
     interpret: bool = False,
+    ckpt: bool = False,
 ) -> Cplx:
     """Monte-Carlo batched fused evolution: ``hams`` carries a leading
     runs axis R on its streams/diagonal (build with
     ``jax.vmap(h.build_data)(draws)``), psi0 is (nb, da, db) shared or
     (R, nb, da, db) per-run.  Returns (R, n_eval, nb, da, db) states,
     differentiable.  The runs axis is the kernel grid — one launch for
-    the whole Monte-Carlo batch."""
+    the whole Monte-Carlo batch.  ``ckpt=True`` uses the
+    HBM-checkpointed form (grid (R, n_steps), eval slots gathered
+    XLA-side) — same dim >= 2^16 rationale as pallas_evolve_states."""
     f32 = jnp.float32
     R = int(hams.row_streams.re.shape[0])
     rp = hams.row_parts[0] if hams.row_parts.ndim == 4 else hams.row_parts
@@ -1948,6 +1951,20 @@ def pallas_evolve_mc(
         data["kc"] = kc.astype(f32)
     slots = tuple(int(s) for s in np.asarray(grid.write_slots))
     last_slot = slots[-1]
+    if ckpt:
+        st_re, st_im = fused_evolve_ckpt(method, interpret, data)
+        by_slot = {s: g for g, s in enumerate(slots) if s < grid.n_eval}
+        res, ims = [], []
+        for s in range(grid.n_eval):
+            g = by_slot[s]
+            if g == 0:
+                res.append(data["psi_re"])
+                ims.append(data["psi_im"])
+            else:
+                res.append(st_re[:, g - 1])
+                ims.append(st_im[:, g - 1])
+        # stack along a new eval axis AFTER the runs axis
+        return Cplx(jnp.stack(res, axis=1), jnp.stack(ims, axis=1))
     out_re, out_im = fused_evolve_states(
         method, interpret, slots, int(grid.n_eval), last_slot, data
     )

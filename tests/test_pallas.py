@@ -748,3 +748,51 @@ def test_pallas_ckpt_states_contract():
     g_ck = jax.grad(lambda s: loss(s, True))(s0)
     scale = float(jnp.abs(g_ref).max()) + 1e-12
     assert float(jnp.abs(g_ref - g_ck).max()) < 1e-5 * scale + 1e-9
+
+
+def test_pallas_ckpt_mc_grid(two_atom_register):
+    """MC-grid ckpt form (grid (R, n_steps), per-run constant carry
+    blocks): states match the default MC kernel bit-for-bit across runs,
+    and a summed-loss gradient matches too (population fwd+grad path at
+    dim >= 2^16 routes here)."""
+    from pulser_diff_tpu import SimConfig
+    from pulser_diff_tpu.hamiltonian import draw_noise
+    from pulser_diff_tpu.ops.pallas_evolution import pallas_evolve_mc
+
+    seq = make_rich_sequence(two_atom_register)
+    cfg = SimConfig(noise="doppler", temperature=80.0, runs=3)
+    sim = TpuEmulator.from_sequence(
+        seq, config=cfg, evaluation_times=[0.05, 0.12]
+    )
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    n_slots = h._count_noise_slots()
+    keys = jax.random.split(jax.random.PRNGKey(11), 3)
+    draws = jax.vmap(
+        lambda k: draw_noise(k, h.config, h._size, n_slots)
+    )(keys)
+    hams = jax.vmap(h.build_data)(draws)
+    da, db = h.dim**h._a, h.dim**h._b
+    psi0 = sim.initial_state
+    p0 = Cplx(psi0.re.T.reshape(1, da, db), psi0.im.T.reshape(1, da, db))
+
+    ref = pallas_evolve_mc(hams, p0, grid, method="DP5", interpret=True)
+    ck = pallas_evolve_mc(hams, p0, grid, method="DP5", interpret=True,
+                          ckpt=True)
+    assert ref.re.shape == ck.re.shape
+    assert float(jnp.abs(ref.re - ck.re).max()) == 0.0
+    assert float(jnp.abs(ref.im - ck.im).max()) == 0.0
+
+    def loss(streams_re, ckpt):
+        h2 = hams._replace(
+            row_streams=Cplx(streams_re, hams.row_streams.im)
+        )
+        out = pallas_evolve_mc(h2, p0, grid, method="DP5", interpret=True,
+                               ckpt=ckpt)
+        return jnp.sum(out.re[:, -1] ** 2) + jnp.sum(out.im[:, 0])
+
+    s0 = hams.row_streams.re  # (R, P, Ts)
+    g_ref = jax.grad(lambda s: loss(s, False))(s0)
+    g_ck = jax.grad(lambda s: loss(s, True))(s0)
+    scale = float(jnp.abs(g_ref).max()) + 1e-12
+    assert float(jnp.abs(g_ref - g_ck).max()) < 1e-5 * scale + 1e-9
