@@ -868,7 +868,14 @@ def _make_me_step(ham, collapse, n, d, solver, substeps):
 # with a static superoperator stack S built once per solve, so each RK
 # stage is ONE (dim^2, dim^2) matmul instead of ~40 tiny einsums.
 # Row-major vec convention: vec(A rho B) = (A (x) B^T) vec(rho).
-_SUPEROP_DIM_CAP = 32  # dim^2 <= 1024: superop stack stays ~MBs
+# Round-5 hardware boundary sweep (bench_mesolve, fwd+grad): superop
+# 0.32 s vs dense 0.56 s at dim 8, but dense already wins at dim 16
+# (0.67 vs 0.74 s) and crushes at dim 32 (0.84 s vs 36.6 s — the
+# superop's reverse-mode residuals are per-stage (dim^2, dim^2)
+# Liouvillians, forcing per-step recompute there).  So the superop form
+# is the default only at dim <= 8; me_form="superop" forces it anywhere
+# (remat-guarded by _me_auto_remat).
+_SUPEROP_DIM_CAP = 8
 
 
 def _superop_terms(ham: FactoredHamiltonian, collapse: CollapseOps,
@@ -1147,6 +1154,20 @@ def _auto_remat(y0: Cplx, n_steps: int, stages: int = 6) -> bool:
     return n_steps * stages * state_bytes > _REMAT_BYTES_THRESHOLD
 
 
+def _me_auto_remat(me_form: str, dim: int, rho0: Cplx, n_steps: int) -> bool:
+    """Form-aware remat decision for mesolve.  The superop RHS
+    materializes the full (dim^2, dim^2) Liouvillian per RK stage;
+    without per-step checkpointing reverse-mode stores those stage
+    residuals — at dim 32 that is ~100 MB/step x n_steps, a measured
+    20 GB HBM OOM (round-5 boundary probe).  Gate on the LIOUVILLIAN
+    size, not just the state size."""
+    remat = _auto_remat(rho0, n_steps)
+    if me_form == "superop" and not remat:
+        lt_bytes = 2 * (dim**4) * rho0.re.dtype.itemsize
+        remat = n_steps * 6 * lt_bytes > _REMAT_BYTES_THRESHOLD
+    return remat
+
+
 def _auto_segments(y0: Cplx, n_steps: int) -> Optional[int]:
     """Pick sqrt-checkpointing segment count when even one-state-per-step
     residual storage would blow the memory threshold (large density
@@ -1372,14 +1393,14 @@ def mesolve(
     remat / n_segments as in :func:`sesolve` (sqrt-checkpointing keeps
     10+-atom density-matrix gradients inside HBM).
 
-    RHS form selection (auto by dim unless overridden):
-      - dim <= 32: Liouville-vectorized superop stepper (one
+    RHS form selection (auto by dim unless overridden; boundaries are
+    hardware-measured, see _SUPEROP_DIM_CAP comment):
+      - dim <= 8: Liouville-vectorized superop stepper (one
         (dim^2, dim^2) matmul per RK stage — measured 3.75x torch-CPU
         at 3 atoms);
-      - 32 < dim <= 2048: DENSE form (H(t) materialized per stage,
-        RHS = (dim, dim) matmuls on the MXU — the mid-size 6-10 atom
-        regime where the superop stack no longer fits and the factored
-        einsums are tiny);
+      - 8 < dim <= 2048: DENSE form (H(t) materialized per stage,
+        RHS = (dim, dim) matmuls on the MXU — wins from dim 16 up;
+        23.6x/74.4x/106.7x over torch-CPU at 6/7/8 atoms);
       - above: factored per-site RHS (pairs with sharded_mesolve).
     ``me_form`` in {"superop", "dense", "factored"} forces a form;
     legacy ``superop=True/False`` forces superop / factored.
@@ -1405,10 +1426,6 @@ def mesolve(
                 superop, me_form,
             )
     n_steps = grid.times.shape[0] * substeps
-    if remat is None:
-        remat = _auto_remat(rho0, n_steps)
-    if n_segments is None:
-        n_segments = _auto_segments(rho0, n_steps)
     if me_form is None:
         if superop is True:
             me_form = "superop"
@@ -1420,6 +1437,10 @@ def mesolve(
             me_form = "dense"
         else:
             me_form = "factored"
+    if remat is None:
+        remat = _me_auto_remat(me_form, ham.dim, rho0, n_steps)
+    if n_segments is None:
+        n_segments = _auto_segments(rho0, n_steps)
     makers = {
         "superop": _make_me_step_superop,
         "dense": _make_me_step_dense,

@@ -367,10 +367,12 @@ def test_me_form_auto_routing(monkeypatch):
         sim.run(solver="DP5_ME")
         return picked["form"]
 
-    assert run_n(3) == "superop"  # dim 8
+    assert run_n(3) == "superop"  # dim 8 (superop wins: 0.32 vs 0.56 s)
+    assert run_n(4) == "dense"  # dim 16 (dense wins from here up)
     assert run_n(6) == "dense"  # dim 64
     # the >2048 factored leg is pinned structurally (no 12-qubit CPU
     # mesolve in CI): the selector itself
+    assert solver_mod._SUPEROP_DIM_CAP == 8
     assert solver_mod._DENSE_ME_DIM_CAP == 2048
 
 

@@ -697,3 +697,22 @@ def test_f32_mesolve_matches_f64(two_atom_register):
     assert g32.dtype == jnp.float64
     scale = float(jnp.abs(g64).max()) + 1e-12
     assert float(jnp.abs(g64 - g32).max()) < 1e-4 * scale + 1e-8
+
+
+def test_me_superop_remat_gates_on_liouvillian_size():
+    """Form-aware mesolve remat (round-5 hardware OOM regression): the
+    superop form's reverse-mode residuals scale with the (dim^2, dim^2)
+    Liouvillian per stage, not the rho state — at dim 32 / 166 steps
+    storing them is ~16 GB (measured 20 GB HBM OOM on hardware), so the
+    auto decision must checkpoint; the dense form at the same size need
+    not."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.solvers.solver import _me_auto_remat
+
+    dim = 32
+    rho = Cplx(jnp.zeros((dim, dim)), jnp.zeros((dim, dim)))
+    assert _me_auto_remat("superop", dim, rho, n_steps=166) is True
+    assert _me_auto_remat("dense", dim, rho, n_steps=166) is False
+    # tiny superop (dim 8) stays residual-stored (fast backward)
+    rho8 = Cplx(jnp.zeros((8, 8)), jnp.zeros((8, 8)))
+    assert _me_auto_remat("superop", 8, rho8, n_steps=166) is False
