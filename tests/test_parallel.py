@@ -335,3 +335,51 @@ def test_sharded_mcwf_states(two_atom_register, mesh8):
     )
     with pytest.raises(ValueError, match="must divide"):
         sharded_mcwf_states(sim, key, n_traj=12, mesh=mesh8)
+
+
+def test_sharded_mesolve_dense_form(two_atom_register, mesh8):
+    """rho-row sharding with the DENSE RHS form (the auto route for
+    dim >= 16 since round 5): XLA's SPMD partitioner must propagate the
+    row sharding through the dense H(t) matmuls — states match the
+    unsharded solve and stay sharded."""
+    from pulser_diff_tpu.cplx import Cplx
+    from pulser_diff_tpu.core import Register
+    from pulser_diff_tpu.parallel import make_mesh, sharded_mesolve
+    from pulser_diff_tpu.solvers import TimeGrid, mesolve
+
+    reg_d = Register(
+        {
+            "q0": jnp.array([-6.0, 0.0]),
+            "q1": jnp.array([6.0, 0.0]),
+            "q2": jnp.array([0.0, 7.0]),
+            "q3": jnp.array([0.0, -7.0]),
+        }
+    )
+    seq = make_simple_sequence(reg_d, duration=48)
+    cfg = SimConfig(noise="dephasing", dephasing_rate=0.25)
+    sim = TpuEmulator.from_sequence(
+        seq, config=cfg, evaluation_times="Minimal"
+    )
+    h = sim._hamiltonian
+    grid = TimeGrid.make(h.sampling_times, sim._eval_times_array)
+    psi0 = sim.initial_state
+    rho0 = Cplx(
+        psi0.re @ psi0.re.T + psi0.im @ psi0.im.T,
+        psi0.im @ psi0.re.T - psi0.re @ psi0.im.T,
+    )
+    mesh = make_mesh({"rho": 8})
+    plain = mesolve(h._ham_data, rho0, h._collapse_ops, h._size, h.dim, grid)
+    shard = sharded_mesolve(
+        h._ham_data, rho0, h._collapse_ops, h._size, h.dim, grid, mesh
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(plain.re)),
+        np.asarray(jax.device_get(shard.re)),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(plain.im)),
+        np.asarray(jax.device_get(shard.im)),
+        atol=1e-12,
+    )
+    assert len({s.device for s in shard.re.addressable_shards}) == 8
