@@ -1155,17 +1155,26 @@ def _auto_remat(y0: Cplx, n_steps: int, stages: int = 6) -> bool:
 
 
 def _me_auto_remat(me_form: str, dim: int, rho0: Cplx, n_steps: int) -> bool:
-    """Form-aware remat decision for mesolve.  The superop RHS
-    materializes the full (dim^2, dim^2) Liouvillian per RK stage;
-    without per-step checkpointing reverse-mode stores those stage
-    residuals — at dim 32 that is ~100 MB/step x n_steps, a measured
-    20 GB HBM OOM (round-5 boundary probe).  Gate on the LIOUVILLIAN
-    size, not just the state size."""
+    """Form-aware remat decision for mesolve.  Reverse-mode residuals
+    scale with what each RK stage MATERIALIZES, not with rho alone:
+      - superop: the full (dim^2, dim^2) Liouvillian per stage — at
+        dim 32 that is ~100 MB/step x n_steps, a measured 20 GB HBM OOM
+        (round-5 boundary probe);
+      - dense: H(t) re/im + the stage rho per stage (~4 dim^2 words) —
+        at dim 512 that is ~8 GB over the solve, a measured runtime
+        device fault at N=9 while N=8 (~2 GB) ran fine.
+    Gate on the per-stage materialization size, not just the state."""
     remat = _auto_remat(rho0, n_steps)
-    if me_form == "superop" and not remat:
-        lt_bytes = 2 * (dim**4) * rho0.re.dtype.itemsize
-        remat = n_steps * 6 * lt_bytes > _REMAT_BYTES_THRESHOLD
-    return remat
+    if remat:
+        return True
+    itemsize = rho0.re.dtype.itemsize
+    if me_form == "superop":
+        stage_bytes = 2 * (dim**4) * itemsize
+    elif me_form == "dense":
+        stage_bytes = 4 * (dim**2) * itemsize
+    else:
+        return False
+    return n_steps * 6 * stage_bytes > _REMAT_BYTES_THRESHOLD
 
 
 def _auto_segments(y0: Cplx, n_steps: int) -> Optional[int]:

@@ -716,3 +716,12 @@ def test_me_superop_remat_gates_on_liouvillian_size():
     # tiny superop (dim 8) stays residual-stored (fast backward)
     rho8 = Cplx(jnp.zeros((8, 8)), jnp.zeros((8, 8)))
     assert _me_auto_remat("superop", 8, rho8, n_steps=166) is False
+    # dense: dim 256 (N=8, ~2 GB residuals) ran on hardware without
+    # remat; dim 512 (N=9, ~8 GB) device-faulted — the gate must flip
+    # exactly between them (f64 itemsize)
+    r256 = Cplx(jnp.zeros((256, 256), jnp.float64),
+                jnp.zeros((256, 256), jnp.float64))
+    r512 = Cplx(jnp.zeros((512, 512), jnp.float64),
+                jnp.zeros((512, 512), jnp.float64))
+    assert _me_auto_remat("dense", 256, r256, n_steps=166) is False
+    assert _me_auto_remat("dense", 512, r512, n_steps=166) is True
