@@ -858,7 +858,7 @@ def _make_me_step(ham, collapse, n, d, solver, substeps):
 # ----------------------------------------------------------------------
 # Reference-scale master-equation workloads are SMALL (2-3 atoms in the
 # reference's tests; ref backend.py:495-509 routes run() to mesolve when
-# collapse ops exist but never benchmarks it).  At dim <= ~32 the
+# collapse ops exist but never benchmarks it).  At small dims the
 # factored per-site RHS above degrades on TPU: every Lindblad term is a
 # tiny multi-axis einsum that defeats the VPU's (8, 128) tiling — the
 # measured 3-atom step was 4x SLOWER than the torch-CPU baseline

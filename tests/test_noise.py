@@ -209,7 +209,7 @@ def test_one_qubit_lindblad(two_atom_register):
 
 
 def test_superop_matches_factored_rhs(two_atom_register):
-    """The Liouville-vectorized mesolve fast path (dim<=32 default,
+    """The Liouville-vectorized mesolve fast path (dim<=8 default,
     solvers/solver.py _make_me_step_superop) must match the factored
     per-site RHS exactly — ising + two Lindblad channels, and an XY
     sequence (kron-pair terms in the superop stack)."""
@@ -321,7 +321,7 @@ def test_dense_me_form_matches_other_forms(two_atom_register):
 
 
 def test_me_form_auto_routing(monkeypatch):
-    """Auto routing: dim<=32 superop, 32<dim<=2048 dense, above
+    """Auto routing: dim<=8 superop, 8<dim<=2048 dense, above
     factored (solvers/solver.py mesolve form selection)."""
     import pulser_diff_tpu.solvers.solver as solver_mod
     from pulser_diff_tpu.core import ConstantWaveform
